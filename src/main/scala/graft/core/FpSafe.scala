@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic floating-point aggregation.
+  *
+  * IEEE-754 double addition is not associative, so `sum(double)` depends on
+  * accumulation order. Spark merges shuffle partials in fetch order and DuckDB
+  * sums in scan order, so the two engines can disagree in the last bits — which
+  * breaks a hash-compared oracle. The test corpus's money-like columns
+  * (`l_extendedprice`, `o_totalprice`, `*_acctbal`, `events.value`, …) are
+  * 2-decimal fixed-point, and `l_quantity` is integral, so we aggregate exact
+  * integer "cents" in a long and unscale once at the end. The result is
+  * bit-identical in any engine, under any partitioning, at any scale — and for
+  * Spark it is also *faster* than double sums (long adds, no FP pipeline
+  * stalls), so the trick is production-sane for fixed-point business metrics,
+  * not just an oracle workaround.
+  *
+  * DuckDB oracle mirror for each helper is documented inline.
+  */
+object FpSafe {
+
+  /** Exact integer cents of a 2-decimal double column (long).
+    * DuckDB: `CAST(round(c * 100) AS BIGINT)`.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact sum of a 2-decimal column, as double.
+    * DuckDB: `CAST(sum(CAST(round(c*100) AS BIGINT)) AS BIGINT) / 100.0`.
+    */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** Exact long sum of an integral-valued double column.
+    * DuckDB: `CAST(sum(CAST(round(c) AS BIGINT)) AS BIGINT)`.
+    */
+  def intSum(c: Column): Column = sum(round(c).cast("long"))
+
+  /** Exact 4-decimal scaling (for 2-decimal-percent columns like l_discount).
+    * DuckDB: `CAST(round(c * 10000) AS BIGINT)`.
+    */
+  def tenK(c: Column): Column = round(c * 10000).cast("long")
+}
