@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash (+ banded LSH), SimHash. Everything is expression-based (no
+  * UDFs); hashes are explicit integer arithmetic (polyHash / affine rehash
+  * mod 1e9+7), so results are engine-portable and unit-testable.
+  *
+  * Scale posture:
+  *  - exact dedup = hash-groupBy: one shuffle on an 8/16-byte key;
+  *  - n-gram similarity joins through an inverted shingle index (shuffle on
+  *    shingle key) — never an O(n²) cross join;
+  *  - MinHash/SimHash signatures are per-row expressions; LSH candidate
+  *    generation shuffles only on (band, bandKey) buckets.
+  */
+object Dedup {
+  import TextAnalysis.{polyHash, tokens, HashMod}
+
+  /** k-word shingles (distinct), 1-based positions; callers must filter
+    * docs with < k tokens (Spark's `sequence` would run backwards).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k)))))
+  }
+
+  /** Exact-dup groups on an arbitrary key expression: one row per group with
+    * the kept (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct-shingle inverted-index self-join → pairwise exact Jaccard.
+    * Output: (id_a, id_b, inter, na, nb, jaccard) for id_a < id_b pairs
+    * sharing ≥ 1 shingle.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    val sh = docs.filter(size(tokens(text)) >= k)
+      .select(col(idCol).as("id"), explode(shingles(text, k)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh")) // shingles already distinct
+    val a = sh.select(col("id").as("id_a"), col("sh"))
+    val b = sh.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "nb"), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  /** Affine rehash h_i(x) = (x·a(i) + b(i)) mod M with a(i) = (2i+1)·K mod M
+    * (odd-ish, scattered), b(i) = 40503·i + 1. All operands < 2^31 →
+    * products < 2^62, no overflow.
+    */
+  def affine(i: Column, x: Column): Column = {
+    val a = ((i * 2 + 1) * lit(2654435761L)) % lit(HashMod)
+    val b = i * lit(40503L) + 1
+    (x * a + b) % lit(HashMod)
+  }
+
+  /** MinHash signature: n minima of affine-rehashed shingle polyhashes. */
+  def minhashSignature(text: Column, k: Int, n: Int): Column = {
+    val hashes = transform(shingles(text, k), s => polyHash(s))
+    transform(sequence(lit(0), lit(n - 1)),
+      i => array_min(transform(hashes, h => affine(i, h))))
+  }
+
+  /** Estimated Jaccard: fraction of equal signature components. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), _ + _).cast("double") / size(sigA)
+
+  /** Banded-LSH candidate pairs: split the signature into `bands` bands of
+    * r = n/bands values, key each band with an order-sensitive fold, and
+    * join docs sharing any (band, key) bucket. Returns distinct id_a < id_b.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, sig: Column, bands: Int): DataFrame = {
+    val withSig = docs.select(col(idCol).as("id"), sig.as("sig"))
+      .withColumn("r", (size(col("sig")) / bands).cast("int"))
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => aggregate(slice(col("sig"), bnd * col("r") + 1, col("r")),
+          lit(0L), (acc, x) => (acc * 31 + x) % lit(HashMod)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 48-bit token hash for SimHash: two independent 24-bit chunks from the
+    * poly hash and one affine rehash of it.
+    */
+  def hash48(t: Column): Column = {
+    val h1 = polyHash(t)
+    val h2 = (h1 * lit(48271L) + 11L) % lit(HashMod)
+    (h1 % lit(1L << 24)) + (h2 % lit(1L << 24)) * lit(1L << 24)
+  }
+
+  private val Pow2: Column = array((0 until 48).map(j => lit(1L << j)): _*)
+
+  /** SimHash-48: each of 48 bits of each token hash votes ±1; result bit j
+    * is set iff the vote sum is positive. Dynamic bit tests use bitwiseAND
+    * against a powers-of-two literal array (no variable shifts needed).
+    */
+  def simhash48(text: Column): Column = {
+    val hs = transform(tokens(text), t => hash48(t))
+    aggregate(
+      transform(sequence(lit(0), lit(47)), j => {
+        val p = element_at(Pow2, (j + 1).cast("int"))
+        val votes = aggregate(hs, lit(0L),
+          (acc, h) => acc + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L))
+        when(votes > 0, p).otherwise(lit(0L))
+      }),
+      lit(0L), _ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

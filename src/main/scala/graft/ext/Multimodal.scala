@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, plus a decode/feature-extract stage shaped the way
+  * a real pipeline would run it (partition-wise batch processing so a codec
+  * could amortize init per partition).
+  *
+  * The actual image/audio decode is STUBBED — the container has no media
+  * libraries — with a clearly-marked deterministic fake that derives pseudo
+  * width/height/duration from the payload bytes. The Spark-side plumbing
+  * (schema, encoders, partition batching, null handling) is real and tested;
+  * swapping `stubDecode` for a JNI/javax codec changes nothing structural.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + source metadata. */
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (the decode output contract). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, duration_ms: Long, checksum: Long)
+
+  /** STUB decode: deterministic pseudo-features from the bytes. A real
+    * implementation would parse the container format here (libjpeg/ffmpeg);
+    * everything around this call is production plumbing.
+    */
+  def stubDecode(r: MediaRecord): MediaFeatures = {
+    val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+    var h = 0L
+    bytes.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+    MediaFeatures(
+      media_id = r.media_id,
+      kind = r.kind,
+      n_bytes = bytes.length.toLong,
+      width = (h % 640).toInt + 1,
+      height = ((h / 640) % 480).toInt + 1,
+      duration_ms = if (r.kind == "audio") (h % 300000L) else 0L,
+      checksum = h)
+  }
+
+  /** Decode stage: typed, partition-wise (codec init once per partition —
+    * the Scala analogue of a Pandas-UDF `mapInPandas` batch loop).
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codecs would initialize here, once per partition
+      it.map(stubDecode)
+    }
+  }
+
+  /** Build a media table from the documents corpus: payload = UTF-8 bytes of
+    * the text (stand-in for image/audio bytes), kind assigned round-robin.
+    * This is how a binary column enters the engine: `cast(string as binary)`
+    * at ingest, or raw bytes from parquet/object storage.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+}

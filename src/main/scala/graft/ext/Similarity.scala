@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Baseline: brute-force cosine top-k — probe × candidate join with the dot
+  * product as a left-to-right array fold in DOUBLE (cast before multiply:
+  * deterministic, engine-portable; float accumulation would not be).
+  *
+  * Scale path: LSH bucketing by random-hyperplane sign bits (deterministic
+  * integer-derived hyperplanes) — candidates shuffle on the bucket key, so
+  * probe cost is |bucket| not |corpus|. An IVF variant would replace the
+  * hash with learned centroids; the plumbing is identical.
+  */
+object Similarity {
+
+  /** Elementwise cast to double — do this ONCE, then all math is double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product as an in-order fold (bit-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot / (|a|·|b|) with pinned op order. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe row (filtered by `isProbe`),
+    * the k nearest other vectors. Rank ties pinned by candidate id.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isProbe: Column, k: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
+    val probes = emb.filter(isProbe)
+      .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
+    val scored = probes.join(base, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosine(col("pvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * LCG(seed = j·dim + i) scaled by an exact rational. Integer-derived →
+    * identical in any engine.
+    */
+  def hyperplaneAt(j: Column, i: Column): Column = {
+    val seed = j * 4099 + i * 131 + 7
+    val lcg = (seed * lit(1103515245L) + 12345L) % lit(2147483647L)
+    (pmod(lcg, lit(2001L)) - 1000L).cast("double") / 1000.0
+  }
+
+  /** LSH bucket id from `nBits` hyperplane sign bits. */
+  def lshBucket(vec: Column, nBits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), j => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * hyperplaneAt(j, i)),
+          lit(0.0), _ + _)
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** LSH-bucketed approximate top-k: candidates share the probe's bucket.
+    * Recall vs. brute force is pinned in SimilaritySpec; raise nBits for
+    * bigger corpora (bucket size ~ n / 2^nBits).
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      isProbe: Column, k: Int, nBits: Int): DataFrame = {
+    val probes = emb.filter(isProbe)
+      .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
+      .withColumn("bucket", lshBucket(col("pvec"), nBits))
+    val cands = emb
+      .select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("bucket", lshBucket(col("cvec"), nBits))
+    val scored = probes.join(cands, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), cosine(col("pvec"), col("cvec")).as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+}

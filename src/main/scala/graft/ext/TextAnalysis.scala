@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language-ID heuristic, quality scoring,
+  * document fingerprinting. Everything is built from codegen-friendly /
+  * higher-order array expressions — no UDFs — and every op is deterministic
+  * and integer-exact where it matters so DuckDB oracles can mirror it.
+  *
+  * Scale posture: all per-row expressions (embarrassingly parallel, no
+  * shuffle); the only aggregations are whatever the caller groups by.
+  */
+object TextAnalysis {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokens (the corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: ceil(chars/4), exact integer arithmetic.
+    * (The classic ~4-chars-per-token heuristic; a real BPE would be a
+    * vocabulary lookup table — out of scope for the container.)
+    */
+  def approxBpeCount(text: Column): Column =
+    ((length(text) + 3) / lit(4)).cast("long")
+
+  /** Count of tokens in a fixed marker list (duplicates counted). */
+  def markerCount(text: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Ordered language marker lists. First list wins ties (deterministic). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
+
+  /** Heuristic language ID: argmax of marker counts, first-listed language
+    * wins ties, "und" when every score is zero.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    // lang_i wins if score_i >= score_j for all j > i and > score_j for j < i
+    // (equivalent to: first maximum in list order)
+    val best = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, sc), i), els) =>
+        val beatsLater = scores.drop(i + 1).map { case (_, s2) => sc >= s2 }
+          .foldLeft(lit(true))(_ && _)
+        when(beatsLater, lit(lang)).otherwise(els)
+    }
+    when(allZero, lit("und")).otherwise(best)
+  }
+
+  /** Quality signals, all exact-integer derived (deterministic doubles):
+    * token count, distinct ratio, mean token length, stopword ratio, and a
+    * weighted composite score.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val n = tokenCount(text)
+    val uniq = size(array_distinct(tokens(text)))
+    val chars = length(text)
+    val meanLen = (chars - (n - 1)).cast("double") / n
+    val stops = markerCount(text, LangMarkers.head._2)
+    val stopRatio = stops.cast("double") / n
+    val uniqRatio = uniq.cast("double") / n
+    val quality = uniqRatio * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+      least(meanLen / 8.0, lit(1.0)) * 0.2
+    Seq("n_tokens" -> n.cast("long"), "n_uniq" -> uniq.cast("long"),
+      "mean_token_len" -> meanLen, "stopword_ratio" -> stopRatio,
+      "uniq_ratio" -> uniqRatio, "quality" -> quality)
+  }
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 — exact integer
+    * fold, mirrorable in any engine with list folds:
+    * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) % M).
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % HashMod)
+
+  /** Content fingerprint: polyhash of the full text (exact-dup detection
+    * with 8-byte keys instead of 16-byte md5 — cheaper shuffle at scale).
+    */
+  def fingerprint(text: Column): Column = polyHash(text)
+}

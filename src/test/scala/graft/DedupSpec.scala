@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts dups") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val g = Dedup.exactGroups(d, "doc_id", md5(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g.map(t => (t._2, t._3)) == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs computes exact shingle jaccard") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → inter=1, union=3
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    val p = Dedup.jaccardPairs(d, "doc_id", col("text"), 3).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Long]("inter") == 1 && r.getAs[Long]("na") == 2 && r.getAs[Long]("nb") == 2)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("minhash estimate approximates exact jaccard for near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 55).map(i => s"tok$i").mkString(" ") // ~87% shingle overlap
+    val far = (100 to 160).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> far)
+      .select(col("doc_id"), col("text"), Dedup.minhashSignature(col("text"), 3, 128).as("sig"))
+    val sigs = d.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 128
+    // exact jaccard(1,2): |inter|=53 of 58∪53=58+53-53=58 → ~0.914
+    assert(est(1L, 2L) > 0.75, s"near-dup est too low: ${est(1L, 2L)}")
+    assert(est(1L, 3L) < 0.15, s"far est too high: ${est(1L, 3L)}")
+  }
+
+  test("banded LSH surfaces near-dup pairs and not unrelated ones") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 76).map(i => s"tok$i").mkString(" ")
+    val others = (1 to 20).map(k => (100L + k) -> (1 to 60).map(i => s"w${k}_$i").mkString(" "))
+    val d = docs(Seq(1L -> base, 2L -> nearDup) ++ others: _*)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 64).as("sig"))
+    val cands = Dedup.lshCandidates(d, "doc_id", col("sig"), 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"LSH missed the near-dup pair: $cands")
+    assert(cands.size < 10, s"LSH produced too many false candidates: $cands")
+  }
+
+  test("simhash: identical docs → distance 0; near docs closer than far docs") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 47).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 50).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+      .select(col("doc_id"), Dedup.simhash48(col("text")).as("sh"))
+    val m = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L),
+      s"near ${ham(1L, 3L)} should beat far ${ham(1L, 4L)}")
+  }
+
+  test("q29 construction recovers each doctored copy at sf0.001") {
+    val out = graft.queries.ExtensionQueries.q29_minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // id_b -> id_a? keep pairs
+    // every surviving pair must link doc k with doc k+100000
+    val pairs = out.toSeq
+    assert(pairs.nonEmpty, "no near-dup pairs recovered")
+  }
+}

