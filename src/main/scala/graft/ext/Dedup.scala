@@ -40,9 +40,12 @@ object Dedup {
     * sharing ≥ 1 shingle.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
-    val sh = docs.filter(size(tokens(text)) >= k)
-      .select(col(idCol).as("id"), explode(shingles(text, k)).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh")) // shingles already distinct
+    // Shingle arrays are materialized once; set sizes come from the array
+    // length (no extra aggregation over the exploded index).
+    val withShs = docs.filter(size(tokens(text)) >= k)
+      .select(col(idCol).as("id"), shingles(text, k).as("shs"))
+    val sizes = withShs.select(col("id"), size(col("shs")).cast("long").as("nsh"))
+    val sh = withShs.select(col("id"), explode(col("shs")).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh"))
     val b = sh.select(col("id").as("id_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -62,12 +65,25 @@ object Dedup {
     (x * a + b) % lit(HashMod)
   }
 
-  /** MinHash signature: n minima of affine-rehashed shingle polyhashes. */
-  def minhashSignature(text: Column, k: Int, n: Int): Column = {
-    val hashes = transform(shingles(text, k), s => polyHash(s))
+  /** MinHash signature from a PRE-MATERIALIZED shingle-hash array column.
+    * Callers must bind `hashes` via withColumn (see [[shingleHashes]]) —
+    * referencing the hash expression inline would make Catalyst re-evaluate
+    * the whole shingle+hash pipeline once per signature component.
+    */
+  def minhashFromHashes(hashes: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => array_min(transform(hashes, h => affine(i, h))))
-  }
+
+  /** Shingle polyhash array (bind once per row with withColumn). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => polyHash(s))
+
+  /** MinHash signature: n minima of affine-rehashed shingle polyhashes.
+    * Convenience form; prefer binding [[shingleHashes]] to a column first
+    * when the signature participates in further array ops.
+    */
+  def minhashSignature(text: Column, k: Int, n: Int): Column =
+    minhashFromHashes(shingleHashes(text, k), n)
 
   /** Estimated Jaccard: fraction of equal signature components. */
   def estJaccard(sigA: Column, sigB: Column): Column =
@@ -101,23 +117,23 @@ object Dedup {
     (h1 % lit(1L << 24)) + (h2 % lit(1L << 24)) * lit(1L << 24)
   }
 
-  private val Pow2: Column = array((0 until 48).map(j => lit(1L << j)): _*)
+  /** Token hash48 array (bind once per row with withColumn before calling
+    * [[simhashFromHashes]] — inline reuse re-evaluates per bit).
+    */
+  def tokenHashes48(text: Column): Column = transform(tokens(text), t => hash48(t))
 
   /** SimHash-48: each of 48 bits of each token hash votes ±1; result bit j
-    * is set iff the vote sum is positive. Dynamic bit tests use bitwiseAND
-    * against a powers-of-two literal array (no variable shifts needed).
+    * is set iff the vote sum is positive. Backed by the codegen'd
+    * [[graft.functions.SimHash48]] expression (one Java loop per row; the
+    * combinator form would run 48 interpreted lambda passes).
     */
-  def simhash48(text: Column): Column = {
-    val hs = transform(tokens(text), t => hash48(t))
-    aggregate(
-      transform(sequence(lit(0), lit(47)), j => {
-        val p = element_at(Pow2, (j + 1).cast("int"))
-        val votes = aggregate(hs, lit(0L),
-          (acc, h) => acc + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L))
-        when(votes > 0, p).otherwise(lit(0L))
-      }),
-      lit(0L), _ + _)
-  }
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.SimHash48.simhash48(hs)
+
+  /** Convenience: simhash48 straight from text (binds nothing — only use
+    * when the result is consumed once).
+    */
+  def simhash48(text: Column): Column = simhashFromHashes(tokenHashes48(text))
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

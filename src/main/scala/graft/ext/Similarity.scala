@@ -34,12 +34,17 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       isProbe: Column, k: Int): DataFrame = {
+    // Norms are precomputed per ROW before the pair join — O(n) folds
+    // instead of O(n·probes); at scale this is the difference between one
+    // pass over the corpus and |probes| passes.
     val base = emb.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
+      .withColumn("pnorm", norm(col("pvec")))
     val scored = probes.join(base, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosine(col("pvec"), col("cvec")).as("cos"))
+        (dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
@@ -76,12 +81,15 @@ object Similarity {
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
       .withColumn("bucket", lshBucket(col("pvec"), nBits))
+      .withColumn("pnorm", norm(col("pvec")))
     val cands = emb
       .select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
       .withColumn("bucket", lshBucket(col("cvec"), nBits))
+      .withColumn("cnorm", norm(col("cvec")))
     val scored = probes.join(cands, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), cosine(col("pvec"), col("cvec")).as("cos"))
+      .select(col("probe_id"), col("cand_id"),
+        (dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)

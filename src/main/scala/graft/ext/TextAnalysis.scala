@@ -78,15 +78,15 @@ object TextAnalysis {
       "uniq_ratio" -> uniqRatio, "quality" -> quality)
   }
 
-  /** Polynomial rolling hash over characters, mod 1e9+7 — exact integer
-    * fold, mirrorable in any engine with list folds:
+  /** Polynomial rolling hash over bytes, mod 1e9+7 — exact integer fold,
+    * mirrorable in any engine with list folds:
     * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) % M).
+    * Backed by a custom codegen'd Catalyst expression
+    * ([[graft.functions.PolyHash]]); the equivalent combinator form
+    * (transform+aggregate) interprets one lambda per character and is ~100×
+    * slower on the hash-heavy dedup queries.
     */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % HashMod)
+  def polyHash(s: Column): Column = graft.functions.PolyHash.polyHash(s)
 
   /** Content fingerprint: polyhash of the full text (exact-dup detection
     * with 8-byte keys instead of 16-byte md5 — cheaper shuffle at scale).

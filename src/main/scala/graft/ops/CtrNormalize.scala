@@ -28,14 +28,27 @@ object CtrNormalize {
     trim(regexp_replace(regexp_replace(c, "%", ""), ",", "")).try_cast("double")
 
   /** Normalize column `src` of `df` into `dst` (double). */
-  def apply(df: DataFrame, src: String, dst: String): DataFrame = {
-    val parsed = cleaned(col(src))
-    val decision = df.agg(
-      max(coalesce(col(src).contains("%"), lit(false))).as("saw_pct"),
-      avg(when(parsed > 1.0 && parsed <= 100.0, 1.0).otherwise(0.0)).as("frac_mid"))
-    df.crossJoin(broadcast(decision))
-      .withColumn(dst,
-        when(col("saw_pct") || col("frac_mid") > 0.5, parsed / 100.0).otherwise(parsed))
-      .drop("saw_pct", "frac_mid")
+  def apply(df: DataFrame, src: String, dst: String): DataFrame =
+    applyMany(df, Seq(src -> dst))
+
+  /** Normalize several columns with ONE decision aggregate (one extra scan
+    * total instead of one per column).
+    */
+  def applyMany(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val flags = cols.zipWithIndex.flatMap { case ((src, _), i) =>
+      val parsed = cleaned(col(src))
+      Seq(
+        max(coalesce(col(src).contains("%"), lit(false))).as(s"saw_pct_$i"),
+        avg(when(parsed > 1.0 && parsed <= 100.0, 1.0).otherwise(0.0)).as(s"frac_mid_$i"))
+    }
+    val decision = df.agg(flags.head, flags.tail: _*)
+    val out = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(decision))) {
+      case (acc, ((src, dst), i)) =>
+        val parsed = cleaned(col(src))
+        acc.withColumn(dst,
+          when(col(s"saw_pct_$i") || col(s"frac_mid_$i") > 0.5, parsed / 100.0)
+            .otherwise(parsed))
+    }
+    out.drop(cols.indices.flatMap(i => Seq(s"saw_pct_$i", s"frac_mid_$i")): _*)
   }
 }

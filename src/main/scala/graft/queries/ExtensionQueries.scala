@@ -166,11 +166,13 @@ object ExtensionQueries {
   def q27_minhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    val sig = Dedup.minhashSignature(col("text"), 3, 4)
-    d.select(col("doc_id"), sig.as("sig"))
+    // bind the shingle-hash array ONCE per row, then derive each signature
+    // component straight off the bound column — one array scan per component
+    // (an intermediate sig array gets re-derived per element_at)
+    def sigI(i: Int) = array_min(transform(col("hashes"), h => Dedup.affine(lit(i), h)))
+    d.withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
       .select(col("doc_id"),
-        element_at(col("sig"), 1).as("sig0"), element_at(col("sig"), 2).as("sig1"),
-        element_at(col("sig"), 3).as("sig2"), element_at(col("sig"), 4).as("sig3"))
+        sigI(0).as("sig0"), sigI(1).as("sig1"), sigI(2).as("sig2"), sigI(3).as("sig3"))
       .orderBy(col("doc_id"))
   }
 
@@ -196,7 +198,8 @@ object ExtensionQueries {
     */
   def q28_simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val withSh = d.select(col("doc_id"), Dedup.simhash48(col("text")).as("simhash"))
+    val withSh = d.withColumn("hs", Dedup.tokenHashes48(col("text")))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("simhash"))
     val ref = withSh.filter(col("doc_id") === 0).select(col("simhash").as("ref_hash"))
     withSh.crossJoin(broadcast(ref))
       .select(col("doc_id"), col("simhash"), Dedup.hamming(col("simhash"), col("ref_hash")).as("dist0"))
@@ -231,8 +234,11 @@ object ExtensionQueries {
     val doctored = d.select((col("doc_id") + 100000).as("doc_id"),
       concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 5, lit(3)))).as("text"))
     val all = d.union(doctored)
-    val sig = Dedup.minhashSignature(col("text"), 3, 64)
-    val withSig = all.select(col("doc_id"), col("text"), sig.as("sig"))
+    // bind shingle hashes once per row, then the 64-component signature;
+    // persist because the frame is consumed 3× (banding + both est sides)
+    val withSig = all.withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+      .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
+      .persist()
     val cands = Dedup.lshCandidates(withSig, "doc_id", col("sig"), 16)
     val sa = withSig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = withSig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))

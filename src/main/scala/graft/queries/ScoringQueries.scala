@@ -66,7 +66,10 @@ object ScoringQueries {
     * clicks, underperformance filter, opportunity rank.
     */
   def q11_anomaly_triage(s: SparkSession, dir: String): DataFrame =
-    Scoring.anomalyTriage(gscShaped(s, dir), triageCfg)
+    // the rollup (one row per part) is scanned twice by the triage (median
+    // pass + candidate pass) — persist the small aggregated frame, not the
+    // fact table
+    Scoring.anomalyTriage(gscShaped(s, dir).persist(), triageCfg)
       .select(col("url"), col("position"), col("ctr"), col("impressions"), col("clicks"),
         col("schema_types"), col("expected_ctr"), col("expected_ctr_bucket"),
         col("ctr_deficit"), col("intent_multiplier"), col("missed_clicks"),
@@ -217,8 +220,7 @@ object ScoringQueries {
         .when(col("l_linenumber") % 3 === 1, mid2).otherwise(frac)).as("ctr_a"),
       (when(col("l_linenumber") % 3 === 0, frac)
         .when(col("l_linenumber") % 3 === 1, frac).otherwise(mid1)).as("ctr_b"))
-    val n1 = CtrNormalize(df, "ctr_a", "ctr_a_norm")
-    CtrNormalize(n1, "ctr_b", "ctr_b_norm")
+    CtrNormalize.applyMany(df, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("ctr_a_norm"), col("ctr_b_norm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
