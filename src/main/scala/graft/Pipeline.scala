@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{NumOps, PandasCompat, UrlOps}
+import graft.ingest.{SchemaResolve, Sources}
+import graft.ops.{CtrNormalize, Scoring}
+import graft.ops.Scoring.ScoringConfig
+
+/** The reference's end-to-end visibility merge (`etl_merge.py:733-1012`,
+  * SURVEY §3) as one lazy Spark pipeline: three dirty CSV sources → schema
+  * resolution → normalization → per-source aggregation → 3-way left join on
+  * the deduplicated crawl spine → derived metrics → config-driven scoring →
+  * run metadata → pandas-faithful rounding → merged frame + triage slices.
+  *
+  * Differences from the reference, by design (SURVEY §4.3):
+  *  - keep-first dedup and rank ties pinned with explicit orderings;
+  *  - SQL null instead of NaN/inf (x/0 → null);
+  *  - siteBase/stripAllParams/runId are explicit config, not env reads at
+  *    call time (deterministic plans, testable).
+  */
+object Pipeline {
+
+  final case class PipelineConfig(
+      frogPath: String,
+      gscPath: String,
+      ga4Path: String,
+      siteBase: String = "",
+      stripAllParams: Boolean = false,
+      scoring: ScoringConfig = ScoringConfig(buckets = Nil),
+      runId: String = "test_run",
+      runTimestamp: Long = 0L)
+
+  private def urlNorm(cfg: PipelineConfig)(c: org.apache.spark.sql.Column) =
+    UrlOps.urlNormalize(c, cfg.siteBase, cfg.stripAllParams)
+
+  /** Screaming Frog loader (`etl_merge.py:527-544`): crawl spine columns,
+    * int coercions, normalized urls.
+    */
+  def loadFrog(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+    val wanted = Seq("url", "status_code", "title", "meta_description",
+      "click_depth", "inlinks", "word_count", "schema_types")
+    val raw = Sources.loadTable(spark, cfg.frogPath)
+    val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
+    val out = SchemaResolve.coalesceToCanonical(raw, mapping, wanted)
+      .withColumn("url", urlNorm(cfg)(col("url")))
+    Seq("status_code", "click_depth", "inlinks", "word_count")
+      .foldLeft(out)((df, c) => df.withColumn(c, NumOps.toLong(col(c))))
+  }
+
+  /** GSC loader (`etl_merge.py:547-574`): url-likeness filter, no-comma
+    * numeric parses, data-dependent CTR normalization.
+    */
+  def loadGsc(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+    val wanted = Seq("url", "clicks", "impressions", "ctr", "position")
+    val raw0 = Sources.loadTable(spark, cfg.gscPath)
+    val raw = raw0.toDF(raw0.columns.map(_.trim): _*)
+    val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
+    val out = SchemaResolve.coalesceToCanonical(raw, mapping, wanted)
+      .filter(SchemaResolve.looksUrlLike(col("url")))
+      .withColumn("url", urlNorm(cfg)(col("url")))
+      .withColumn("clicks", NumOps.toDoubleNoComma(col("clicks")))
+      .withColumn("impressions", NumOps.toDoubleNoComma(col("impressions")))
+      .withColumn("position", NumOps.toDoubleNoComma(col("position")))
+    CtrNormalize(out, "ctr", "ctr_norm").drop("ctr").withColumnRenamed("ctr_norm", "ctr")
+  }
+
+  /** GA4 loader (`etl_merge.py:603-653`): robust re-parse, URL header
+    * renames, junk-marker anti-filter, numeric coercion.
+    */
+  def loadGa4(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+    val wanted = Seq("url", "users", "sessions", "engaged_sessions", "avg_engagement_time")
+    val raw0 = Sources.loadTable(spark, cfg.ga4Path)
+    val trimmed = raw0.toDF(raw0.columns.map(_.trim): _*)
+    // GA4 hard-coded URL header renames (first hit, only if url absent)
+    val renamed =
+      if (trimmed.columns.contains("url")) trimmed
+      else SchemaResolve.Ga4UrlRenames.find(trimmed.columns.contains) match {
+        case Some(k) => trimmed.withColumnRenamed(k, "url")
+        case None => trimmed
+      }
+    val mapping = withAutodetect(renamed, SchemaResolve.resolveColumns(renamed.columns, wanted))
+    val junk = Seq("(not set)", "(other)", "other", "not set")
+    val out = SchemaResolve.coalesceToCanonical(renamed, mapping, wanted)
+      .withColumn("url", trim(col("url")))
+      .filter(SchemaResolve.looksUrlLike(col("url")) && !lower(col("url")).isin(junk: _*))
+      .withColumn("url", urlNorm(cfg)(col("url")))
+    Seq("users", "sessions", "engaged_sessions", "avg_engagement_time")
+      .foldLeft(out)((df, c) => df.withColumn(c, NumOps.toDouble(col(c))))
+  }
+
+  private def withAutodetect(raw: DataFrame,
+      mapping: Map[String, Option[String]]): Map[String, Option[String]] =
+    if (mapping.get("url").flatten.isDefined) mapping
+    else mapping + ("url" -> SchemaResolve.autodetectUrlColumn(raw))
+
+  /** GSC per-URL aggregation (`_agg_gsc`, SURVEY §2 E1-E3): sums,
+    * impressions-weighted mean position with neutral weight 1.0, ctr
+    * recompute — one pass, no self-join.
+    */
+  def aggGsc(gsc: DataFrame): DataFrame = {
+    val w = when(coalesce(col("impressions"), lit(0.0)) > 0, col("impressions")).otherwise(1.0)
+    gsc.select(col("url"), col("clicks"), col("impressions"), col("position"), w.as("w"),
+      (col("position") * w).as("pxw"))
+      .groupBy("url")
+      .agg(
+        PandasCompat.sumZero(col("clicks")).as("clicks"),
+        PandasCompat.sumZero(col("impressions")).as("impressions"),
+        sum(col("pxw")).as("pxw"), sum(col("w")).as("wsum"))
+      .withColumn("position", when(col("wsum") > 0, col("pxw") / col("wsum")))
+      .withColumn("ctr", PandasCompat.divNull(col("clicks"), col("impressions")))
+      .drop("pxw", "wsum")
+  }
+
+  /** GA4 per-URL aggregation (`_agg_ga4`, E4): sum all numeric metrics. */
+  def aggGa4(ga4: DataFrame): DataFrame = {
+    val metrics = ga4.columns.filterNot(_ == "url")
+    ga4.groupBy("url").agg(
+      PandasCompat.sumZero(col(metrics.head)).as(metrics.head),
+      metrics.tail.map(c => PandasCompat.sumZero(col(c)).as(c)): _*)
+  }
+
+  /** Keep-first spine dedup: first file-order row per url via the read-order
+    * surrogate (monotonically_increasing_id captured at load — partition-
+    * ordered, hence file-ordered for a single CSV read; SURVEY §4.3 D1).
+    */
+  def dedupSpine(frog: DataFrame): DataFrame = {
+    val byOrder = Window.partitionBy(col("url")).orderBy(col("__file_order"))
+    frog.withColumn("__file_order", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(byOrder))
+      .filter(col("__rn") === 1)
+      .drop("__file_order", "__rn")
+  }
+
+  /** Full merged frame (stages 5-11 of SURVEY §3.1). */
+  def merged(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+    val frog = dedupSpine(
+      loadFrog(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+    val gsc = aggGsc(loadGsc(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+    val ga4 = aggGa4(loadGa4(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+
+    val joined = frog.join(gsc, Seq("url"), "left").join(ga4, Seq("url"), "left")
+
+    // derived metrics (F6/F7/E5): null-guarded division; global total via
+    // 1-row aggregate broadcast (never a partition-less window)
+    val totals = joined.agg(sum(col("clicks")).as("__total_clicks"))
+    val derived = joined.crossJoin(broadcast(totals))
+      .withColumn("ctr_pct", col("ctr") * 100)
+      .withColumn("engagement_rate",
+        PandasCompat.divNull(col("engaged_sessions"), col("sessions")))
+      .withColumn("engagement_rate_pct", col("engagement_rate") * 100)
+      .withColumn("click_share",
+        when(coalesce(col("__total_clicks"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(col("clicks") / col("__total_clicks")))
+      .drop("__total_clicks")
+
+    // scoring on ALL rows (stage 9): expected ctr with dataset-median
+    // fallback, deficit, intent, missed clicks
+    val medianDf = derived.agg(percentile(col("ctr"), lit(0.5)).as("__ctr_median"))
+    val scored = derived.crossJoin(broadcast(medianDf))
+      .withColumn("expected_ctr",
+        Scoring.expectedCtr(cfg.scoring, col("position"), col("__ctr_median")))
+      .withColumn("expected_ctr_bucket",
+        Scoring.expectedCtrBucket(cfg.scoring, col("position")))
+      .withColumn("expected_ctr_units", lit(cfg.scoring.units))
+      .withColumn("expected_ctr_uplift", lit(cfg.scoring.uplift))
+      .withColumn("ctr_deficit",
+        Scoring.ctrDeficit(cfg.scoring, col("expected_ctr"), col("ctr")))
+      .withColumn("intent_multiplier",
+        Scoring.intentMultiplier(cfg.scoring, col("url"), col("schema_types")))
+      .withColumn("missed_clicks",
+        Scoring.missedClicks(col("ctr_deficit"), col("impressions"), col("intent_multiplier")))
+      .withColumn("missed_clicks_eff", col("missed_clicks"))
+      .drop("__ctr_median")
+
+    // run metadata (F13) + rounding suite (F12, banker's per pandas)
+    val withMeta = scored
+      .withColumn("run_id", lit(cfg.runId))
+      .withColumn("run_timestamp", lit(cfg.runTimestamp))
+      .withColumn("run_timestamp_iso",
+        date_format(timestamp_seconds(lit(cfg.runTimestamp)), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("source_frog", lit(basename(cfg.frogPath)))
+      .withColumn("source_gsc", lit(basename(cfg.gscPath)))
+      .withColumn("source_ga4", lit(basename(cfg.ga4Path)))
+    val rounding = Seq("ctr" -> 4, "ctr_pct" -> 2, "position" -> 1,
+      "engagement_rate" -> 4, "engagement_rate_pct" -> 1, "click_share" -> 6,
+      "expected_ctr" -> 4, "ctr_deficit" -> 4, "intent_multiplier" -> 2,
+      "missed_clicks" -> 3, "missed_clicks_eff" -> 3)
+    val rounded = rounding.foldLeft(withMeta) { case (df, (c, n)) =>
+      df.withColumn(c, PandasCompat.broundN(col(c), n))
+    }.withColumn("avg_engagement_time", bround(col("avg_engagement_time"), 0).cast("long"))
+
+    rounded.select(ColumnOrder.map(col): _*)
+  }
+
+  /** Preferred output column order (`etl_merge.py:888-894`). */
+  val ColumnOrder: Seq[String] = Seq(
+    "url", "status_code", "title", "meta_description", "word_count", "click_depth",
+    "inlinks", "schema_types", "clicks", "impressions", "ctr", "ctr_pct", "position",
+    "expected_ctr", "expected_ctr_bucket", "expected_ctr_units", "expected_ctr_uplift",
+    "ctr_deficit", "intent_multiplier", "missed_clicks", "missed_clicks_eff",
+    "users", "sessions", "engaged_sessions", "engagement_rate", "engagement_rate_pct",
+    "avg_engagement_time", "click_share",
+    "run_id", "run_timestamp", "run_timestamp_iso", "source_frog", "source_gsc", "source_ga4")
+
+  /** Anomaly/triage slice over the merged frame (stage 13, SURVEY §3.3):
+    * same parameterized transform as the q11 oracle query.
+    */
+  def anomalySlice(mergedDf: DataFrame, cfg: PipelineConfig): DataFrame =
+    Scoring.anomalyTriage(
+      mergedDf.select(col("url"), col("position"), col("ctr"), col("impressions"),
+        col("clicks"), col("schema_types")),
+      cfg.scoring)
+
+  /** Schema-gap slice (C6): rows whose schema_types is null/blank. */
+  def schemaGaps(mergedDf: DataFrame): DataFrame =
+    mergedDf.filter(col("schema_types").isNull || trim(col("schema_types")) === "")
+
+  /** Run the full pipeline and write outputs (parquet canonical; stage 12/
+    * 13/15 sinks). Returns the merged frame for further composition.
+    */
+  def run(spark: SparkSession, cfg: PipelineConfig, outDir: String): DataFrame = {
+    val m = merged(spark, cfg).persist()
+    m.write.mode("overwrite").parquet(s"$outDir/merged_visibility")
+    anomalySlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
+    schemaGaps(m).write.mode("overwrite").parquet(s"$outDir/schema_gaps")
+    m
+  }
+
+  private def basename(p: String): String = new java.io.File(p).getName
+}

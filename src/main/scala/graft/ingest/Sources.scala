@@ -1,0 +1,56 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Robust tabular sources (SURVEY §2 A1/A3/A4/A9): all-string CSV reads with
+  * the reference's fallback ladder — plain parse first; if the result is a
+  * single (mangled) column, re-read with comment filtering and a sniffed
+  * delimiter. Excel keeps the dispatch-by-extension shape but is out of
+  * engine scope (no connector in the container).
+  */
+object Sources {
+
+  /** Driver-side delimiter sniff over the first non-comment KB. */
+  def sniffDelimiter(path: String): String = {
+    val head = new String(
+      Files.readAllBytes(Paths.get(path)).take(2048), java.nio.charset.StandardCharsets.UTF_8)
+    val line = head.linesIterator.filterNot(_.startsWith("#")).take(1).toList.headOption.getOrElse("")
+    Seq(",", ";", "\t", "|").maxBy(d => line.count(_.toString == d))
+  }
+
+  /** All-string CSV read (no schema inference — progressive coercion is the
+    * engine's type discipline, SURVEY §1.2).
+    */
+  private def readCsv(spark: SparkSession, path: String, sep: String,
+      comment: Option[String]): DataFrame = {
+    val base = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("sep", sep)
+    comment.fold(base)(c => base.option("comment", c)).csv(path)
+  }
+
+  /** Robust loader: plain parse; a 1-column result (e.g. '# ----' header
+    * junk) triggers re-read with comment='#' + sniffed delimiter
+    * (`etl_merge.py:88-108`, `:579-601`).
+    */
+  def loadTable(spark: SparkSession, path: String): DataFrame = {
+    require(Files.exists(Paths.get(path)), s"input not found: $path") // A9
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    require(ext != "xlsx" && ext != "xls",
+      s"Excel input requires a spark-excel connector (not in this container): $path")
+    val first = readCsv(spark, path, ",", None)
+    if (first.columns.length > 1) first
+    else readCsv(spark, path, sniffDelimiter(path), Some("#"))
+  }
+
+  /** Input path resolution: ENV override → explicit config path → default
+    * (`resolve_input_path`, `etl_merge.py:717-731`); existence is validated
+    * at load (A9).
+    */
+  def resolveInputPath(envName: String, configured: Option[String], default: String): String =
+    sys.env.get(envName).map(_.trim).filter(_.nonEmpty)
+      .orElse(configured.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(default)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.StreamOps
+
+/** Streaming correctness = batch equivalence (the standard Structured
+  * Streaming testing idiom): the same transform over the same events must
+  * produce identical results through the micro-batch engine.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private lazy val srcDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+  private lazy val batchEvents = spark.read.parquet(srcDir)
+
+  test("tumbling window agg: streaming == batch") {
+    val batch = StreamOps.tumblingAgg(batchEvents, "1 hour")
+      .collect().map(_.toString).sorted
+    val stream = StreamOps.runToMemory(spark, srcDir, "tumbling_out",
+      df => StreamOps.tumblingAgg(df, "1 hour"), "complete")
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream))
+  }
+
+  test("streaming dedup == batch keep-earliest dedup") {
+    val stream = StreamOps.runToMemory(spark, srcDir, "dedup_out",
+      df => StreamOps.dedupStream(df, "1 hour"), "append")
+    // same cardinality and same key set as batch distinct keys
+    val batchKeys = batchEvents.select("user_id", "event_type").distinct().count()
+    assert(stream.count() == batchKeys)
+  }
+
+  test("session_window == gaps-and-islands sessionization") {
+    val gapped = StreamOps.sessionAgg(batchEvents, "30 minutes")
+    // gaps-and-islands reference (the q21 formulation, µs-exact)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gi = batchEvents
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), (sum(col("vc")) / 100.0).as("sum_value"),
+        min(col("us")).as("start_us"))
+    // compare as (user, n_events, sum_value, start_us) multisets
+    val a = gapped.select(col("user_id"), col("n_events"), col("sum_value"),
+      unix_micros(col("session_start")).as("start_us"))
+      .collect().map(_.toString).sorted
+    val b = gi.select(col("user_id"), col("n_events"), col("sum_value"), col("start_us"))
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("sliding windows produce width/slide copies per event") {
+    val slid = StreamOps.slidingAgg(batchEvents, "1 hour", "30 minutes")
+    val total = slid.agg(sum("n")).collect().head.getLong(0)
+    assert(total == batchEvents.count() * 2) // each event in exactly 2 windows
+  }
+}
