@@ -1,0 +1,44 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Governance sinks (SURVEY §2 A6/A7): append-only run and schema-audit
+  * logs. These are metadata-plane, one line per pipeline run — driver-side
+  * appends, not data-plane jobs (the reference writes them the same way).
+  */
+object Outputs {
+
+  private def appendCsv(path: String, header: Seq[String], row: Seq[String]): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val needHeader = !Files.exists(p) || Files.size(p) == 0
+    val sb = new StringBuilder
+    if (needHeader) sb.append(header.mkString(",")).append('\n')
+    sb.append(row.map(quote).mkString(",")).append('\n')
+    Files.write(p, sb.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private def quote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\"" else s
+
+  /** Run-log append (`etl_merge.py:986-1004`): one lineage line per run. */
+  def appendRunLog(path: String, runId: String, runTimestamp: Long, rowsMerged: Long,
+      frog: String, gsc: String, ga4: String, mergedOut: String): Unit =
+    appendCsv(path,
+      Seq("run_id", "run_timestamp", "rows_merged", "frog_csv", "gsc_csv", "ga4_csv", "merged_csv"),
+      Seq(runId, runTimestamp.toString, rowsMerged.toString, frog, gsc, ga4, mergedOut))
+
+  /** Schema-resolution audit append (`etl_merge.py:222-247`). */
+  def appendAutodetectLog(path: String, timestampIso: String, source: String, rows: Long,
+      autodetected: Option[String], mapping: Map[String, Option[String]]): Unit = {
+    val present = mapping.collect { case (k, Some(_)) => k }.toSeq.sorted
+    val missing = mapping.collect { case (k, None) => k }.toSeq.sorted
+    appendCsv(path,
+      Seq("timestamp_utc", "source", "rows", "autodetected_url_col", "mapped_fields", "missing_fields"),
+      Seq(timestampIso, source, rows.toString, autodetected.getOrElse(""),
+        present.mkString(";"), missing.mkString(";")))
+  }
+}

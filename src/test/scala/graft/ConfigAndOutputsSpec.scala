@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import graft.ingest.YamlConfig
+import graft.sinks.Outputs
+
+class ConfigAndOutputsSpec extends SparkSpecBase {
+
+  test("YAML scoring config parses buckets in order, units, uplift, thresholds") {
+    val cfg = YamlConfig.parseScoring(
+      """scoring:
+        |  expected_ctr_units: percent
+        |  expected_ctr_uplift: 0.15
+        |  max_position_for_ctr_eval: 20.0
+        |  expected_ctr_by_position:
+        |    "1": 32.0
+        |    "2-3": 16.0
+        |    "3.1-5": 8.0
+        |    default: 0.6
+        |  intent_multipliers:
+        |    transactional: 1.5
+        |mappings:
+        |  url_intent_hints:
+        |    /shop/: transactional
+        |thresholds:
+        |  ctr_underperf_margin: 0.002
+        |""".stripMargin)
+    assert(cfg.buckets.map(_.key) == Seq("1", "2-3", "3.1-5")) // dead 'default' skipped
+    assert(cfg.units == "percent" && cfg.uplift == 0.15)
+    assert(cfg.margin == 0.002 && cfg.maxPosition == 20.0)
+    assert(cfg.intentMultipliers == Map("transactional" -> 1.5))
+    assert(cfg.urlIntentHints == Seq("/shop/" -> "transactional"))
+  }
+
+  test("empty/missing YAML sections fall back to reference defaults") {
+    val cfg = YamlConfig.parseScoring("site:\n  base_domain: x.com\n")
+    assert(cfg.buckets.isEmpty && cfg.units == "fraction" && cfg.maxPosition == 5.0)
+  }
+
+  test("run log appends with header-once semantics; fields quoted") {
+    val p = Files.createTempDirectory("graft_logs").resolve("runs.csv").toString
+    Outputs.appendRunLog(p, "r1", 100L, 5L, "a.csv", "b.csv", "c, with comma.csv", "out")
+    Outputs.appendRunLog(p, "r2", 200L, 6L, "a.csv", "b.csv", "c.csv", "out")
+    val lines = scala.io.Source.fromFile(p).getLines().toList
+    assert(lines.length == 3)
+    assert(lines.head.startsWith("run_id,run_timestamp"))
+    assert(lines(1).contains("\"c, with comma.csv\""))
+  }
+
+  test("autodetect log records mapping audit") {
+    val p = Files.createTempDirectory("graft_logs").resolve("autodetect.csv").toString
+    Outputs.appendAutodetectLog(p, "2026-01-01T00:00:00Z", "GSC", 20,
+      Some("Top pages"), Map("url" -> Some("Top pages"), "clicks" -> Some("Clicks"),
+        "position" -> None))
+    val lines = scala.io.Source.fromFile(p).getLines().toList
+    assert(lines(1).contains("Top pages") && lines(1).contains("position"))
+  }
+}
