@@ -72,24 +72,43 @@ object Similarity {
       }),
       lit(0L), (acc, bit) => acc * 2 + bit)
 
-  /** LSH-bucketed approximate top-k: candidates share the probe's bucket.
-    * Recall vs. brute force is pinned in SimilaritySpec; raise nBits for
-    * bigger corpora (bucket size ~ n / 2^nBits).
+  /** LSH bucket id with a per-table seed offset (independent hash tables). */
+  def lshBucketT(vec: Column, nBits: Int, table: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), j => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * hyperplaneAt(j + lit(table * 1000), i)),
+          lit(0.0), _ + _)
+        when(proj > 0, lit(1L)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** Multi-table LSH approximate top-k: candidates share the probe's bucket
+    * in ANY of `tables` independent hyperplane tables (the standard
+    * recall-vs-cost lever: recall ≈ 1-(1-p)^L). Bucket rows explode per
+    * table and join on (table, bucket) — the shuffle key stays narrow.
+    * Recall vs. brute force is pinned in SimilaritySpec.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-      isProbe: Column, k: Int, nBits: Int): DataFrame = {
+      isProbe: Column, k: Int, nBits: Int, tables: Int = 1): DataFrame = {
+    def buckets(vec: Column): Column =
+      array((0 until tables).map(t => lshBucketT(vec, nBits, t)): _*)
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
-      .withColumn("bucket", lshBucket(col("pvec"), nBits))
       .withColumn("pnorm", norm(col("pvec")))
+      .select(col("probe_id"), col("pvec"), col("pnorm"),
+        posexplode(buckets(col("pvec"))).as(Seq("table", "bucket")))
     val cands = emb
       .select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
-      .withColumn("bucket", lshBucket(col("cvec"), nBits))
       .withColumn("cnorm", norm(col("cvec")))
-    val scored = probes.join(cands, Seq("bucket"))
+      .select(col("cand_id"), col("cvec"), col("cnorm"),
+        posexplode(buckets(col("cvec"))).as(Seq("table", "bucket")))
+    val scored = probes.join(cands, Seq("table", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         (dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm"))).as("cos"))
+      .distinct() // a pair can collide in several tables
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)

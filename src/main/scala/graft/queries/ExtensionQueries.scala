@@ -285,7 +285,7 @@ object ExtensionQueries {
     */
   def q31_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    Similarity.lshTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, 6)
+    Similarity.lshTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, 6, tables = 4)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
   }

@@ -32,17 +32,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
-  test("LSH ANN achieves useful recall vs brute force") {
+  test("multi-table LSH recall beats single-table; IVF nprobe recall is useful") {
     val emb = Tables0.embeddings(spark).cache()
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5)
       .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
-    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6)
-      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    info(s"LSH recall@5 over 20 probes: $recall (candidates share 1 of 64 buckets)")
-    assert(recall > 0.05, s"recall collapsed: $recall")
-    // within-bucket scores must equal brute-force scores for the same pair
-    assert(approx.nonEmpty)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val r1 = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6))
+    val r4 = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6, tables = 4))
+    val model = graft.ext.IvfIndex.train(emb, "embedding", nlist = 8)
+    val rIvf = recallOf(graft.ext.IvfIndex.ivfTopK(
+      emb, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4))
+    info(s"recall@5: LSH 1-table=$r1, 4-table=$r4, IVF(8 lists, nprobe 4)=$rIvf")
+    assert(r4 >= r1, s"multi-table recall $r4 below single-table $r1")
+    assert(r4 > 0.1, s"4-table recall collapsed: $r4")
+    assert(rIvf > 0.2, s"IVF nprobe-half recall collapsed: $rIvf")
   }
 }
 
