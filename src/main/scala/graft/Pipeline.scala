@@ -133,14 +133,22 @@ object Pipeline {
       .drop("__file_order", "__rn")
   }
 
-  /** Full merged frame (stages 5-11 of SURVEY §3.1). */
+  /** Full merged frame (stages 5-11 of SURVEY §3.1). Stage row counts
+    * (SURVEY §2 E8 — the reference logs len(df) per stage) ride along as
+    * `observe` metrics: zero extra jobs, readable from the returned frame's
+    * listener/observation API after any action.
+    */
   def merged(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
     val frog = dedupSpine(
       loadFrog(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+      .observe("frog_spine", count(lit(1)).as("rows"))
     val gsc = aggGsc(loadGsc(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+      .observe("gsc_agg", count(lit(1)).as("rows"))
     val ga4 = aggGa4(loadGa4(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+      .observe("ga4_agg", count(lit(1)).as("rows"))
 
     val joined = frog.join(gsc, Seq("url"), "left").join(ga4, Seq("url"), "left")
+      .observe("merged", count(lit(1)).as("rows"))
 
     // derived metrics (F6/F7/E5): null-guarded division; global total via
     // 1-row aggregate broadcast (never a partition-less window)
@@ -222,7 +230,9 @@ object Pipeline {
     */
   def run(spark: SparkSession, cfg: PipelineConfig, outDir: String): DataFrame = {
     val m = merged(spark, cfg).persist()
-    m.write.mode("overwrite").parquet(s"$outDir/merged_visibility")
+    // partitioned by run_id (SURVEY §4.4): re-runs append new partitions and
+    // prune old ones at read time
+    m.write.mode("overwrite").partitionBy("run_id").parquet(s"$outDir/merged_visibility")
     anomalySlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
     schemaGaps(m).write.mode("overwrite").parquet(s"$outDir/schema_gaps")
     m

@@ -143,11 +143,12 @@ object UrlOps {
     }
   }
 
-  /** Column form: a deterministic, null-tolerant Scala UDF with the config
-    * baked in as plan-time constants.
+  /** Column form: the native expression tier (graft.functions.UrlNormalize)
+    * with the config baked in as plan-time constants. Deterministic and
+    * null-tolerant; semantics pinned branch-by-branch in UrlOpsSpec.
     */
   def urlNormalize(c: Column, siteBase: String = "", stripAllParams: Boolean = false): Column =
-    udf((u: String) => normalize(u, siteBase, stripAllParams)).apply(c)
+    graft.functions.UrlNormalize.urlNormalize(c, siteBase, stripAllParams)
 
   /** `looks_url_like` predicate (`etl_merge.py:165-172`, SURVEY §2 C1):
     * trimmed+lowercased value starts with http://, https:// or '/'.

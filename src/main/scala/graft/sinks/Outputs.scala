@@ -2,6 +2,9 @@ package graft.sinks
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Governance sinks (SURVEY §2 A6/A7): append-only run and schema-audit
   * logs. These are metadata-plane, one line per pipeline run — driver-side
@@ -23,6 +26,21 @@ object Outputs {
   private def quote(s: String): String =
     if (s.exists(c => c == ',' || c == '"' || c == '\n'))
       "\"" + s.replace("\"", "\"\"") + "\"" else s
+
+  /** CSV sink with the reference's fixed float format (SURVEY §2 A5,
+    * `float_format="%.6f"` — no scientific notation): doubles render as
+    * 6-decimal strings, nulls stay empty cells.
+    */
+  def writeCsvFormatted(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == DoubleType)
+        when(col(f.name).isNotNull, format_string("%.6f", col(f.name)))
+          .as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
 
   /** Run-log append (`etl_merge.py:986-1004`): one lineage line per run. */
   def appendRunLog(path: String, runId: String, runTimestamp: Long, rowsMerged: Long,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import graft.sinks.Outputs
+
+/** Scale-posture checks: observe metrics, formatted CSV sink, and the
+  * bucketed co-located join (no exchange on either side — the 100 TB
+  * repeated-join pattern, SURVEY §4.4).
+  */
+class ScaleSpec extends SparkSpecBase {
+
+  test("observe metrics surface per-stage row counts without extra jobs") {
+    val cfg = Pipeline.PipelineConfig(
+      frogPath = getClass.getResource("/fixtures/frog.csv").getPath,
+      gscPath = getClass.getResource("/fixtures/gsc.csv").getPath,
+      ga4Path = getClass.getResource("/fixtures/ga4.csv").getPath,
+      siteBase = "https://www.acme-store.com")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      val metrics = scala.collection.concurrent.TrieMap.empty[String, Long]
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          metrics.put(name, row.getAs[Long]("rows"))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Pipeline.merged(spark, cfg).count()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (!listener.metrics.contains("merged") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.metrics.get("frog_spine").contains(5L))
+      assert(listener.metrics.get("merged").contains(5L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("formatted CSV sink: %.6f doubles, no scientific notation, null = blank") {
+    import spark.implicits._
+    val df = Seq((1L, Some(0.0000015), Some(12345678.5)), (2L, None, Some(1.0)))
+      .toDF("id", "tiny", "big")
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/x"
+    Outputs.writeCsvFormatted(df, out)
+    val lines = spark.read.textFile(out).collect().toList
+    assert(lines.exists(_.contains("0.000002"))) // %.6f, not 1.5E-6
+    assert(lines.exists(_.contains("12345678.500000")))
+    assert(lines.exists(_.startsWith("2,,"))) // null renders blank
+    assert(!lines.exists(l => l.contains("E-") || l.contains("E+")))
+  }
+
+  test("bucketed tables join without exchanges (co-located join)") {
+    val s2 = spark.newSession() // warehouse dir is set (static) on the base session
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val o = graft.core.Tables.orders(s2, "/root/testdata/sf0.001")
+    val li = graft.core.Tables.lineitem(s2, "/root/testdata/sf0.001")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan
+    def exchanges(p: SparkPlan): Int =
+      (if (p.getClass.getSimpleName.contains("Exchange")) 1 else 0) +
+        p.children.map(exchanges).sum
+    assert(exchanges(plan) == 0,
+      s"bucketed join should be exchange-free:\n${plan.treeString.take(2000)}")
+    assert(joined.count() > 0)
+  }
+
+  test("graft_url_normalize is SQL-callable and matches the Column API") {
+    graft.functions.UrlNormalize.register(spark)
+    import spark.implicits._
+    Seq("HTTPS://A.Com/x/?utm_a=1&k=2#f").toDF("u").createOrReplaceTempView("urls")
+    val viaSql = spark.sql(
+      "SELECT graft_url_normalize(u) AS n1, graft_url_normalize(u, 'https://B.org') AS n2, " +
+      "graft_url_normalize(u, '', true) AS n3 FROM urls").collect().head
+    assert(viaSql.getString(0) == "https://a.com/x?k=2")
+    assert(viaSql.getString(2) == "https://a.com/x")
+  }
+}
