@@ -38,14 +38,26 @@ object Dedup {
   /** Distinct-shingle inverted-index self-join → pairwise exact Jaccard.
     * Output: (id_a, id_b, inter, na, nb, jaccard) for id_a < id_b pairs
     * sharing ≥ 1 shingle.
+    *
+    * `maxShingleFreq` drops shingles shared by more than that many docs
+    * before the self-join — the standard stop-shingle bound: a shingle in f
+    * docs contributes f² pair rows, so one degenerate common shingle can
+    * dominate the whole job at corpus scale. (Intersection counts lose those
+    * shingles on BOTH sides consistently; at the harness scales the cap
+    * never triggers — max observed freq is 25 at sf0.1.)
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, idCol: String, text: Column, k: Int,
+      maxShingleFreq: Long = 1000L): DataFrame = {
     // Shingle arrays are materialized once; set sizes come from the array
     // length (no extra aggregation over the exploded index).
     val withShs = docs.filter(size(tokens(text)) >= k)
       .select(col(idCol).as("id"), shingles(text, k).as("shs"))
     val sizes = withShs.select(col("id"), size(col("shs")).cast("long").as("nsh"))
-    val sh = withShs.select(col("id"), explode(col("shs")).as("sh"))
+    val shAll = withShs.select(col("id"), explode(col("shs")).as("sh"))
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxShingleFreq)
+      .select(col("sh"))
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
     val a = sh.select(col("id").as("id_a"), col("sh"))
     val b = sh.select(col("id").as("id_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))

@@ -144,9 +144,13 @@ object ExtensionQueries {
       |  FROM documents WHERE len(string_split(text,' ')) >= 3
       |), sizes AS (
       |  SELECT id, count(*) AS nsh FROM sh GROUP BY id
+      |), hot AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000
+      |), shc AS (
+      |  SELECT id, sh.sh FROM sh LEFT JOIN hot ON sh.sh = hot.sh WHERE hot.sh IS NULL
       |), pairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
       |  GROUP BY 1, 2
       |)
       |SELECT CAST(row_number() OVER (ORDER BY CAST(inter AS DOUBLE)/(na.nsh + nb.nsh - inter) DESC,
