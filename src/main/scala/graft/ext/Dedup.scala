@@ -48,10 +48,14 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, text: Column, k: Int,
       maxShingleFreq: Long = 1000L): DataFrame = {
-    // Shingle arrays are materialized once; set sizes come from the array
-    // length (no extra aggregation over the exploded index).
+    // Shingles participate as 8-byte poly hashes, not strings: the inverted
+    // index shuffles longs (narrow exchange, cheap compares) and the shingle
+    // construction is one codegen byte-pass. Hash collisions merge shingles
+    // identically on both sides of any comparison (and in the mirrored
+    // oracle), so counts stay consistent — the standard production trade.
     val withShs = docs.filter(size(tokens(text)) >= k)
-      .select(col(idCol).as("id"), shingles(text, k).as("shs"))
+      .select(col(idCol).as("id"),
+        array_distinct(shingleHashes(text, k)).as("shs"))
     val sizes = withShs.select(col("id"), size(col("shs")).cast("long").as("nsh"))
     val shAll = withShs.select(col("id"), explode(col("shs")).as("sh"))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("freq"))
@@ -86,9 +90,14 @@ object Dedup {
     transform(sequence(lit(0), lit(n - 1)),
       i => array_min(transform(hashes, h => affine(i, h))))
 
-  /** Shingle polyhash array (bind once per row with withColumn). */
+  /** Shingle polyhash array (bind once per row with withColumn). Backed by
+    * the single-pass codegen expression [[graft.functions.ShingleHashes]]
+    * (no token/shingle string allocation); duplicates are kept — MinHash
+    * minima and band folds are multiset-insensitive, so results are
+    * identical to hashing the distinct shingle set.
+    */
   def shingleHashes(text: Column, k: Int): Column =
-    transform(shingles(text, k), s => polyHash(s))
+    graft.functions.ShingleHashes.shingleHashes(text, k)
 
   /** MinHash signature: n minima of affine-rehashed shingle polyhashes.
     * Convenience form; prefer binding [[shingleHashes]] to a column first

@@ -25,7 +25,7 @@ object CtrNormalize {
     * doesn't throw on garbage).
     */
   def cleaned(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c, "%", ""), ",", "")).try_cast("double")
+    trim(translate(c, "%,", "")).try_cast("double")
 
   /** Normalize column `src` of `df` into `dst` (double). */
   def apply(df: DataFrame, src: String, dst: String): DataFrame =

@@ -137,10 +137,11 @@ object ExtensionQueries {
   }
 
   val q26Sql: String =
-    """WITH sh AS (
-      |  SELECT doc_id AS id, unnest(list_distinct(
+    s"""WITH sh AS (
+      |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
       |    list_transform(range(1, len(string_split(text,' ')) - 1),
-      |      sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')))) AS sh
+      |      sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')),
+      |    sh_s -> ${phSql("sh_s")}))) AS sh
       |  FROM documents WHERE len(string_split(text,' ')) >= 3
       |), sizes AS (
       |  SELECT id, count(*) AS nsh FROM sh GROUP BY id
