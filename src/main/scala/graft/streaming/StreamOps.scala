@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2 I — absent from the reference,
@@ -61,6 +62,42 @@ object StreamOps {
     events.withColumn("event_ts", tsCol)
       .withWatermark("event_ts", watermark)
       .dropDuplicates("user_id", "event_type")
+
+  final case class UserEvent(user_id: Long, event_id: Long, us: Long, vc: Long)
+  final case class UserMilestone(user_id: Long, event_id: Long, total_cents: Long,
+      milestone: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user cumulative
+    * spend, emitting one row each time the running total crosses another
+    * `stepCents` milestone. State = a single long per user (bounded);
+    * events sort by event time within each micro-batch's group iterator.
+    * Across micro-batches the running total is order-sensitive like any
+    * cumulative sum — production pairs this with a watermark and an
+    * event-time-ordered source (batch equivalence pinned in StreamingSpec).
+    */
+  def spendMilestones(events: DataFrame, stepCents: Long): Dataset[UserMilestone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserMilestone](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+            val before = total / stepCents
+            total += e.vc
+            val after = total / stepCents
+            if (after > before) Some(UserMilestone(user, e.event_id, total, after * stepCents))
+            else None
+          }
+          state.update(total)
+          out.iterator
+      }
+  }
 
   /** Run a streaming transform over a parquet directory to completion via
     * the memory sink; returns the materialized result table.

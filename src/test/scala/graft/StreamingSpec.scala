@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("flatMapGroupsWithState milestones: streaming == batch window formulation") {
+    val step = 50000L // every 500.00 of cumulative user spend
+    val stream = StreamOps.runToMemory(spark, srcDir, "milestones_out",
+      df => StreamOps.spendMilestones(df, step).toDF(), "append")
+      .collect().map(_.toString).sorted
+    // batch reference: running sum per user, milestone rows where the
+    // integer quotient increases
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val batch = batchEvents
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("total_cents",
+        sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_total", coalesce(lag(col("total_cents"), 1).over(w), lit(0L)))
+      .filter((col("total_cents") / step).cast("long") > (col("prev_total") / step).cast("long"))
+      .select(col("user_id"), col("event_id"), col("total_cents"),
+        ((col("total_cents") / step).cast("long") * step).as("milestone"))
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"stream=${stream.length} batch=${batch.length}")
+  }
+
   test("sliding windows produce width/slide copies per event") {
     val slid = StreamOps.slidingAgg(batchEvents, "1 hour", "30 minutes")
     val total = slid.agg(sum("n")).collect().head.getLong(0)
