@@ -9,7 +9,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 /** LLM-training-data pipeline operators (BASELINE.json north star): text
   * analysis, dedup family, similarity search, multimodal plumbing — over
   * the documents/embeddings corpora. Oracles mirror the exact integer/fold
-  * arithmetic in DuckDB (nested list lambdas); the two ops whose oracle SQL
+  * arithmetic in DuckDB (nested list lambdas); ops whose oracle SQL
   * would require mirroring a full 64-hash signature (q29 LSH pairs, q31
   * ANN) are rows-only here and pinned by unit tests instead.
   */

@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries._
+
+/** Driver-contract invariants: the query map must not silently lose
+  * entries (Map ++ overrides on key collision) and every oracle key must
+  * name a real query.
+  */
+class ContractSpec extends SparkSpecBase {
+
+  private val groups = Seq(
+    "relational" -> (RelationalQueries.queries.keySet, RelationalQueries.oracle.keySet),
+    "scoring" -> (ScoringQueries.queries.keySet, ScoringQueries.oracle.keySet),
+    "relational2" -> (RelationalQueries2.queries.keySet, RelationalQueries2.oracle.keySet),
+    "relational3" -> (RelationalQueries3.queries.keySet, RelationalQueries3.oracle.keySet),
+    "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
+    "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet))
+
+  test("no query-name collisions across groups (Map ++ would drop silently)") {
+    val all = groups.flatMap(_._2._1)
+    assert(all.size == all.distinct.size,
+      s"duplicate names: ${all.diff(all.distinct)}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key names a registered query; rows-only set is the known trio") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+    assert(qs.diff(os) == Set("q29_minhash_lsh_pairs", "q31_ann_lsh", "q38_ann_ivf"),
+      s"unexpected rows-only queries: ${qs.diff(os)}")
+  }
+
+  test("entry (driver smoke) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
