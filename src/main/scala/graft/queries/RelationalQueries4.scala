@@ -49,7 +49,7 @@ object RelationalQueries4 {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .withColumn("quartile", ntile(4).over(w))
       .withColumn("pct_rank", percent_rank().over(w))
       .withColumn("cume", cume_dist().over(w))
       .orderBy(col("o_orderkey"))
@@ -78,9 +78,9 @@ object RelationalQueries4 {
       rpad(col("p_type"), 10, ".").as("rp"),
       substring(col("p_name"), 2, 5).as("sub"),
       reverse(col("p_name")).as("rev"),
-      regexp_replace(col("p_name"), " ", "_").as("und"),
+      replace(col("p_name"), lit(" "), lit("_")).as("und"),
       instr(col("p_name"), " ").cast("long").as("sp_pos"),
-      col("p_name").startsWith("red").cast("boolean").as("is_red"),
+      col("p_name").startsWith("red").as("is_red"),
       length(col("p_name")).cast("long").as("len"),
       concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
       split(col("p_name"), " ").getItem(0).as("first_tok"))
@@ -101,7 +101,7 @@ object RelationalQueries4 {
       |  CAST(strpos(p_name, ' ') AS BIGINT) AS sp_pos,
       |  starts_with(p_name, 'red') AS is_red,
       |  CAST(length(p_name) AS BIGINT) AS len,
-      |  p_brand || '|' || p_type AS joined,
+      |  concat_ws('|', p_brand, p_type) AS joined,
       |  string_split(p_name, ' ')[1] AS first_tok
       |FROM part ORDER BY p_partkey""".stripMargin
 
