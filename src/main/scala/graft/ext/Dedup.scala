@@ -158,4 +158,45 @@ object Dedup {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected pair list — the dedup DECISION
+    * step: every near-dup cluster keeps exactly one representative (the
+    * minimum id). Pregel-lite min-label propagation: each iteration joins
+    * labels across edges and keeps the per-node minimum; converges in
+    * O(log diameter) rounds for typical dup clusters (diameter ≤ 2-3).
+    *
+    * Scale: each round is one shuffle on node id; the driver only checks a
+    * 1-row convergence aggregate per round (no data collected). `maxIter`
+    * bounds pathological chains.
+    *
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (id, rep) for every node appearing in any edge
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: min of own label and neighbors' labels
+      val viaEdges = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
+        .filter(col("rep") =!= col("old_rep")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

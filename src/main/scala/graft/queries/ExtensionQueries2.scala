@@ -79,12 +79,83 @@ object ExtensionQueries2 {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** q42: near-dup CLUSTERING — the dedup decision step. Two doctored
+    * variants per document (last 3 / last 6 tokens dropped) are unioned in,
+    * near-dup pairs come from the hashed-shingle Jaccard join (≥ 0.3), and
+    * connected components assign every linked doc its cluster representative
+    * (minimum id). Oracle: identical pair construction + a recursive-CTE
+    * min-label closure in DuckDB.
+    */
+  def q42_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val toks = TextAnalysis.tokens(col("text"))
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 30 && size(toks) >= 9)
+      .select(col("doc_id"), col("text"))
+    def variant(offset: Long, drop: Int) = d
+      .select(col("doc_id"), concat_ws(" ", slice(toks, lit(1), size(toks) - drop)).as("text"))
+      .select((col("doc_id") + offset).as("doc_id"), col("text"))
+    val all = d.union(variant(100000L, 3)).union(variant(200000L, 6))
+    val pairs = Dedup.jaccardPairs(all, "doc_id", col("text"), 3)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id"), col("rep"))
+      .orderBy(col("id"))
+  }
+
+  val q42Sql: String = {
+    val ph = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(sh_s)+1), ch_i -> CAST(ascii(substring(sh_s, ch_i, 1)) AS BIGINT))), " +
+      "(ph_a, ph_b) -> (ph_a*31 + ph_b) % 1000000007)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 30 AND len(string_split(text, ' ')) >= 9
+       |), allv AS (
+       |  SELECT doc_id, text FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 100000, array_to_string(list_slice(string_split(text,' '), 1,
+       |    len(string_split(text,' ')) - 3), ' ') FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 200000, array_to_string(list_slice(string_split(text,' '), 1,
+       |    len(string_split(text,' ')) - 6), ' ') FROM d
+       |), sh AS (
+       |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+       |    list_transform(range(1, len(string_split(text,' ')) - 1),
+       |      sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')),
+       |    sh_s -> $ph))) AS sh
+       |  FROM allv WHERE len(string_split(text,' ')) >= 3
+       |), sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id
+       |), hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000
+       |), shc AS (SELECT id, sh.sh FROM sh LEFT JOIN hot ON sh.sh = hot.sh WHERE hot.sh IS NULL
+       |), pr AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2
+       |), edges0 AS (
+       |  SELECT id_a, id_b FROM pr
+       |  JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+       |  WHERE CAST(inter AS DOUBLE)/(na.nsh + nb.nsh - inter) >= 0.3
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges0
+       |  UNION SELECT id_b, id_a FROM edges0
+       |), lbl AS (
+       |  WITH RECURSIVE r(id, rep) AS (
+       |    SELECT DISTINCT src, src FROM edges
+       |    UNION
+       |    SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id
+       |  ) SELECT id, CAST(min(rep) AS BIGINT) AS rep FROM r GROUP BY id
+       |)
+       |SELECT id, rep FROM lbl ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_embed_dedup" -> (q37_embed_dedup _),
-    "q38_ann_ivf" -> (q38_ann_ivf _)
+    "q38_ann_ivf" -> (q38_ann_ivf _),
+    "q42_dedup_clusters" -> (q42_dedup_clusters _)
   )
 
   val oracle: Map[String, String] = Map(
-    "q37_embed_dedup" -> q37Sql
+    "q37_embed_dedup" -> q37Sql,
+    "q42_dedup_clusters" -> q42Sql
   )
 }

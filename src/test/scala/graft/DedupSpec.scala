@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpecBase {
       s"near ${ham(1L, 3L)} should beat far ${ham(1L, 4L)}")
   }
 
+  test("connectedComponents: chains, singleton edges, disjoint clusters, min rep") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, disjoint 20-21-22 (star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("q29 construction recovers each doctored copy at sf0.001") {
     val out = graft.queries.ExtensionQueries.q29_minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // id_b -> id_a? keep pairs
