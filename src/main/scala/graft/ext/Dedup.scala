@@ -180,6 +180,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .persist()
+    // Convergence via an exact 1-row aggregate: labels only ever decrease,
+    // so the (count, sum(rep)) pair is a monotone fingerprint — unchanged
+    // iff the fixpoint is reached. Cheaper than a join-and-diff per round.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("rep").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = fingerprint(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -189,11 +197,11 @@ object Dedup {
       val next = labels.select(col("id"), col("rep")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("rep", "old_rep"), Seq("id"))
-        .filter(col("rep") =!= col("old_rep")).limit(1).count()
+      val cur = fingerprint(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
     edges.unpersist()
