@@ -40,4 +40,16 @@ object FpSafe {
     * DuckDB: `CAST(round(c * 10000) AS BIGINT)`.
     */
   def tenK(c: Column): Column = round(c * 10000).cast("long")
+
+  /** The unbounded-scale tier: exact money sum as DecimalType(38,2).
+    * Long cents overflow past ~9.2e16 cents (≈ 92 trillion currency units
+    * summed); decimal(38) carries ~1e36 — Spark's vectorized decimal sum
+    * keeps this map-side-combinable on any realistic corpus.
+    * DuckDB: `sum(CAST(c AS DECIMAL(38,2)))` (DuckDB decimal casts of
+    * 2-decimal doubles round to the same cents).
+    * Same value as [[moneySum]] wherever both are in range (pinned in
+    * PropertySpec).
+    */
+  def moneySumDecimal(c: Column): Column =
+    sum(c.cast("decimal(38,2)"))
 }

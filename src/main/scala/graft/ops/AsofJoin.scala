@@ -52,4 +52,21 @@ object AsofJoin {
     filled.filter(col("__is_left") === 1)
       .select(leftCols.map(col) ++ payload.map(p => col(s"__f_$p").as(s"asof_$p")): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * rightTime >= leftTime (per key). Implemented by running the backward
+    * join over the negated time axis — a pure reduction, no second code
+    * path to maintain.
+    */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val negL = left.withColumn(leftTime, -col(leftTime))
+    val negR = right.withColumn(rightTime, -col(rightTime))
+    val joined = backward(negL, negR, key, leftTime, rightTime, payload)
+    val restored = joined.withColumn(leftTime, -col(leftTime))
+    if (payload.contains(rightTime))
+      restored.withColumn(s"asof_$rightTime", -col(s"asof_$rightTime"))
+    else restored
+  }
 }

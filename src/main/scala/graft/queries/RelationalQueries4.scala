@@ -105,15 +105,47 @@ object RelationalQueries4 {
       |  string_split(p_name, ' ')[1] AS first_tok
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** q43: forward as-of join — each purchase picks up the user's NEXT error
+    * event (earliest at-or-after). Implemented as the backward join over a
+    * negated time axis; oracle: DuckDB ASOF with the comparison flipped.
+    */
+  def q43_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us").as("err_us"), col("value").as("err_value"))
+    graft.ops.AsofJoin.forward(purchases, errors, "user_id", "us", "err_us",
+      Seq("err_us", "err_value"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("asof_err_us").as("err_us"), col("asof_err_value").as("err_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q43Sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase'
+      |), er AS (
+      |  SELECT user_id, epoch_us(ts) AS err_us, value AS err_value FROM events
+      |  WHERE event_type = 'error'
+      |)
+      |SELECT p.event_id, p.user_id, p.us, er.err_us, er.err_value
+      |FROM p ASOF LEFT JOIN er
+      |  ON p.user_id = er.user_id AND p.us <= er.err_us
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q39_range_frames" -> (q39_range_frames _),
     "q40_rank_distributions" -> (q40_rank_distributions _),
-    "q41_string_funcs" -> (q41_string_funcs _)
+    "q41_string_funcs" -> (q41_string_funcs _),
+    "q43_asof_forward" -> (q43_asof_forward _)
   )
 
   val oracle: Map[String, String] = Map(
     "q39_range_frames" -> q39Sql,
     "q40_rank_distributions" -> q40Sql,
-    "q41_string_funcs" -> q41Sql
+    "q41_string_funcs" -> q41Sql,
+    "q43_asof_forward" -> q43Sql
   )
 }

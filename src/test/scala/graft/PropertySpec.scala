@@ -59,6 +59,17 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("moneySumDecimal == moneySum wherever long cents are in range") {
+    forSamples(Gen.listOfN(25, Gen.chooseNum(-99999999L, 99999999L)), n = 8) { cents =>
+      val df = cents.map(c => ("k", c / 100.0)).toDF("k", "v")
+      val r = df.groupBy("k").agg(
+        graft.core.FpSafe.moneySum(col("v")).as("longSum"),
+        graft.core.FpSafe.moneySumDecimal(col("v")).cast("double").as("decSum"))
+        .collect().head
+      assert(r.getDouble(1) == r.getDouble(2), s"cents=$cents")
+    }
+  }
+
   test("click_share sums to 1 when total > 0 (within one ulp per row)") {
     val df = Tables1.orders.limit(500)
     val share = graft.queries.RelationalQueries.q04_click_share(spark, "/root/testdata/sf0.001")
