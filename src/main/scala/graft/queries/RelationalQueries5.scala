@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{FpSafe, Tables}
+
+/** Coverage batch 5: collection/conditional aggregates and unpivot. */
+object RelationalQueries5 {
+  import FpSafe._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q44: collection + conditional aggregates — sorted distinct collect
+    * (collect_set is unordered; sorting pins it), count_if, bool and/or,
+    * min_by/max_by with deterministic keys.
+    */
+  def q44_collection_aggs(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        every(col("o_totalprice") > 0).as("all_positive"),
+        some(col("o_totalprice") > 400000).as("any_huge"),
+        // tie-proof scalar ordering key: exact cents * 2^22 + orderkey
+        // (DuckDB's min_by rejects struct keys; the composite stays < 2^48)
+        min_by(col("o_orderkey"),
+          cents(col("o_totalprice")) * 4194304L + col("o_orderkey")).as("cheapest_key"),
+        max_by(col("o_orderkey"),
+          cents(col("o_totalprice")) * 4194304L + col("o_orderkey")).as("priciest_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderstatus,
+      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  bool_or(o_totalprice > 400000) AS any_huge,
+      |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 4194304 + o_orderkey) AS cheapest_key,
+      |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 4194304 + o_orderkey) AS priciest_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q45: unpivot/melt — lineitem measures wide→long, then exact per-measure
+    * rollup (the reshape primitive for metric tables).
+    */
+  def q45_unpivot(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.select(col("l_orderkey"),
+      cents(col("l_extendedprice")).as("extendedprice"),
+      tenK(col("l_discount")).as("discount"),
+      tenK(col("l_tax")).as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("extendedprice"), col("discount"), col("tax")),
+        "measure", "v")
+      .groupBy(col("measure"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .orderBy(col("measure"))
+  }
+
+  val q45Sql: String =
+    """WITH wide AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS extendedprice,
+      |    CAST(round(l_discount*10000) AS BIGINT) AS discount,
+      |    CAST(round(l_tax*10000) AS BIGINT) AS tax
+      |  FROM lineitem
+      |), longf AS (
+      |  SELECT l_orderkey, measure, v FROM wide
+      |  UNPIVOT (v FOR measure IN (extendedprice, discount, tax))
+      |)
+      |SELECT measure, CAST(sum(v) AS BIGINT) AS total, count(*) AS n,
+      |  CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+      |FROM longf GROUP BY measure ORDER BY measure""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q44_collection_aggs" -> (q44_collection_aggs _),
+    "q45_unpivot" -> (q45_unpivot _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q44_collection_aggs" -> q44Sql,
+    "q45_unpivot" -> q45Sql
+  )
+}
