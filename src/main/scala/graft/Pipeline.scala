@@ -147,8 +147,11 @@ object Pipeline {
     val ga4 = aggGa4(loadGa4(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
       .observe("ga4_agg", count(lit(1)).as("rows"))
 
+    // persisted: the global-total and median scalar branches below would
+    // otherwise re-execute the whole 3-source load + join per branch
     val joined = frog.join(gsc, Seq("url"), "left").join(ga4, Seq("url"), "left")
       .observe("merged", count(lit(1)).as("rows"))
+      .persist()
 
     // derived metrics (F6/F7/E5): null-guarded division; global total via
     // 1-row aggregate broadcast (never a partition-less window)
@@ -187,7 +190,11 @@ object Pipeline {
       .withColumn("run_id", lit(cfg.runId))
       .withColumn("run_timestamp", lit(cfg.runTimestamp))
       .withColumn("run_timestamp_iso",
-        date_format(timestamp_seconds(lit(cfg.runTimestamp)), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        // rendered on the driver in explicit UTC: date_format would follow
+        // the session timezone while still claiming 'Z'
+        lit(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(cfg.runTimestamp))))
       .withColumn("source_frog", lit(basename(cfg.frogPath)))
       .withColumn("source_gsc", lit(basename(cfg.gscPath)))
       .withColumn("source_ga4", lit(basename(cfg.ga4Path)))
@@ -230,9 +237,11 @@ object Pipeline {
     */
   def run(spark: SparkSession, cfg: PipelineConfig, outDir: String): DataFrame = {
     val m = merged(spark, cfg).persist()
-    // partitioned by run_id (SURVEY §4.4): re-runs append new partitions and
-    // prune old ones at read time
-    m.write.mode("overwrite").partitionBy("run_id").parquet(s"$outDir/merged_visibility")
+    // partitioned by run_id (SURVEY §4.4); dynamic overwrite so a re-run
+    // replaces only ITS OWN partition and earlier runs' partitions survive
+    m.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id").parquet(s"$outDir/merged_visibility")
     anomalySlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
     schemaGaps(m).write.mode("overwrite").parquet(s"$outDir/schema_gaps")
     m

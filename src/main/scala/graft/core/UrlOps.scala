@@ -43,20 +43,27 @@ object UrlOps {
   }
 
   /** Python urllib.parse.unquote_plus: '+'→' ', %XX decoded (bad escapes
-    * passed through, like Python).
+    * passed through, like Python). Operates on the UTF-8 BYTES — a per-char
+    * pass would shred surrogate pairs (non-BMP input) into replacement
+    * bytes; '%', '+' and hex digits are all single-byte ASCII, so byte-level
+    * scanning is exact.
     */
   def unquotePlus(s: String): String = {
-    val plus = s.replace('+', ' ')
-    val out = new java.io.ByteArrayOutputStream
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
     var i = 0
-    while (i < plus.length) {
-      val c = plus.charAt(i)
-      if (c == '%' && i + 2 < plus.length &&
-        isHex(plus.charAt(i + 1)) && isHex(plus.charAt(i + 2))) {
-        out.write(Integer.parseInt(plus.substring(i + 1, i + 3), 16))
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '%'.toByte && i + 2 < bytes.length &&
+        isHex(bytes(i + 1).toChar) && isHex(bytes(i + 2).toChar)) {
+        out.write(Integer.parseInt(
+          new String(bytes, i + 1, 2, StandardCharsets.US_ASCII), 16))
         i += 3
+      } else if (b == '+'.toByte) {
+        out.write(' '.toInt)
+        i += 1
       } else {
-        out.write(c.toString.getBytes(StandardCharsets.UTF_8))
+        out.write(b.toInt)
         i += 1
       }
     }

@@ -115,7 +115,13 @@ object Dedup {
     * r = n/bands values, key each band with an order-sensitive fold, and
     * join docs sharing any (band, key) bucket. Returns distinct id_a < id_b.
     */
-  def lshCandidates(docs: DataFrame, idCol: String, sig: Column, bands: Int): DataFrame = {
+  def lshCandidates(docs: DataFrame, idCol: String, sig: Column, bands: Int,
+      sigLength: Int = 64): DataFrame = {
+    // guard the band geometry up front: r=0 would fold every band over an
+    // empty slice → one global bucket → O(n²) candidate explosion; a
+    // non-dividing length silently drops trailing signature components
+    require(sigLength % bands == 0 && sigLength / bands >= 1,
+      s"signature length $sigLength must divide into $bands bands of >=1 rows")
     val withSig = docs.select(col(idCol).as("id"), sig.as("sig"))
       .withColumn("r", (size(col("sig")) / bands).cast("int"))
     val banded = withSig.select(col("id"),

@@ -26,27 +26,30 @@ object SchemaResolve {
     "impressions" -> None, "ctr" -> None, "position" -> None, "users" -> None,
     "sessions" -> None, "engaged_sessions" -> None, "avg_engagement_time" -> None)
 
-  /** Synonym sets per canonical field (slugged). Mirrors SYNONYMS
-    * (`etl_merge.py:135-159`).
+  /** Synonyms per canonical field (slugged), in PINNED priority order.
+    * Mirrors SYNONYMS (`etl_merge.py:135-159`); the reference iterates a
+    * Python set (arbitrary order under hash randomization) — we fix match
+    * priority to declaration order, a documented determinism improvement
+    * (SURVEY §4.3 class).
     */
-  val Synonyms: Map[String, Set[String]] = Map(
-    "url" -> Set("url", "address", "page", "pageurl", "landingpage",
+  val Synonyms: Map[String, Seq[String]] = Map(
+    "url" -> Seq("url", "address", "page", "pageurl", "landingpage",
       "pagelocation", "pagepath", "pagepathquerystring", "pagepath+querystring"),
-    "status_code" -> Set("statuscode", "status", "httpstatus"),
-    "title" -> Set("title", "title1", "pagetitle"),
-    "meta_description" -> Set("metadescription", "metadescription1", "description"),
-    "click_depth" -> Set("crawldepth", "depth", "clickdepth"),
-    "inlinks" -> Set("inlinks", "inboundlinks"),
-    "word_count" -> Set("wordcount", "words"),
-    "schema_types" -> Set("structureddata", "schematypes", "schema", "structuredcontent"),
-    "clicks" -> Set("clicks", "gscclicks", "totalclicks"),
-    "impressions" -> Set("impressions", "gscimpressions", "totalimpressions"),
-    "ctr" -> Set("ctr", "gscctr"),
-    "position" -> Set("position", "avgposition", "gscposition", "avgpos"),
-    "users" -> Set("users", "totalusers", "activeusers"),
-    "sessions" -> Set("sessions"),
-    "engaged_sessions" -> Set("engagedsessions"),
-    "avg_engagement_time" -> Set("avgengagementtime", "averagesessionduration",
+    "status_code" -> Seq("statuscode", "status", "httpstatus"),
+    "title" -> Seq("title", "title1", "pagetitle"),
+    "meta_description" -> Seq("metadescription", "metadescription1", "description"),
+    "click_depth" -> Seq("crawldepth", "depth", "clickdepth"),
+    "inlinks" -> Seq("inlinks", "inboundlinks"),
+    "word_count" -> Seq("wordcount", "words"),
+    "schema_types" -> Seq("structureddata", "schematypes", "schema", "structuredcontent"),
+    "clicks" -> Seq("clicks", "gscclicks", "totalclicks"),
+    "impressions" -> Seq("impressions", "gscimpressions", "totalimpressions"),
+    "ctr" -> Seq("ctr", "gscctr"),
+    "position" -> Seq("position", "avgposition", "gscposition", "avgpos"),
+    "users" -> Seq("users", "totalusers", "activeusers"),
+    "sessions" -> Seq("sessions"),
+    "engaged_sessions" -> Seq("engagedsessions"),
+    "avg_engagement_time" -> Seq("avgengagementtime", "averagesessionduration",
       "averageengagementtime"))
 
   /** GA4 URL-header renames, first hit wins, only when no `url` column
@@ -70,7 +73,7 @@ object SchemaResolve {
     val existing = columns.map(c => slug(c) -> c).toMap
     wanted.map { canon =>
       val found = existing.get(slug(canon)).orElse(
-        Synonyms.getOrElse(canon, Set.empty).iterator
+        Synonyms.getOrElse(canon, Seq.empty).iterator
           .map(slug).flatMap(existing.get).take(1).toList.headOption)
       canon -> found
     }.toMap
@@ -97,7 +100,7 @@ object SchemaResolve {
     }
     val slugToCol = scala.collection.mutable.LinkedHashMap.empty[String, String]
     cols.foreach(c => slugToCol.getOrElseUpdate(slug(c), c))
-    val urlSyns = (Synonyms("url") ++ Seq("url")).toSeq
+    val urlSyns = Synonyms("url") :+ "url"
     val threshold = math.max(3, (sample.length * 0.1).toInt)
     urlSyns.flatMap(s => slugToCol.get(slug(s))).find(c => hits(c) >= threshold)
       .orElse {

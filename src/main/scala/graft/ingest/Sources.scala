@@ -11,10 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sources {
 
-  /** Driver-side delimiter sniff over the first non-comment KB. */
+  /** Driver-side delimiter sniff over the first non-comment KB (streamed —
+    * never loads the file into memory).
+    */
   def sniffDelimiter(path: String): String = {
-    val head = new String(
-      Files.readAllBytes(Paths.get(path)).take(2048), java.nio.charset.StandardCharsets.UTF_8)
+    val in = Files.newInputStream(Paths.get(path))
+    val buf = new Array[Byte](2048)
+    val n = try in.read(buf) finally in.close()
+    val head = new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
     val line = head.linesIterator.filterNot(_.startsWith("#")).take(1).toList.headOption.getOrElse("")
     Seq(",", ";", "\t", "|").maxBy(d => line.count(_.toString == d))
   }

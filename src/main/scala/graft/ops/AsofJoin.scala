@@ -37,20 +37,30 @@ object AsofJoin {
       .withColumn("__is_left", lit(1))
       .select(Seq(col(key), col("__t"), col("__is_left")) ++
         leftCols.filterNot(_ == key).map(c => col(c)) ++
-        payload.map(p => lit(null).as(s"__p_$p")): _*)
+        Seq(lit(null).cast(structType(right, payload)).as("__p")): _*)
+    // The matched row travels as ONE struct: filling payload columns
+    // independently would tear values across different right rows whenever a
+    // field is null. Null-timestamp right rows are excluded — a comparison
+    // with NULL time never matches (ASOF semantics).
     val r = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
       .select(Seq(col(key), col("__t"), col("__is_left")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        Seq(struct(payload.map(col): _*).as("__p")): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__f_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(r)
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
     filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__f_$p").as(s"asof_$p")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__f").getField(p).as(s"asof_$p")): _*)
+  }
+
+  private def structType(right: DataFrame, payload: Seq[String]) = {
+    import org.apache.spark.sql.types.StructType
+    StructType(payload.map(p => right.schema(p)))
   }
 
   /** Forward as-of: for each left row, the EARLIEST right row with

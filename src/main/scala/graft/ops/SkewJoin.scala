@@ -25,6 +25,10 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFrom: Column, n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    // right/full joins are NOT salting-compatible: unmatched small-side
+    // rows would surface once per salt copy
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val bigSalted = big.withColumn("__salt", pmod(xxhash64(saltFrom), lit(n)).cast("int"))
     val smallExploded = small
       .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))

@@ -22,12 +22,13 @@ object RelationalQueries5 {
         count_if(col("o_totalprice") > 200000).as("n_big"),
         every(col("o_totalprice") > 0).as("all_positive"),
         some(col("o_totalprice") > 400000).as("any_huge"),
-        // tie-proof scalar ordering key: exact cents * 2^22 + orderkey
-        // (DuckDB's min_by rejects struct keys; the composite stays < 2^48)
+        // tie-proof scalar ordering key: exact cents * 2^35 + orderkey
+        // (DuckDB min_by rejects struct keys; cents<2^26 so the composite stays
+        // < 2^61 and stays tie-proof for orderkeys up to 2^35)
         min_by(col("o_orderkey"),
-          cents(col("o_totalprice")) * 4194304L + col("o_orderkey")).as("cheapest_key"),
+          cents(col("o_totalprice")) * 34359738368L + col("o_orderkey")).as("cheapest_key"),
         max_by(col("o_orderkey"),
-          cents(col("o_totalprice")) * 4194304L + col("o_orderkey")).as("priciest_key"))
+          cents(col("o_totalprice")) * 34359738368L + col("o_orderkey")).as("priciest_key"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -37,8 +38,8 @@ object RelationalQueries5 {
       |  count(*) FILTER (o_totalprice > 200000) AS n_big,
       |  bool_and(o_totalprice > 0) AS all_positive,
       |  bool_or(o_totalprice > 400000) AS any_huge,
-      |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 4194304 + o_orderkey) AS cheapest_key,
-      |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 4194304 + o_orderkey) AS priciest_key
+      |  min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 34359738368 + o_orderkey) AS cheapest_key,
+      |  max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) * 34359738368 + o_orderkey) AS priciest_key
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** q45: unpivot/melt — lineitem measures wide→long, then exact per-measure

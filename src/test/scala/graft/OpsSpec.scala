@@ -52,4 +52,26 @@ class OpsSpec extends SparkSpecBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact")
   }
+
+  test("as-of backward: null payload fields are not torn from older rows; null right times never match") {
+    import graft.ops.AsofJoin
+    val left = Seq((1L, 6L), (1L, 0L)).toDF("k", "t")
+    val right = Seq((1L, Some(1L), Some("A"), "x"), (1L, Some(5L), None, "y"),
+      (1L, Option.empty[Long], Some("Z"), "null-time")).toDF("k", "rt", "p", "q")
+    val out = AsofJoin.backward(left, right, "k", "t", "rt", Seq("p", "q"))
+      .collect().map(r => r.getLong(1) -> (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    // t=6 matches rt=5 whose p IS null: p must stay null (no fill from rt=1),
+    // q comes from the same rt=5 row — never a torn combination
+    assert(out(6L) == (None, Some("y")))
+    // t=0 precedes every valid right row; the null-rt row must not match
+    assert(out(0L) == (None, None))
+  }
+
+  test("salted join rejects right/full join types") {
+    val big = Seq(("a", 1L)).toDF("k", "id")
+    val small = Seq(("a", "A")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", col("id"), 4, "full")
+    }
+  }
 }

@@ -84,4 +84,11 @@ class UrlOpsSpec extends AnyFunSuite {
       assert(n(once) == once, s"not idempotent for $c")
     }
   }
+
+  test("non-BMP characters survive quote/unquote round-trips (byte-level decode)") {
+    val emoji = "\ud83d\ude00" // 😀
+    assert(UrlOps.unquotePlus(UrlOps.quotePlus(emoji)) == emoji)
+    val u = s"https://x.com/a?q=$emoji"
+    assert(n(u) == s"https://x.com/a?q=${UrlOps.quotePlus(emoji)}")
+  }
 }
