@@ -42,11 +42,14 @@ object Sources {
   def loadTable(spark: SparkSession, path: String): DataFrame = {
     require(Files.exists(Paths.get(path)), s"input not found: $path") // A9
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
-    require(ext != "xlsx" && ext != "xls",
-      s"Excel input requires a spark-excel connector (not in this container): $path")
-    val first = readCsv(spark, path, ",", None)
-    if (first.columns.length > 1) first
-    else readCsv(spark, path, sniffDelimiter(path), Some("#"))
+    if (ext == "xlsx") Xlsx.loadXlsx(spark, path) // A2: dispatch by extension
+    else {
+      require(ext != "xls",
+        s"legacy .xls (BIFF) is unsupported; convert to .xlsx or CSV: $path")
+      val first = readCsv(spark, path, ",", None)
+      if (first.columns.length > 1) first
+      else readCsv(spark, path, sniffDelimiter(path), Some("#"))
+    }
   }
 
   /** Input path resolution: ENV override → explicit config path → default
