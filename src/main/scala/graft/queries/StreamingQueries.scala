@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Batch-equivalent forms of the streaming operators, registered in the
+  * harness so the DuckDB oracle certifies the streaming semantics too
+  * (streaming == batch is pinned in StreamingSpec; batch == DuckDB here —
+  * the standard two-hop certification for Structured Streaming).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q46: the spend-milestone stateful operator's batch formulation — one
+    * row per 500.00-crossing of a user's cumulative spend (exact cents
+    * running sums; order pinned by (µs, event_id)).
+    */
+  def q46_spend_milestones(s: SparkSession, dir: String): DataFrame = {
+    val step = 50000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("total_cents",
+        sum(col("vc")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_total", coalesce(lag(col("total_cents"), 1).over(w), lit(0L)))
+      .filter(expr(s"total_cents div $step") > expr(s"prev_total div $step"))
+      .select(col("user_id"), col("event_id"), col("total_cents"),
+        (expr(s"total_cents div $step") * step).as("milestone"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q46Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events
+      |), g1 AS (
+      |  SELECT user_id, event_id, us,
+      |    CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total_cents
+      |  FROM f
+      |), g AS (
+      |  SELECT user_id, event_id, total_cents,
+      |    coalesce(lag(total_cents, 1)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id), 0) AS prev_total
+      |  FROM g1
+      |)
+      |SELECT user_id, event_id, total_cents,
+      |  (total_cents // 50000) * 50000 AS milestone
+      |FROM g
+      |WHERE total_cents // 50000 > prev_total // 50000
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q46_spend_milestones" -> (q46_spend_milestones _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q46_spend_milestones" -> q46Sql
+  )
+}

@@ -15,6 +15,7 @@ class ContractSpec extends SparkSpecBase {
     "relational3" -> (RelationalQueries3.queries.keySet, RelationalQueries3.oracle.keySet),
     "relational4" -> (RelationalQueries4.queries.keySet, RelationalQueries4.oracle.keySet),
     "relational5" -> (RelationalQueries5.queries.keySet, RelationalQueries5.oracle.keySet),
+    "streaming" -> (StreamingQueries.queries.keySet, StreamingQueries.oracle.keySet),
     "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
     "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet))
 

@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${stream.length} batch=${batch.length}")
   }
 
+  test("state survives MULTIPLE micro-batches: 3-file source, one file per trigger") {
+    // split events into 3 files so the stream runs 3 real micro-batches
+    val multi = Files.createTempDirectory("graft_stream_multi")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count()
+    e.limit((n / 3).toInt).write.parquet(multi.resolve("p1").toString)
+    e.orderBy("event_id").offset((n / 3).toInt).limit((n / 3).toInt)
+      .write.parquet(multi.resolve("p2").toString)
+    e.orderBy("event_id").offset(2 * (n / 3).toInt)
+      .write.parquet(multi.resolve("p3").toString)
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (p <- Seq("p1", "p2", "p3")) {
+      import scala.jdk.CollectionConverters._
+      Files.list(multi.resolve(p)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.dedupStream(stream, "365 days").writeStream
+      .format("memory").queryName("multi_dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // dedup state must persist across the 3 micro-batches: same key set as batch
+    val got = spark.table("multi_dedup").count()
+    val expect = batchEvents.select("user_id", "event_type").distinct().count()
+    assert(got == expect, s"stream kept $got keys, batch distinct = $expect")
+    assert(i >= 3, "expected at least 3 source files (3 micro-batches)")
+  }
+
   test("sliding windows produce width/slide copies per event") {
     val slid = StreamOps.slidingAgg(batchEvents, "1 hour", "30 minutes")
     val total = slid.agg(sum("n")).collect().head.getLong(0)
