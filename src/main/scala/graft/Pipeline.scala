@@ -223,10 +223,18 @@ object Pipeline {
     * same parameterized transform as the q11 oracle query.
     */
   def anomalySlice(mergedDf: DataFrame, cfg: PipelineConfig): DataFrame =
-    Scoring.anomalyTriage(
-      mergedDf.select(col("url"), col("position"), col("ctr"), col("impressions"),
-        col("clicks"), col("schema_types")),
-      cfg.scoring)
+    Scoring.anomalyTriage(triageInput(mergedDf), cfg.scoring)
+
+  /** Debug slice (`ctr_debug.csv`, `etl_merge.py:945-952`): the FULL scored
+    * candidate set — pre `missed_clicks > 0` filter — for triaging scoring
+    * behavior.
+    */
+  def ctrDebugSlice(mergedDf: DataFrame, cfg: PipelineConfig): DataFrame =
+    Scoring.scoredCandidates(triageInput(mergedDf), cfg.scoring)
+
+  private def triageInput(mergedDf: DataFrame): DataFrame =
+    mergedDf.select(col("url"), col("position"), col("ctr"), col("impressions"),
+      col("clicks"), col("schema_types"))
 
   /** Schema-gap slice (C6): rows whose schema_types is null/blank. */
   def schemaGaps(mergedDf: DataFrame): DataFrame =
@@ -242,6 +250,7 @@ object Pipeline {
     m.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id").parquet(s"$outDir/merged_visibility")
+    ctrDebugSlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/ctr_debug")
     anomalySlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
     schemaGaps(m).write.mode("overwrite").parquet(s"$outDir/schema_gaps")
     m

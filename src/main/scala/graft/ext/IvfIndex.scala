@@ -1,7 +1,5 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -10,25 +8,97 @@ import org.apache.spark.sql.expressions.Window
   * scale path: k-means centroids partition the corpus into `nlist` lists;
   * a probe searches only its `nprobe` nearest lists.
   *
-  * Train once, reuse: centroids are a tiny model broadcast as literal
-  * arrays; assignment and probing are pure expressions over the corpus (one
-  * shuffle on list id for the candidate join). At 100 TB the train step runs
-  * on a sample (KMeans over every vector is unnecessary); assignment stays a
-  * full-scan projection.
+  * Train on a SAMPLE, at the driver: the standard IVF shape (what FAISS
+  * does) — a deterministic hash-sample of ≤ `maxTrain` vectors is collected
+  * and Lloyd's iterations run locally in microseconds, with zero Spark jobs
+  * beyond one count and one bounded collect. Fitting a distributed k-means
+  * over the full corpus would scan 100 TB per iteration to move centroids
+  * that a 10k-row sample already pins. The tiny centroid model then rides
+  * into the plan as literal arrays; assignment and probing are pure
+  * expressions over the corpus (one shuffle on list id for the candidate
+  * join).
   */
 object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]])
 
-  /** Train centroids on (a sample of) the corpus. Deterministic via seed. */
-  def train(emb: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L): Model = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feats = emb.select(toVec(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features")
-    Model(km.fit(feats).clusterCenters.map(_.toArray))
+  /** Train centroids at the driver on a deterministic hash-sample.
+    *
+    * Sampling is by `xxhash64(id, seed) % step == 0` (order- and
+    * partition-layout-independent, unlike `limit`); the collected sample is
+    * id-sorted so init and iteration order are reproducible anywhere.
+    * Init: `nlist` evenly spaced rows of the sorted sample; 10 Lloyd's
+    * rounds; ties and empty lists resolved deterministically (lowest index /
+    * farthest point).
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      seed: Long = 42L, maxTrain: Int = 10000, iters: Int = 10): Model = {
+    val n = emb.count()
+    val sampled =
+      if (n <= maxTrain) emb
+      else {
+        val step = (n + maxTrain - 1) / maxTrain
+        emb.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(step)) === 0)
+      }
+    val rows = sampled
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val pts = rows.map(_._2)
+    require(pts.length >= nlist, s"sample ${pts.length} smaller than nlist $nlist")
+    val dim = pts.head.length
+
+    def distSq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // init: evenly spaced rows of the id-sorted sample (ids are hash-spread,
+    // so this is an unbiased deterministic draw)
+    var centroids = Array.tabulate(nlist)(c => pts((c.toLong * pts.length / nlist).toInt).clone())
+    val assign = new Array[Int](pts.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < pts.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < nlist) {
+          val d = distSq(pts(p), centroids(c))
+          if (d < bestD) { bestD = d; best = c } // strict < → lowest index wins ties
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += pts(p)(i); i += 1 }
+        p += 1
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) > 0) { val a = sums(c); var i = 0; while (i < dim) { a(i) /= counts(c); i += 1 }; a }
+        else {
+          // empty list: restart it at the point farthest from its centroid
+          // (deterministic: max distance, lowest index on ties)
+          var far = 0; var farD = -1.0; var q = 0
+          while (q < pts.length) {
+            val d = distSq(pts(q), centroids(assign(q)))
+            if (d > farD) { farD = d; far = q }
+            q += 1
+          }
+          pts(far).clone()
+        }
+      }
+      it += 1
+    }
+    Model(centroids)
   }
 
   /** Squared-L2 distance of a double-array column to a centroid literal. */

@@ -43,21 +43,11 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
 
   /** Heuristic language ID: argmax of marker counts, first-listed language
-    * wins ties, "und" when every score is zero.
+    * wins ties, "und" when every score is zero. Backed by the codegen'd
+    * single-pass [[graft.functions.LangIdExpr]] (the combinator form ran 25
+    * interpreted array scans per row — one per (language, marker)).
     */
-  def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
-    val allZero = scores.map(_._2 === 0).reduce(_ && _)
-    // lang_i wins if score_i >= score_j for all j > i and > score_j for j < i
-    // (equivalent to: first maximum in list order)
-    val best = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((lang, sc), i), els) =>
-        val beatsLater = scores.drop(i + 1).map { case (_, s2) => sc >= s2 }
-          .foldLeft(lit(true))(_ && _)
-        when(beatsLater, lit(lang)).otherwise(els)
-    }
-    when(allZero, lit("und")).otherwise(best)
-  }
+  def langId(text: Column): Column = graft.functions.LangIdExpr.langId(text)
 
   /** Quality signals, all exact-integer derived (deterministic doubles):
     * token count, distinct ratio, mean token length, stopword ratio, and a

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.core.PandasCompat
 
 /** Config-driven scoring, compiled to literal Catalyst expression trees at
@@ -45,7 +44,13 @@ object Scoring {
       maxPosition: Double = 5.0, // scoring.max_position_for_ctr_eval
       minClicks: Double = 0.0, // scoring.min_clicks_for_ctr_eval
       intentMultipliers: Map[String, Double] = Map.empty,
-      urlIntentHints: Seq[(String, String)] = Seq.empty) {
+      urlIntentHints: Seq[(String, String)] = Seq.empty,
+      // Hard cap on the ranked triage set (beyond reference parity — the
+      // reference ranks everything). Keeps the rank stage bounded even under
+      // a pathological config (maxPosition=∞, margin=0 would otherwise rank
+      // the whole table through one task). Any value ≥ the real underperf
+      // count is parity-exact; the default is far above every harness scale.
+      triageTopN: Int = 1000000) {
 
     /** `_normalize_expected_ctr_value` (`etl_merge.py:335-353`): percent
       * units → /100, then ×(1+uplift). Applied to bucket values AND to the
@@ -119,6 +124,25 @@ object Scoring {
     * arbitrary; we pin them).
     */
   def anomalyTriage(df: DataFrame, cfg: ScoringConfig): DataFrame = {
+    val underperf = scoredCandidates(df, cfg).filter(col("missed_clicks") > 0)
+    // Bound, then rank: sort+limit keeps the rank stage finite even under a
+    // pathological config; the bounded-window spec (Ranks.bounded) then
+    // numbers only the survivors — never an unbounded partition-less window.
+    val capped = underperf
+      .orderBy(col("missed_clicks").desc, col("url")).limit(cfg.triageTopN)
+    val w = Ranks.bounded(col("url"), col("missed_clicks").desc, col("url"))
+    capped
+      .withColumn("priority_rank", row_number().over(w).cast("int"))
+      .withColumn("intent_note", lit(""))
+  }
+
+  /** The full scored candidate frame — every row that passed the candidate
+    * mask, with scores, BEFORE the `missed_clicks > 0` keep-filter. This is
+    * the reference's `ctr_debug.csv` slice (`etl_merge.py:945-952`), the
+    * sink used to triage scoring behavior; [[anomalyTriage]] is its
+    * underperformers-only continuation.
+    */
+  def scoredCandidates(df: DataFrame, cfg: ScoringConfig): DataFrame = {
     val medianDf = df.agg(percentile(col("ctr"), lit(0.5)).as("ctr_median"))
     val candidates = df
       .crossJoin(broadcast(medianDf))
@@ -128,7 +152,7 @@ object Scoring {
       if (cfg.minClicks > 0) candidates.filter(coalesce(col("clicks"), lit(0.0)) >= cfg.minClicks)
       else candidates
     val schemaCol = if (df.columns.contains("schema_types")) col("schema_types") else lit("")
-    val scored = withMin
+    withMin
       .withColumn("expected_ctr", expectedCtr(cfg, col("position"), col("ctr_median")))
       .withColumn("expected_ctr_bucket", expectedCtrBucket(cfg, col("position")))
       .withColumn("ctr_deficit", ctrDeficit(cfg, col("expected_ctr"), col("ctr")))
@@ -137,13 +161,5 @@ object Scoring {
         coalesce(missedClicks(col("ctr_deficit"), col("impressions"), col("intent_multiplier")),
           lit(0.0)))
       .drop("ctr_median")
-    val underperf = scored.filter(col("missed_clicks") > 0)
-    // Triage sets are post-filter small; an ordered global window is
-    // acceptable here. (At 100 TB the upstream rollup has already reduced
-    // cardinality to one row per key.)
-    val w = Window.orderBy(col("missed_clicks").desc, col("url"))
-    underperf
-      .withColumn("priority_rank", row_number().over(w).cast("int"))
-      .withColumn("intent_note", lit(""))
   }
 }

@@ -124,14 +124,19 @@ object ExtensionQueries {
       |ORDER BY op, dup_key""".stripMargin
 
   /** q26: n-gram Jaccard near-dup pairs through the inverted shingle index;
-    * top-50 most similar pairs, deterministic ordering.
+    * top-50 most similar pairs, deterministic ordering. 100 TB note: the
+    * top-50 is taken with sort+limit (TakeOrderedAndProject — per-partition
+    * top-k, tiny merge) and the rank window then runs over only the 50
+    * survivors; a global row_number window here would funnel EVERY candidate
+    * pair through one task.
     */
   def q26_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val pairs = Dedup.jaccardPairs(d, "doc_id", col("text"), 3)
-    val w = Window.orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-    pairs.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= 50)
+    val top = pairs.orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(50)
+    val w = graft.ops.Ranks.bounded(col("id_a"),
+      col("jaccard").desc, col("id_a"), col("id_b"))
+    top.withColumn("rnk", row_number().over(w).cast("int"))
       .select(col("rnk"), col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
       .orderBy(col("rnk"))
   }

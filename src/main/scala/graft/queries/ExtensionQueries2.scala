@@ -73,7 +73,7 @@ object ExtensionQueries2 {
     */
   def q38_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val model = IvfIndex.train(e, "embedding", nlist = 16)
+    val model = IvfIndex.train(e, "vec_id", "embedding", nlist = 16)
     IvfIndex.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))

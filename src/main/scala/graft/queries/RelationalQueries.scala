@@ -238,7 +238,8 @@ object RelationalQueries {
     val topk = o.select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
-    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val w = graft.ops.Ranks.bounded(col("o_orderkey"),
+      col("o_totalprice").desc, col("o_orderkey"))
     topk.withColumn("priority_rank", row_number().over(w).cast("int"))
       .orderBy(col("priority_rank"))
   }

@@ -11,14 +11,15 @@ object RelationalQueries5 {
   type Q = (SparkSession, String) => DataFrame
 
   /** q44: collection + conditional aggregates — sorted distinct collect
-    * (collect_set is unordered; sorting pins it), count_if, bool and/or,
+    * (collect_set is unordered; sorting pins it; array_join-serialized so
+    * the result is a flat hashable column), count_if, bool and/or,
     * min_by/max_by with deterministic keys.
     */
   def q44_collection_aggs(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     o.groupBy(col("o_orderstatus"))
       .agg(
-        array_sort(collect_set(col("o_orderpriority"))).as("priorities"),
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"),
         count_if(col("o_totalprice") > 200000).as("n_big"),
         every(col("o_totalprice") > 0).as("all_positive"),
         some(col("o_totalprice") > 400000).as("any_huge"),
@@ -34,7 +35,7 @@ object RelationalQueries5 {
 
   val q44Sql: String =
     """SELECT o_orderstatus,
-      |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
       |  count(*) FILTER (o_totalprice > 200000) AS n_big,
       |  bool_and(o_totalprice > 0) AS all_positive,
       |  bool_or(o_totalprice > 400000) AS any_huge,

@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val r1 = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6))
     val r4 = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5, 6, tables = 4))
-    val model = graft.ext.IvfIndex.train(emb, "embedding", nlist = 8)
+    val model = graft.ext.IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
     val rIvf = recallOf(graft.ext.IvfIndex.ivfTopK(
       emb, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4))
     info(s"recall@5: LSH 1-table=$r1, 4-table=$r4, IVF(8 lists, nprobe 4)=$rIvf")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+
+/** Unit pins for the single-pass language-ID expression (q23's engine) and
+  * the sampled IVF trainer — semantics that the oracle queries exercise only
+  * on the synthetic corpus's happy path.
+  */
+class TextSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def predict(texts: String*): Seq[String] =
+    texts.toDF("t").select(TextAnalysis.langId(col("t")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("langId: marker argmax, duplicates counted, first-listed wins ties") {
+    assert(predict("the cat and the dog") == Seq("en"))
+    assert(predict("der hund und die katze ist") == Seq("de"))
+    // "la" is a marker for BOTH es and fr; es is listed first → es wins
+    assert(predict("la la") == Seq("es"))
+    // one en marker vs one de marker → tie → first-listed (en) wins
+    assert(predict("the und") == Seq("en"))
+    // duplicate markers count: 2×"und" (de) beats 1×"the" (en)
+    assert(predict("the und und") == Seq("de"))
+  }
+
+  test("langId: und for no markers, empty tokens ignored, null propagates") {
+    assert(predict("xyzzy plugh", "", "  ") == Seq("und", "und", "und"))
+    val r = Seq[Option[String]](None).toDF("t")
+      .select(TextAnalysis.langId(col("t"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("langId matches a direct recount on corpus docs (both codegen paths)") {
+    val d = core.Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val markers = TextAnalysis.LangMarkers
+    val got = d.select(col("text"), TextAnalysis.langId(col("text")).as("p")).collect()
+    got.foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      val counts = markers.map { case (l, ms) => l -> toks.count(ms.contains) }
+      val expected =
+        if (counts.forall(_._2 == 0)) "und" else counts.maxBy(_._2)._1 // maxBy keeps first max
+      assert(r.getString(1) == expected, s"doc: ${r.getString(0).take(60)}")
+    }
+  }
+
+  test("IVF train: hash-sampled path is deterministic and respects maxTrain") {
+    val emb = Tables0.embeddings(spark).limit(60).cache()
+    def fit() = graft.ext.IvfIndex.train(emb, "vec_id", "embedding",
+      nlist = 4, maxTrain = 30)
+    val m1 = fit(); val m2 = fit()
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.centroids.length == 4)
+    assert(m1.centroids.forall(_.length == m1.centroids.head.length))
+  }
+}
