@@ -35,12 +35,18 @@ object Pipeline {
   private def urlNorm(cfg: PipelineConfig)(c: org.apache.spark.sql.Column) =
     UrlOps.urlNormalize(c, cfg.siteBase, cfg.stripAllParams)
 
+  /** Canonical wanted-column sets per source (`etl_merge.py:527/547/603`). */
+  val FrogColumns: Seq[String] = Seq("url", "status_code", "title",
+    "meta_description", "click_depth", "inlinks", "word_count", "schema_types")
+  val GscColumns: Seq[String] = Seq("url", "clicks", "impressions", "ctr", "position")
+  val Ga4Columns: Seq[String] = Seq("url", "users", "sessions",
+    "engaged_sessions", "avg_engagement_time")
+
   /** Screaming Frog loader (`etl_merge.py:527-544`): crawl spine columns,
     * int coercions, normalized urls.
     */
   def loadFrog(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = Seq("url", "status_code", "title", "meta_description",
-      "click_depth", "inlinks", "word_count", "schema_types")
+    val wanted = FrogColumns
     val raw = Sources.loadTable(spark, cfg.frogPath)
     val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
     val out = SchemaResolve.coalesceToCanonical(raw, mapping, wanted)
@@ -53,7 +59,7 @@ object Pipeline {
     * numeric parses, data-dependent CTR normalization.
     */
   def loadGsc(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = Seq("url", "clicks", "impressions", "ctr", "position")
+    val wanted = GscColumns
     val raw0 = Sources.loadTable(spark, cfg.gscPath)
     val raw = raw0.toDF(raw0.columns.map(_.trim): _*)
     val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
@@ -70,7 +76,7 @@ object Pipeline {
     * renames, junk-marker anti-filter, numeric coercion.
     */
   def loadGa4(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = Seq("url", "users", "sessions", "engaged_sessions", "avg_engagement_time")
+    val wanted = Ga4Columns
     val raw0 = Sources.loadTable(spark, cfg.ga4Path)
     val trimmed = raw0.toDF(raw0.columns.map(_.trim): _*)
     // GA4 hard-coded URL header renames (first hit, only if url absent)
@@ -94,6 +100,41 @@ object Pipeline {
       mapping: Map[String, Option[String]]): Map[String, Option[String]] =
     if (mapping.get("url").flatten.isDefined) mapping
     else mapping + ("url" -> SchemaResolve.autodetectUrlColumn(raw))
+
+  /** Per-source schema-resolution report — the governance metadata the
+    * reference emits via `log_field_summary` (`etl_merge.py:314-317`) and
+    * `write_autodetect_log` (`etl_merge.py:222-247`). Metadata-plane:
+    * re-derives each source's mapping from its raw headers (mirroring the
+    * loaders' trim/rename/autodetect steps); `rows` is counted only when
+    * asked (one cheap job per source) and is -1 otherwise.
+    */
+  final case class SourceResolution(source: String,
+      mapping: Map[String, Option[String]], autodetectedUrl: Option[String], rows: Long)
+
+  def sourceResolutions(spark: SparkSession, cfg: PipelineConfig,
+      countRows: Boolean = false): Seq[SourceResolution] = {
+    def one(name: String, path: String, wanted: Seq[String],
+        trimHeaders: Boolean, ga4Renames: Boolean): SourceResolution = {
+      val raw0 = Sources.loadTable(spark, path)
+      val trimmed = if (trimHeaders) raw0.toDF(raw0.columns.map(_.trim): _*) else raw0
+      val renamed =
+        if (!ga4Renames || trimmed.columns.contains("url")) trimmed
+        else SchemaResolve.Ga4UrlRenames.find(trimmed.columns.contains) match {
+          case Some(k) => trimmed.withColumnRenamed(k, "url")
+          case None => trimmed
+        }
+      val base = SchemaResolve.resolveColumns(renamed.columns, wanted)
+      val auto =
+        if (base.get("url").flatten.isDefined) None
+        else SchemaResolve.autodetectUrlColumn(renamed)
+      val mapping = if (auto.isDefined) base + ("url" -> auto) else base
+      SourceResolution(name, mapping, auto, if (countRows) renamed.count() else -1L)
+    }
+    Seq(
+      one("frog", cfg.frogPath, FrogColumns, trimHeaders = false, ga4Renames = false),
+      one("gsc", cfg.gscPath, GscColumns, trimHeaders = true, ga4Renames = false),
+      one("ga4", cfg.ga4Path, Ga4Columns, trimHeaders = true, ga4Renames = true))
+  }
 
   /** GSC per-URL aggregation (`_agg_gsc`, SURVEY §2 E1-E3): sums,
     * impressions-weighted mean position with neutral weight 1.0, ctr
@@ -227,10 +268,18 @@ object Pipeline {
 
   /** Debug slice (`ctr_debug.csv`, `etl_merge.py:945-952`): the FULL scored
     * candidate set — pre `missed_clicks > 0` filter — for triaging scoring
-    * behavior.
+    * behavior. Like the reference, it re-scores the FINAL (rounded) merged
+    * frame, keeps every merged column, and surfaces the debug columns first
+    * (`debug_cols_first`, `etl_merge.py:947-949`).
     */
-  def ctrDebugSlice(mergedDf: DataFrame, cfg: PipelineConfig): DataFrame =
-    Scoring.scoredCandidates(triageInput(mergedDf), cfg.scoring)
+  def ctrDebugSlice(mergedDf: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val scored = Scoring.scoredCandidates(mergedDf, cfg.scoring)
+    val first = Seq("url", "position", "ctr", "impressions", "expected_ctr",
+      "expected_ctr_bucket", "expected_ctr_units", "expected_ctr_uplift",
+      "ctr_deficit", "intent_multiplier", "missed_clicks").filter(scored.columns.contains)
+    val rest = scored.columns.filterNot(first.contains)
+    scored.select((first ++ rest).map(col): _*)
+  }
 
   private def triageInput(mergedDf: DataFrame): DataFrame =
     mergedDf.select(col("url"), col("position"), col("ctr"), col("impressions"),

@@ -231,10 +231,12 @@ object ExtensionQueries {
        |FROM t, r ORDER BY doc_id""".stripMargin
   }
 
-  /** q29 (rows-only): end-to-end MinHash+LSH near-dup detection. Doctored
-    * near-copies (last 5 tokens dropped) are unioned in; banded LSH must
-    * surface each (original, copy) pair. Non-SQL-expressible compactly
-    * (full 64-value signature mirror) → verified by construction + DedupSpec.
+  /** q29: end-to-end MinHash+LSH near-dup detection. Doctored near-copies
+    * (last 5 tokens dropped) are unioned in; banded LSH must surface each
+    * (original, copy) pair. Fully oracle-checked: the 64-component affine
+    * signature, the 16-band order-sensitive key folds, the bucket self-join
+    * and the est-Jaccard filter are all mirrored in DuckDB (generated SQL —
+    * every step is exact integer arithmetic, so the mirror is bit-exact).
     */
   def q29_minhash_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
@@ -256,6 +258,49 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), Dedup.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.4)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q29Sql: String = {
+    val toks = "string_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < 100 AND len($toks) >= 8
+       |), allv AS (
+       |  SELECT doc_id, text FROM d
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice($toks, 1, greatest(len($toks) - 5, 3)), ' ')
+       |  FROM d
+       |), hs AS (
+       |  SELECT doc_id, list_transform(
+       |    list_transform(range(1, len($toks) - 1),
+       |      sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' ')),
+       |    sh_s -> ${phSql("sh_s")}) AS hashes
+       |  FROM allv
+       |), sg AS (
+       |  SELECT doc_id, list_transform(range(0, 64), mh_i ->
+       |    list_min(list_transform(hashes, mh_h ->
+       |      (mh_h * (((2*mh_i + 1) * 2654435761) % 1000000007) + (40503*mh_i + 1)) % 1000000007))) AS sig
+       |  FROM hs
+       |), bands AS (SELECT unnest(range(0, 16)) AS band
+       |), banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, band*4 + 1, band*4 + 4)),
+       |      (bk_a, bk_x) -> (bk_a*31 + bk_x) % 1000000007) AS band_key
+       |  FROM sg CROSS JOIN bands
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT id_a, id_b,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      eq_i -> CASE WHEN sa.sig[eq_i] = sb.sig[eq_i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM cand JOIN sg sa ON id_a = sa.doc_id JOIN sg sb ON id_b = sb.doc_id
+       |)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** q30: brute-force cosine top-5 neighbors for 50 probe vectors — the
@@ -289,15 +334,69 @@ object ExtensionQueries {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
-  /** q31 (rows-only): LSH-bucketed approximate top-k (the scale path —
-    * candidates share a hyperplane-sign bucket). Recall vs. q30's exact
-    * answer is pinned in SimilaritySpec.
+  /** q31: LSH-bucketed approximate top-k (the scale path — candidates share
+    * a hyperplane-sign bucket in any of 4 tables). Fully oracle-checked: the
+    * hyperplanes are integer-LCG-derived exact rationals and the projections
+    * are in-order double folds, so the bucket assignment, multi-table
+    * candidate union, and cosine ranking all mirror bit-exactly in DuckDB
+    * (generated SQL). Recall vs. q30's exact answer additionally pinned in
+    * SimilaritySpec.
     */
   def q31_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.lshTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, 6, tables = 4)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val q31Sql: String = {
+    val nBits = 6
+    val tables = 4
+    // hyperplane(jj, i): LCG of (jj*4099 + i*131 + 7), scaled to an exact
+    // rational in [-1, 1] — mirrors Similarity.hyperplaneAt literally
+    def hp(jj: Int, i: String): String =
+      s"(CAST(((($jj*4099 + ($i)*131 + 7) * 1103515245 + 12345) % 2147483647) % 2001 - 1000 AS DOUBLE) / 1000.0)"
+    // in-order projection fold of vec onto hyperplane (t, j)
+    def proj(t: Int, j: Int): String = {
+      val jj = j + t * 1000
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len(vec)+1), pr_i -> vec[pr_i] * ${hp(jj, "pr_i - 1")})), " +
+        s"(pj_a, pj_b) -> pj_a + pj_b)"
+    }
+    // bucket(t) = fold(acc*2 + bit) over j = Σ bit_j · 2^(nBits-1-j)
+    def bucket(t: Int): String =
+      (0 until nBits).map { j =>
+        s"(CASE WHEN ${proj(t, j)} > 0 THEN ${1L << (nBits - 1 - j)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), dp_i -> $a[dp_i] * $b[dp_i])), " +
+        s"(dp_x, dp_y) -> dp_x + dp_y)"
+    val bucketCols = (0 until tables).map(t => s"${bucket(t)} AS bkt$t").mkString(",\n    ")
+    val peArms = (0 until tables).map(t =>
+      s"SELECT vec_id, vec, $t AS tbl, bkt$t AS bucket FROM bk").mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(range(1, len(embedding)+1),
+       |    cv_i -> CAST(embedding[cv_i] AS DOUBLE)) AS vec
+       |  FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, vec,
+       |    $bucketCols
+       |  FROM e
+       |), pe AS (
+       |  $peArms
+       |), hits AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |    ${fold("p.vec", "c.vec")} / (sqrt(${fold("p.vec", "p.vec")}) * sqrt(${fold("c.vec", "c.vec")})) AS cos
+       |  FROM pe p JOIN pe c ON p.tbl = c.tbl AND p.bucket = c.bucket
+       |  WHERE p.vec_id < 20 AND p.vec_id <> c.vec_id
+       |)
+       |SELECT probe_id,
+       |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rank,
+       |  cand_id, cos
+       |FROM hits
+       |QUALIFY rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
   }
 
   /** q32: multimodal plumbing end-to-end — documents → binary payload
@@ -351,8 +450,9 @@ object ExtensionQueries {
     "q26_jaccard_pairs" -> q26Sql,
     "q27_minhash" -> q27Sql,
     "q28_simhash" -> q28Sql,
+    "q29_minhash_lsh_pairs" -> q29Sql,
     "q30_cosine_topk" -> q30Sql,
+    "q31_ann_lsh" -> q31Sql,
     "q32_media_features" -> q32Sql
-    // q29, q31: rows-only (LSH internals pinned in DedupSpec/SimilaritySpec)
   )
 }

@@ -66,10 +66,11 @@ object ExtensionQueries2 {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q38 (rows-only): IVF approximate top-k — k-means centroids partition
-    * the corpus; probes search their nprobe nearest lists. Recall pinned in
-    * SimilaritySpec (k-means init is seed-deterministic but engine-internal,
-    * so no SQL oracle).
+  /** q38 (rows-only): IVF approximate top-k — sample-trained k-means
+    * centroids partition the corpus; probes search their nprobe nearest
+    * lists. The learned centroids are engine-internal, so this listing has
+    * no SQL mirror; its quality is value-certified by q47 (recall-floor
+    * oracle row) and SimilaritySpec.
     */
   def q38_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -77,6 +78,50 @@ object ExtensionQueries2 {
     IvfIndex.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** q47: ANN quality certification — IVF recall@5 vs the exact top-5 for
+    * the q38 configuration (nlist 16, nprobe 4). The centroids are learned
+    * (engine-internal), so the oracle pins the CONTRACT rather than the
+    * trajectory: DuckDB recomputes the exact-top-k denominator (`n_exact`)
+    * and the expected verdict literal; Spark computes the real recall and
+    * reports whether the pinned floor (0.40 — far above the 0.25
+    * random-probing baseline of nprobe/nlist; measured 0.54 at sf0.01)
+    * holds. A centroid/assignment/probe regression flips the boolean and
+    * reds the row.
+    */
+  def q47_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5)
+      .select(col("probe_id"), col("cand_id"))
+    val model = IvfIndex.train(e, "vec_id", "embedding", nlist = 16)
+    val ivf = IvfIndex.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4)
+      .select(col("probe_id"), col("cand_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(ivf, Seq("probe_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    nExact.crossJoin(hits)
+      .select(col("n_exact"),
+        (col("__hits").cast("double") / col("n_exact") >= 0.40).as("ivf_recall_ok"))
+  }
+
+  val q47Sql: String = {
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), dp_i -> CAST($a[dp_i] AS DOUBLE) * CAST($b[dp_i] AS DOUBLE))), " +
+        s"(dp_x, dp_y) -> dp_x + dp_y)"
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       |s AS (
+       |  SELECT probe_id, cand_id,
+       |    ${fold("pv", "cv")} / (sqrt(${fold("pv", "pv")}) * sqrt(${fold("cv", "cv")})) AS cos
+       |  FROM p CROSS JOIN c WHERE probe_id <> cand_id
+       |), topk AS (
+       |  SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM s QUALIFY rank <= 5
+       |)
+       |SELECT count(*) AS n_exact, true AS ivf_recall_ok FROM topk""".stripMargin
   }
 
   /** q42: near-dup CLUSTERING — the dedup decision step. Two doctored
@@ -151,11 +196,13 @@ object ExtensionQueries2 {
   val queries: Map[String, Q] = Map(
     "q37_embed_dedup" -> (q37_embed_dedup _),
     "q38_ann_ivf" -> (q38_ann_ivf _),
-    "q42_dedup_clusters" -> (q42_dedup_clusters _)
+    "q42_dedup_clusters" -> (q42_dedup_clusters _),
+    "q47_ann_recall" -> (q47_ann_recall _)
   )
 
   val oracle: Map[String, String] = Map(
     "q37_embed_dedup" -> q37Sql,
-    "q42_dedup_clusters" -> q42Sql
+    "q42_dedup_clusters" -> q42Sql,
+    "q47_ann_recall" -> q47Sql
   )
 }

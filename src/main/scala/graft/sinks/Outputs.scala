@@ -42,6 +42,16 @@ object Outputs {
       .write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Boolean-like env toggle (`get_env_bool`, `etl_merge.py:447-461`):
+    * 1/true/yes/y/on → true, 0/false/no/n/off → false, unset/other → default.
+    */
+  def envBool(name: String, default: Boolean): Boolean =
+    sys.env.get(name).map(_.trim.toLowerCase) match {
+      case Some(s) if Set("1", "true", "yes", "y", "on")(s) => true
+      case Some(s) if Set("0", "false", "no", "n", "off")(s) => false
+      case _ => default
+    }
+
   /** Run-log append (`etl_merge.py:986-1004`): one lineage line per run. */
   def appendRunLog(path: String, runId: String, runTimestamp: Long, rowsMerged: Long,
       frog: String, gsc: String, ga4: String, mergedOut: String): Unit =

@@ -55,4 +55,28 @@ class ConfigAndOutputsSpec extends SparkSpecBase {
     val lines = scala.io.Source.fromFile(p).getLines().toList
     assert(lines(1).contains("Top pages") && lines(1).contains("position"))
   }
+
+  test("envBool mirrors the reference's truthy/falsy/default parsing") {
+    // unset name → default (both ways)
+    assert(Outputs.envBool("GRAFT_NO_SUCH_ENV", default = true))
+    assert(!Outputs.envBool("GRAFT_NO_SUCH_ENV", default = false))
+    // set values come from the real environment, so pin via PATH (always set,
+    // never boolean-like → falls back to default)
+    assert(Outputs.envBool("PATH", default = true))
+    assert(!Outputs.envBool("PATH", default = false))
+  }
+
+  test("sourceResolutions reports mapping + autodetect + row counts per source") {
+    def fx(name: String): String = getClass.getResource(s"/fixtures/$name").getPath
+    val cfg = graft.Pipeline.PipelineConfig(
+      frogPath = fx("frog.csv"), gscPath = fx("gsc.csv"), ga4Path = fx("ga4.csv"))
+    val rs = graft.Pipeline.sourceResolutions(spark, cfg, countRows = true)
+    assert(rs.map(_.source) == Seq("frog", "gsc", "ga4"))
+    rs.foreach { r =>
+      assert(r.mapping.get("url").flatten.isDefined, s"${r.source} lost its url mapping")
+      assert(r.rows > 0, s"${r.source} row count")
+    }
+    val lazyRs = graft.Pipeline.sourceResolutions(spark, cfg)
+    assert(lazyRs.forall(_.rows == -1L), "rows counted without being asked")
+  }
 }

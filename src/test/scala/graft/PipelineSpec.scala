@@ -114,10 +114,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.head.getAs[Double]("users") == 7.0)
   }
 
-  test("full run writes the three parquet sinks") {
+  test("full run writes the four parquet sinks; ctr_debug is the pre-filter candidate set") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     Pipeline.run(spark, cfg, out)
-    for (s <- Seq("merged_visibility", "anomaly_ctr_underperf", "schema_gaps"))
+    for (s <- Seq("merged_visibility", "ctr_debug", "anomaly_ctr_underperf", "schema_gaps"))
       assert(spark.read.parquet(s"$out/$s").count() > 0, s)
+    // debug slice == candidate mask (position/ctr/impressions non-null,
+    // position ≤ maxPosition), BEFORE the missed_clicks > 0 keep-filter
+    val debug = spark.read.parquet(s"$out/ctr_debug")
+    val expectedCandidates = merged.collect().count { r =>
+      !r.isNullAt(r.fieldIndex("position")) && !r.isNullAt(r.fieldIndex("ctr")) &&
+        !r.isNullAt(r.fieldIndex("impressions")) &&
+        r.getAs[Double]("position") <= cfg.scoring.maxPosition
+    }
+    assert(debug.count() == expectedCandidates)
+    assert(debug.count() >= spark.read.parquet(s"$out/anomaly_ctr_underperf").count())
+    // reference debug_cols_first ordering (etl_merge.py:947-949) + full width
+    assert(debug.columns.take(11).toSeq == Seq("url", "position", "ctr", "impressions",
+      "expected_ctr", "expected_ctr_bucket", "expected_ctr_units", "expected_ctr_uplift",
+      "ctr_deficit", "intent_multiplier", "missed_clicks"))
+    assert(Pipeline.ColumnOrder.forall(debug.columns.contains))
   }
 }

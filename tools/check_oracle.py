@@ -59,6 +59,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        # the driver's pandas comparator cannot hash/sort array cells
+        # (q44 round-1 red row) — reject them here so the local recipe
+        # never green-lights a query the real gate will fail
+        arr_cols = [c for c, r in zip(gcols, zip(*grows)) if grows
+                    and any(isinstance(v, (list, tuple)) for v in r)]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed result columns {arr_cols} "
+                  f"(driver comparator rejects; serialize with array_join)")
+            n_fail += 1
+            continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
