@@ -68,6 +68,35 @@ object TextAnalysis {
       "uniq_ratio" -> uniqRatio, "quality" -> quality)
   }
 
+  /** Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1 shape),
+    * all exact-integer derived: duplicate 2-/3-gram fractions (via the
+    * codegen'd shingle-hash pass — a repeated n-gram hashes identically),
+    * max token length, digit and symbol character fractions, and a composite
+    * keep-flag with the classic thresholds. Per-row expressions, no shuffle.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    def dupFrac(k: Int): Column = {
+      val hs = graft.functions.ShingleHashes.shingleHashes(text, k)
+      val n = size(hs)
+      when(n > 0, (n - size(array_distinct(hs))).cast("double") / n)
+    }
+    val n = tokenCount(text)
+    val chars = length(text)
+    val maxTok = array_max(transform(tokens(text), t => length(t)))
+    val digitFrac = when(chars > 0,
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / chars)
+    val symbolFrac = when(chars > 0,
+      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / chars)
+    val dup2 = dupFrac(2)
+    val dup3 = dupFrac(3)
+    val keep = n.between(2, 100000) &&
+      coalesce(dup2 <= 0.4, lit(true)) && coalesce(dup3 <= 0.3, lit(true)) &&
+      maxTok <= 30 && coalesce(symbolFrac <= 0.1, lit(false))
+    Seq("n_tokens" -> n.cast("long"), "dup2_frac" -> dup2, "dup3_frac" -> dup3,
+      "max_token_len" -> maxTok.cast("long"), "digit_frac" -> digitFrac,
+      "symbol_frac" -> symbolFrac, "gopher_keep" -> keep)
+  }
+
   /** Polynomial rolling hash over bytes, mod 1e9+7 — exact integer fold,
     * mirrorable in any engine with list folds:
     * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) % M).

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Contamination, TextAnalysis}
+
+/** Training-data governance operators: benchmark decontamination and
+  * Gopher-style repetition/quality filtering — the remaining first-class
+  * ops a 100 TB pretraining pipeline runs besides dedup/similarity.
+  */
+object ExtensionQueries3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB polyhash mirror over an arbitrary string SQL expression. */
+  private def phSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), ch_i -> CAST(ascii(substring($e, ch_i, 1)) AS BIGINT))), " +
+      s"(ph_a, ph_b) -> (ph_a*31 + ph_b) % 1000000007)"
+
+  /** q48: benchmark decontamination — corpus docs sharing 3-gram shingles
+    * with the eval set (docs 0-9). Doctored leaks (eval docs minus their
+    * last 3 tokens, id+100000) are unioned into the corpus; the overlap
+    * join must flag each with high overlap_frac while organic near-misses
+    * stay below the flag threshold. Eval shingle set is broadcast — the
+    * corpus side never shuffles except the per-doc count.
+    */
+  def q48_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val evalSet = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    val leaked = evalSet.filter(size(toks) >= 6)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text"))
+    val corpus = d.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), col("text"))
+      .union(leaked)
+    Contamination.overlap(corpus, evalSet, "doc_id", col("text"), 3)
+      .withColumn("contaminated", col("overlap_frac") >= 0.5)
+      .select(col("id").as("doc_id"), col("n_shared"), col("n_shingles"),
+        col("overlap_frac"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q48Sql: String = {
+    val toks = "string_split(text, ' ')"
+    def shingles(src: String) =
+      s"""SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len($toks) - 1),
+         |      sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' ')),
+         |    sh_s -> ${phSql("sh_s")})) AS shs
+         |  FROM $src WHERE len($toks) >= 3""".stripMargin
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id < 10
+       |), leaked AS (
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    array_to_string(list_slice($toks, 1, len($toks) - 3), ' ') AS text
+       |  FROM ev WHERE len($toks) >= 6
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+       |  UNION ALL SELECT doc_id, text FROM leaked
+       |), evsh AS (
+       |  SELECT DISTINCT unnest(shs) AS sh FROM (${shingles("ev")})
+       |), corp AS (
+       |  ${shingles("corpus")}
+       |), hits AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM (SELECT doc_id, unnest(shs) AS sh FROM corp) cs
+       |  JOIN evsh USING (sh) GROUP BY doc_id
+       |)
+       |SELECT corp.doc_id, n_shared, CAST(len(shs) AS BIGINT) AS n_shingles,
+       |  CAST(n_shared AS DOUBLE) / len(shs) AS overlap_frac,
+       |  CAST(n_shared AS DOUBLE) / len(shs) >= 0.5 AS contaminated
+       |FROM hits JOIN corp ON hits.doc_id = corp.doc_id
+       |ORDER BY corp.doc_id""".stripMargin
+  }
+
+  /** q49: Gopher-style repetition/quality signals per document — duplicate
+    * 2-/3-gram fractions (shingle-hash pass), max token length, digit and
+    * symbol character fractions, and the composite keep-flag. Pure per-row
+    * expressions; every fraction is a ratio of exact integers.
+    */
+  def q49_repetition_quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val cols = TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String = {
+    val toks = "string_split(text, ' ')"
+    def dupFrac(k: Int): String = {
+      val hs = s"list_transform(list_transform(range(1, len($toks) - ${k - 2}), " +
+        s"sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + ${k - 1}), ' ')), " +
+        s"sh_s -> ${phSql("sh_s")})"
+      s"CASE WHEN len($toks) - ${k - 1} > 0 THEN " +
+        s"CAST(len($hs) - len(list_distinct($hs)) AS DOUBLE) / len($hs) END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    ${dupFrac(2)} AS dup2_frac,
+       |    ${dupFrac(3)} AS dup3_frac,
+       |    CAST(list_max(list_transform($toks, mt_t -> length(mt_t))) AS BIGINT) AS max_token_len,
+       |    CASE WHEN length(text) > 0 THEN
+       |      CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_frac,
+       |    CASE WHEN length(text) > 0 THEN
+       |      CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS symbol_frac
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens, dup2_frac, dup3_frac, max_token_len, digit_frac, symbol_frac,
+       |  (n_tokens BETWEEN 2 AND 100000) AND coalesce(dup2_frac <= 0.4, true)
+       |    AND coalesce(dup3_frac <= 0.3, true) AND max_token_len <= 30
+       |    AND coalesce(symbol_frac <= 0.1, false) AS gopher_keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q48_decontaminate" -> (q48_decontaminate _),
+    "q49_repetition_quality" -> (q49_repetition_quality _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q48_decontaminate" -> q48Sql,
+    "q49_repetition_quality" -> q49Sql
+  )
+}

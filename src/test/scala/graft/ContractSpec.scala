@@ -17,7 +17,8 @@ class ContractSpec extends SparkSpecBase {
     "relational5" -> (RelationalQueries5.queries.keySet, RelationalQueries5.oracle.keySet),
     "streaming" -> (StreamingQueries.queries.keySet, StreamingQueries.oracle.keySet),
     "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
-    "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet))
+    "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet),
+    "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)

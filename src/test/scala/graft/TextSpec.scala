@@ -45,6 +45,36 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("repetition signals: known duplicate-ngram fractions, flags") {
+    val df = Seq(
+      (1L, "a a a"),            // 2-grams: ["a a","a a"] → dup2 = 1/2
+      (2L, "w x y z"),          // all distinct → dup2 = 0
+      (3L, "only"),             // 1 token → no 2-grams → null, keep=false (n<2)
+      (4L, "ok ok $$$ %%% @@@") // symbols 9/17 > 0.1 → keep=false
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+    val r = df.select(col("doc_id") +: cols: _*).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup2_frac") == 0.5)
+    assert(!r(0).getAs[Boolean]("gopher_keep")) // dup2 0.5 > 0.4 threshold
+    assert(r(1).getAs[Double]("dup2_frac") == 0.0)
+    assert(r(1).getAs[Boolean]("gopher_keep"))
+    assert(r(2).isNullAt(r(2).fieldIndex("dup2_frac")))
+    assert(!r(2).getAs[Boolean]("gopher_keep"))
+    assert(!r(3).getAs[Boolean]("gopher_keep"))
+  }
+
+  test("contamination overlap: verbatim leak → 1.0, disjoint doc absent") {
+    val evalSet = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"), // verbatim leak
+      (11L, "zeta eta theta iota")     // disjoint
+    ).toDF("doc_id", "text")
+    val r = graft.ext.Contamination.overlap(corpus, evalSet, "doc_id", col("text"), 3)
+      .collect()
+    assert(r.map(_.getAs[Long]("id")).toSet == Set(10L))
+    assert(r.head.getAs[Double]("overlap_frac") == 1.0)
+  }
+
   test("IVF train: hash-sampled path is deterministic and respects maxTrain") {
     val emb = Tables0.embeddings(spark).limit(60).cache()
     def fit() = graft.ext.IvfIndex.train(emb, "vec_id", "embedding",
