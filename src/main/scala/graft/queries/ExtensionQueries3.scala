@@ -114,13 +114,47 @@ object ExtensionQueries3 {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** q50: vocabulary construction — corpus term statistics (total term
+    * frequency + document frequency), top-500 by frequency with pinned
+    * ties. The classic wordcount shape at 100 TB: explode → partial-agg
+    * combine → one shuffle on the term key; df via distinct-agg expand;
+    * top-k via sort+limit (TakeOrderedAndProject), then the bounded rank.
+    */
+  def q50_vocab(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val terms = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val stats = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(500)
+    val w = graft.ops.Ranks.bounded(col("term"), col("tf").desc, col("term"))
+    stats.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("rank"))
+  }
+
+  val q50Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), stats AS (
+      |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |  FROM terms WHERE length(term) > 0 GROUP BY term
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS rank,
+      |  term, tf, df
+      |FROM stats
+      |QUALIFY rank <= 500
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_decontaminate" -> (q48_decontaminate _),
-    "q49_repetition_quality" -> (q49_repetition_quality _)
+    "q49_repetition_quality" -> (q49_repetition_quality _),
+    "q50_vocab" -> (q50_vocab _)
   )
 
   val oracle: Map[String, String] = Map(
     "q48_decontaminate" -> q48Sql,
-    "q49_repetition_quality" -> q49Sql
+    "q49_repetition_quality" -> q49Sql,
+    "q50_vocab" -> q50Sql
   )
 }

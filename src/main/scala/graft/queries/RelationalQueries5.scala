@@ -76,13 +76,53 @@ object RelationalQueries5 {
       |  CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
       |FROM longf GROUP BY measure ORDER BY measure""".stripMargin
 
+  /** q51: exact-decimal money aggregation — the DecimalType path (no FP
+    * drift at any scale or partitioning): prices enter as exact cents,
+    * become decimal(18,2) via exact decimal multiplication (never through
+    * doubles), and sum/min/max exactly. The reference's CSV-flat world has
+    * no decimals (SURVEY §1.2); a 100 TB money pipeline needs them.
+    * Results leave as canonical fixed-scale STRINGS: the harness comparator
+    * hashes cells through pandas, where parquet decimals surface as Decimal
+    * objects but DuckDB decimals may surface as float64 — the same
+    * cross-representation trap that made q44's arrays red in round 1.
+    */
+  def q51_decimal_money(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = (cents(col("l_extendedprice")).cast("decimal(18,0)") *
+      lit(new java.math.BigDecimal("0.01"))).cast("decimal(18,2)")
+    li.select(col("l_returnflag"), p.as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p")).cast("decimal(38,2)").cast("string").as("sum_price"),
+        min(col("p")).cast("decimal(18,2)").cast("string").as("min_price"),
+        max(col("p")).cast("decimal(18,2)").cast("string").as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q51Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DECIMAL(18,0))
+      |         * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(18,2)) AS p
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  CAST(CAST(sum(p) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+      |  CAST(CAST(min(p) AS DECIMAL(18,2)) AS VARCHAR) AS min_price,
+      |  CAST(CAST(max(p) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+      |  count(*) AS n
+      |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_collection_aggs" -> (q44_collection_aggs _),
-    "q45_unpivot" -> (q45_unpivot _)
+    "q45_unpivot" -> (q45_unpivot _),
+    "q51_decimal_money" -> (q51_decimal_money _)
   )
 
   val oracle: Map[String, String] = Map(
     "q44_collection_aggs" -> q44Sql,
-    "q45_unpivot" -> q45Sql
+    "q45_unpivot" -> q45Sql,
+    "q51_decimal_money" -> q51Sql
   )
 }
