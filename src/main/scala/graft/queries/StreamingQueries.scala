@@ -55,11 +55,38 @@ object StreamingQueries {
       |WHERE total_cents // 50000 > prev_total // 50000
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q52: the stream-static enrichment join's batch formulation — events
+    * left-joined to the customer dimension (broadcast), rolled up per
+    * (hour window, market segment) with exact-cents sums.
+    */
+  def q52_stream_enrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    graft.streaming.StreamOps.enrichedAgg(ev, cust, "1 hour")
+      .orderBy(col("window_start"), col("segment"))
+  }
+
+  val q52Sql: String =
+    """WITH e AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+      |    user_id, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events
+      |), j AS (
+      |  SELECT window_start, c_mktsegment AS segment, vc
+      |  FROM e LEFT JOIN customer ON user_id = c_custkey
+      |)
+      |SELECT window_start, segment, count(*) AS n,
+      |  CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+      |FROM j GROUP BY window_start, segment
+      |ORDER BY window_start, segment""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q46_spend_milestones" -> (q46_spend_milestones _)
+    "q46_spend_milestones" -> (q46_spend_milestones _),
+    "q52_stream_enrich" -> (q52_stream_enrich _)
   )
 
   val oracle: Map[String, String] = Map(
-    "q46_spend_milestones" -> q46Sql
+    "q46_spend_milestones" -> q46Sql,
+    "q52_stream_enrich" -> q52Sql
   )
 }

@@ -54,6 +54,22 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: each event joins the (broadcast) static
+    * dimension — Spark's stateless stream-static join, the standard
+    * enrich-then-aggregate shape — followed by a tumbling rollup per
+    * segment. The static side is re-broadcast per micro-batch by the
+    * engine; events missing a dimension row survive via left join. Batch
+    * equivalence pinned in StreamingSpec; DuckDB oracle in q52.
+    */
+  def enrichedAgg(events: DataFrame, dim: DataFrame, width: String): DataFrame =
+    events.withColumn("event_ts", tsCol)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("event_ts"), width).as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment").as("segment"),
+        col("n"), col("sum_value"))
+
   /** Idempotent re-delivery dedup: first event per (user_id, event_type).
     * Streaming: withWatermark + dropDuplicates (bounded state). Batch
     * equivalent keeps earliest (ts, event_id) via row_number.

@@ -28,6 +28,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty && batch.sameElements(stream))
   }
 
+  test("stream-static enrichment join: streaming == batch") {
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = StreamOps.enrichedAgg(batchEvents, dim, "1 hour")
+      .collect().map(_.toString).sorted
+    val stream = StreamOps.runToMemory(spark, srcDir, "enrich_out",
+      df => StreamOps.enrichedAgg(df, dim, "1 hour"), "complete")
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream))
+  }
+
   test("streaming dedup == batch keep-earliest dedup") {
     val stream = StreamOps.runToMemory(spark, srcDir, "dedup_out",
       df => StreamOps.dedupStream(df, "1 hour"), "append")
