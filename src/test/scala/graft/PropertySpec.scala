@@ -31,6 +31,24 @@ class PropertySpec extends SparkSpecBase {
     frag <- Gen.oneOf("", "#f", "#a b")
   } yield s"$scheme://$host/${segs.mkString("/")}$trail$q$frag"
 
+  test("Ranks.bounded after sort+limit == global-window row_number (random data)") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(200, Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0, 40)))
+    forSamples(rows, n = 5) { data =>
+      val df = data.distinct.toDF("id", "v") // distinct ids → total order via (v desc, id)
+      val k = 25
+      val bounded = df.orderBy(col("v").desc, col("id")).limit(k)
+        .withColumn("r", row_number()
+          .over(graft.ops.Ranks.bounded(col("id"), col("v").desc, col("id"))).cast("int"))
+        .select("id", "r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val global = df
+        .withColumn("r", row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("int"))
+        .filter(col("r") <= k)
+        .select("id", "r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(bounded == global)
+    }
+  }
+
   test("url_normalize is idempotent over generated URLs (f(f(x)) == f(x))") {
     forSamples(urlGen) { u =>
       val once = UrlOps.normalize(u, "", stripAllParams = false)
