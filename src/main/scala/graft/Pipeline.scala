@@ -42,14 +42,38 @@ object Pipeline {
   val Ga4Columns: Seq[String] = Seq("url", "users", "sessions",
     "engaged_sessions", "avg_engagement_time")
 
+  /** One shared header-resolution step per source — trim, GA4 renames, and
+    * the url-autodetect fallback — used by BOTH the loaders and the
+    * governance report ([[sourceResolutions]]), so the audit log can never
+    * drift from what the pipeline actually resolved.
+    */
+  private final case class Resolved(frame: DataFrame,
+      mapping: Map[String, Option[String]], autodetectedUrl: Option[String])
+
+  private def resolveHeaders(raw0: DataFrame, wanted: Seq[String],
+      trimHeaders: Boolean, ga4Renames: Boolean): Resolved = {
+    val trimmed = if (trimHeaders) raw0.toDF(raw0.columns.map(_.trim): _*) else raw0
+    // GA4 hard-coded URL header renames (first hit, only if url absent)
+    val renamed =
+      if (!ga4Renames || trimmed.columns.contains("url")) trimmed
+      else SchemaResolve.Ga4UrlRenames.find(trimmed.columns.contains) match {
+        case Some(k) => trimmed.withColumnRenamed(k, "url")
+        case None => trimmed
+      }
+    val base = SchemaResolve.resolveColumns(renamed.columns, wanted)
+    val auto =
+      if (base.get("url").flatten.isDefined) None
+      else SchemaResolve.autodetectUrlColumn(renamed)
+    Resolved(renamed, if (auto.isDefined) base + ("url" -> auto) else base, auto)
+  }
+
   /** Screaming Frog loader (`etl_merge.py:527-544`): crawl spine columns,
     * int coercions, normalized urls.
     */
   def loadFrog(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = FrogColumns
-    val raw = Sources.loadTable(spark, cfg.frogPath)
-    val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
-    val out = SchemaResolve.coalesceToCanonical(raw, mapping, wanted)
+    val r = resolveHeaders(Sources.loadTable(spark, cfg.frogPath), FrogColumns,
+      trimHeaders = false, ga4Renames = false)
+    val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, FrogColumns)
       .withColumn("url", urlNorm(cfg)(col("url")))
     Seq("status_code", "click_depth", "inlinks", "word_count")
       .foldLeft(out)((df, c) => df.withColumn(c, NumOps.toLong(col(c))))
@@ -59,11 +83,9 @@ object Pipeline {
     * numeric parses, data-dependent CTR normalization.
     */
   def loadGsc(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = GscColumns
-    val raw0 = Sources.loadTable(spark, cfg.gscPath)
-    val raw = raw0.toDF(raw0.columns.map(_.trim): _*)
-    val mapping = withAutodetect(raw, SchemaResolve.resolveColumns(raw.columns, wanted))
-    val out = SchemaResolve.coalesceToCanonical(raw, mapping, wanted)
+    val r = resolveHeaders(Sources.loadTable(spark, cfg.gscPath), GscColumns,
+      trimHeaders = true, ga4Renames = false)
+    val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, GscColumns)
       .filter(SchemaResolve.looksUrlLike(col("url")))
       .withColumn("url", urlNorm(cfg)(col("url")))
       .withColumn("clicks", NumOps.toDoubleNoComma(col("clicks")))
@@ -76,19 +98,10 @@ object Pipeline {
     * renames, junk-marker anti-filter, numeric coercion.
     */
   def loadGa4(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val wanted = Ga4Columns
-    val raw0 = Sources.loadTable(spark, cfg.ga4Path)
-    val trimmed = raw0.toDF(raw0.columns.map(_.trim): _*)
-    // GA4 hard-coded URL header renames (first hit, only if url absent)
-    val renamed =
-      if (trimmed.columns.contains("url")) trimmed
-      else SchemaResolve.Ga4UrlRenames.find(trimmed.columns.contains) match {
-        case Some(k) => trimmed.withColumnRenamed(k, "url")
-        case None => trimmed
-      }
-    val mapping = withAutodetect(renamed, SchemaResolve.resolveColumns(renamed.columns, wanted))
+    val r = resolveHeaders(Sources.loadTable(spark, cfg.ga4Path), Ga4Columns,
+      trimHeaders = true, ga4Renames = true)
     val junk = Seq("(not set)", "(other)", "other", "not set")
-    val out = SchemaResolve.coalesceToCanonical(renamed, mapping, wanted)
+    val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, Ga4Columns)
       .withColumn("url", trim(col("url")))
       .filter(SchemaResolve.looksUrlLike(col("url")) && !lower(col("url")).isin(junk: _*))
       .withColumn("url", urlNorm(cfg)(col("url")))
@@ -96,16 +109,10 @@ object Pipeline {
       .foldLeft(out)((df, c) => df.withColumn(c, NumOps.toDouble(col(c))))
   }
 
-  private def withAutodetect(raw: DataFrame,
-      mapping: Map[String, Option[String]]): Map[String, Option[String]] =
-    if (mapping.get("url").flatten.isDefined) mapping
-    else mapping + ("url" -> SchemaResolve.autodetectUrlColumn(raw))
-
   /** Per-source schema-resolution report — the governance metadata the
     * reference emits via `log_field_summary` (`etl_merge.py:314-317`) and
-    * `write_autodetect_log` (`etl_merge.py:222-247`). Metadata-plane:
-    * re-derives each source's mapping from its raw headers (mirroring the
-    * loaders' trim/rename/autodetect steps); `rows` is counted only when
+    * `write_autodetect_log` (`etl_merge.py:222-247`). Runs the SAME
+    * [[resolveHeaders]] step as the loaders; `rows` is counted only when
     * asked (one cheap job per source) and is -1 otherwise.
     */
   final case class SourceResolution(source: String,
@@ -115,20 +122,9 @@ object Pipeline {
       countRows: Boolean = false): Seq[SourceResolution] = {
     def one(name: String, path: String, wanted: Seq[String],
         trimHeaders: Boolean, ga4Renames: Boolean): SourceResolution = {
-      val raw0 = Sources.loadTable(spark, path)
-      val trimmed = if (trimHeaders) raw0.toDF(raw0.columns.map(_.trim): _*) else raw0
-      val renamed =
-        if (!ga4Renames || trimmed.columns.contains("url")) trimmed
-        else SchemaResolve.Ga4UrlRenames.find(trimmed.columns.contains) match {
-          case Some(k) => trimmed.withColumnRenamed(k, "url")
-          case None => trimmed
-        }
-      val base = SchemaResolve.resolveColumns(renamed.columns, wanted)
-      val auto =
-        if (base.get("url").flatten.isDefined) None
-        else SchemaResolve.autodetectUrlColumn(renamed)
-      val mapping = if (auto.isDefined) base + ("url" -> auto) else base
-      SourceResolution(name, mapping, auto, if (countRows) renamed.count() else -1L)
+      val r = resolveHeaders(Sources.loadTable(spark, path), wanted, trimHeaders, ga4Renames)
+      SourceResolution(name, r.mapping, r.autodetectedUrl,
+        if (countRows) r.frame.count() else -1L)
     }
     Seq(
       one("frog", cfg.frogPath, FrogColumns, trimHeaders = false, ga4Renames = false),
@@ -291,6 +287,9 @@ object Pipeline {
 
   /** Run the full pipeline and write outputs (parquet canonical; stage 12/
     * 13/15 sinks). Returns the merged frame for further composition.
+    * Scoring runs ONCE: the anomaly sink is the debug frame's
+    * underperformers-only continuation (same scored columns, narrow triage
+    * projection, keep-filter + rank) — not a second scoring pass.
     */
   def run(spark: SparkSession, cfg: PipelineConfig, outDir: String): DataFrame = {
     val m = merged(spark, cfg).persist()
@@ -299,8 +298,14 @@ object Pipeline {
     m.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id").parquet(s"$outDir/merged_visibility")
-    ctrDebugSlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/ctr_debug")
-    anomalySlice(m, cfg).write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
+    val debug = ctrDebugSlice(m, cfg).persist()
+    debug.write.mode("overwrite").parquet(s"$outDir/ctr_debug")
+    val triageCols = Seq("url", "position", "ctr", "impressions", "clicks",
+      "schema_types", "expected_ctr", "expected_ctr_bucket", "ctr_deficit",
+      "intent_multiplier", "missed_clicks")
+    Scoring.rankUnderperformers(debug.select(triageCols.map(col): _*), cfg.scoring)
+      .write.mode("overwrite").parquet(s"$outDir/anomaly_ctr_underperf")
+    debug.unpersist()
     schemaGaps(m).write.mode("overwrite").parquet(s"$outDir/schema_gaps")
     m
   }

@@ -26,13 +26,16 @@ object Contamination {
     val evalSh = evalSet.filter(size(TextAnalysis.tokens(text)) >= k)
       .select(explode(array_distinct(Dedup.shingleHashes(text, k))).as("sh"))
       .distinct()
-    val corp = corpus.filter(size(TextAnalysis.tokens(text)) >= k)
+    // n_shingles rides along through the explode and the groupBy key so the
+    // corpus shingle pass runs ONCE and the only shuffle is the per-doc
+    // count — no second scan, no corpus-wide size join
+    corpus.filter(size(TextAnalysis.tokens(text)) >= k)
       .select(col(idCol).as("id"), array_distinct(Dedup.shingleHashes(text, k)).as("shs"))
-    val sizes = corp.select(col("id"), size(col("shs")).cast("long").as("n_shingles"))
-    corp.select(col("id"), explode(col("shs")).as("sh"))
+      .select(col("id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("sh"))
       .join(broadcast(evalSh), Seq("sh"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
-      .join(sizes, Seq("id"))
-      .withColumn("overlap_frac", col("n_shared").cast("double") / col("n_shingles"))
+      .groupBy(col("id"), col("n_shingles")).agg(count(lit(1)).as("n_shared"))
+      .select(col("id"), col("n_shared"), col("n_shingles"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("overlap_frac"))
   }
 }

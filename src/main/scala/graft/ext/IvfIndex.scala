@@ -34,20 +34,25 @@ object IvfIndex {
   def train(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L, maxTrain: Int = 10000, iters: Int = 10): Model = {
     val n = emb.count()
-    val sampled =
-      if (n <= maxTrain) emb
-      else {
-        val step = (n + maxTrain - 1) / maxTrain
-        emb.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(step)) === 0)
-      }
-    val rows = sampled
-      .select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val pts = rows.map(_._2)
-    require(pts.length >= nlist, s"sample ${pts.length} smaller than nlist $nlist")
+    def collectSample(step: Long): Array[(Long, Array[Double])] = {
+      val sampled =
+        if (step <= 1) emb
+        else emb.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(step)) === 0)
+      sampled
+        .select(col(idCol).cast("long").as("id"),
+          Similarity.toDouble(col(vecCol)).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
+    val step = if (n <= maxTrain) 1L else (n + maxTrain - 1) / maxTrain
+    var rows = collectSample(step)
+    // the hash draw is binomial around n/step: enforce the documented upper
+    // bound exactly (deterministic id-sorted prefix), and on a pathological
+    // undershoot retry once with a denser stride before giving up
+    if (rows.length < nlist && step > 1) rows = collectSample(math.max(1L, step / 8))
+    require(rows.length >= nlist, s"sample ${rows.length} smaller than nlist $nlist")
+    val pts = rows.take(maxTrain).map(_._2)
     val dim = pts.head.length
 
     def distSq(a: Array[Double], b: Array[Double]): Double = {
@@ -82,19 +87,15 @@ object IvfIndex {
         while (i < dim) { sums(c)(i) += pts(p)(i); i += 1 }
         p += 1
       }
+      // empty lists restart at the points FARTHEST from their assigned
+      // centroids — each empty cluster takes the next point of the
+      // farthest-first order (deterministic: distance desc, index asc), so
+      // simultaneous empties never collapse onto one duplicate centroid
+      lazy val farthestOrder: Iterator[Int] = pts.indices
+        .sortBy(q => (-distSq(pts(q), centroids(assign(q))), q)).iterator
       centroids = Array.tabulate(nlist) { c =>
         if (counts(c) > 0) { val a = sums(c); var i = 0; while (i < dim) { a(i) /= counts(c); i += 1 }; a }
-        else {
-          // empty list: restart it at the point farthest from its centroid
-          // (deterministic: max distance, lowest index on ties)
-          var far = 0; var farD = -1.0; var q = 0
-          while (q < pts.length) {
-            val d = distSq(pts(q), centroids(assign(q)))
-            if (d > farD) { farD = d; far = q }
-            q += 1
-          }
-          pts(far).clone()
-        }
+        else pts(farthestOrder.next()).clone()
       }
       it += 1
     }

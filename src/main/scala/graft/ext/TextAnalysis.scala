@@ -73,29 +73,38 @@ object TextAnalysis {
     * codegen'd shingle-hash pass — a repeated n-gram hashes identically),
     * max token length, digit and symbol character fractions, and a composite
     * keep-flag with the classic thresholds. Per-row expressions, no shuffle.
+    *
+    * Frame transform (not free columns) so the expensive shingle-hash
+    * arrays BIND ONCE per row per k — the inline-reference form would make
+    * Catalyst re-evaluate the byte pass per consumer (the Dedup scaladoc
+    * trap). Appends the signal columns; drops its scratch bindings.
     */
-  def repetitionColumns(text: Column): Seq[(String, Column)] = {
-    def dupFrac(k: Int): Column = {
-      val hs = graft.functions.ShingleHashes.shingleHashes(text, k)
-      val n = size(hs)
-      when(n > 0, (n - size(array_distinct(hs))).cast("double") / n)
-    }
-    val n = tokenCount(text)
+  def withRepetitionColumns(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    def dupFrac(h: Column): Column =
+      when(size(h) > 0, (size(h) - size(array_distinct(h))).cast("double") / size(h))
     val chars = length(text)
-    val maxTok = array_max(transform(tokens(text), t => length(t)))
-    val digitFrac = when(chars > 0,
-      length(regexp_replace(text, "[^0-9]", "")).cast("double") / chars)
-    val symbolFrac = when(chars > 0,
-      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / chars)
-    val dup2 = dupFrac(2)
-    val dup3 = dupFrac(3)
-    val keep = n.between(2, 100000) &&
-      coalesce(dup2 <= 0.4, lit(true)) && coalesce(dup3 <= 0.3, lit(true)) &&
-      maxTok <= 30 && coalesce(symbolFrac <= 0.1, lit(false))
-    Seq("n_tokens" -> n.cast("long"), "dup2_frac" -> dup2, "dup3_frac" -> dup3,
-      "max_token_len" -> maxTok.cast("long"), "digit_frac" -> digitFrac,
-      "symbol_frac" -> symbolFrac, "gopher_keep" -> keep)
+    df.withColumn("__h2", graft.functions.ShingleHashes.shingleHashes(text, 2))
+      .withColumn("__h3", graft.functions.ShingleHashes.shingleHashes(text, 3))
+      .withColumn("n_tokens", tokenCount(text).cast("long"))
+      .withColumn("dup2_frac", dupFrac(col("__h2")))
+      .withColumn("dup3_frac", dupFrac(col("__h3")))
+      .withColumn("max_token_len",
+        array_max(transform(tokens(text), t => length(t))).cast("long"))
+      .withColumn("digit_frac", when(chars > 0,
+        length(regexp_replace(text, "[^0-9]", "")).cast("double") / chars))
+      .withColumn("symbol_frac", when(chars > 0,
+        length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") / chars))
+      .withColumn("gopher_keep", col("n_tokens").between(2, 100000) &&
+        coalesce(col("dup2_frac") <= 0.4, lit(true)) &&
+        coalesce(col("dup3_frac") <= 0.3, lit(true)) &&
+        col("max_token_len") <= 30 && coalesce(col("symbol_frac") <= 0.1, lit(false)))
+      .drop("__h2", "__h3")
   }
+
+  /** The repetition signal column names, in output order. */
+  val RepetitionColumnNames: Seq[String] = Seq("n_tokens", "dup2_frac", "dup3_frac",
+    "max_token_len", "digit_frac", "symbol_frac", "gopher_keep")
 
   /** Polynomial rolling hash over bytes, mod 1e9+7 — exact integer fold,
     * mirrorable in any engine with list folds:

@@ -123,12 +123,18 @@ object Scoring {
     * deterministic `url` tiebreak (SURVEY §4.3 — pandas rank ties are
     * arbitrary; we pin them).
     */
-  def anomalyTriage(df: DataFrame, cfg: ScoringConfig): DataFrame = {
-    val underperf = scoredCandidates(df, cfg).filter(col("missed_clicks") > 0)
-    // Bound, then rank: sort+limit keeps the rank stage finite even under a
-    // pathological config; the bounded-window spec (Ranks.bounded) then
-    // numbers only the survivors — never an unbounded partition-less window.
-    val capped = underperf
+  def anomalyTriage(df: DataFrame, cfg: ScoringConfig): DataFrame =
+    rankUnderperformers(scoredCandidates(df, cfg), cfg)
+
+  /** The keep-filter + rank stage over an ALREADY-SCORED candidate frame —
+    * shared by [[anomalyTriage]] and `Pipeline.run` (which scores once and
+    * derives both the debug and the anomaly sinks from the same frame).
+    * Bound, then rank: sort+limit keeps the rank stage finite even under a
+    * pathological config; the bounded-window spec (Ranks.bounded) then
+    * numbers only the survivors — never an unbounded partition-less window.
+    */
+  def rankUnderperformers(scored: DataFrame, cfg: ScoringConfig): DataFrame = {
+    val capped = scored.filter(col("missed_clicks") > 0)
       .orderBy(col("missed_clicks").desc, col("url")).limit(cfg.triageTopN)
     val w = Ranks.bounded(col("url"), col("missed_clicks").desc, col("url"))
     capped

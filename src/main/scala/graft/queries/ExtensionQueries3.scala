@@ -82,8 +82,9 @@ object ExtensionQueries3 {
     */
   def q49_repetition_quality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val cols = TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
-    d.select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+    TextAnalysis.withRepetitionColumns(d, col("text"))
+      .select((col("doc_id") +: TextAnalysis.RepetitionColumnNames.map(col)): _*)
+      .orderBy(col("doc_id"))
   }
 
   val q49Sql: String = {

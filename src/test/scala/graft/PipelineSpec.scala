@@ -134,5 +134,12 @@ class PipelineSpec extends SparkSpecBase {
       "expected_ctr", "expected_ctr_bucket", "expected_ctr_units", "expected_ctr_uplift",
       "ctr_deficit", "intent_multiplier", "missed_clicks"))
     assert(Pipeline.ColumnOrder.forall(debug.columns.contains))
+    // the run() path derives the anomaly sink from the scored debug frame
+    // (single scoring pass); it must equal the standalone anomalySlice
+    val fromRun = spark.read.parquet(s"$out/anomaly_ctr_underperf")
+    val standalone = Pipeline.anomalySlice(merged, cfg)
+    assert(fromRun.columns.toSeq == standalone.columns.toSeq)
+    assert(fromRun.collect().map(_.toString).sorted
+      .sameElements(standalone.collect().map(_.toString).sorted))
   }
 }

@@ -52,8 +52,9 @@ class TextSpec extends SparkSpecBase {
       (3L, "only"),             // 1 token → no 2-grams → null, keep=false (n<2)
       (4L, "ok ok $$$ %%% @@@") // symbols 9/17 > 0.1 → keep=false
     ).toDF("doc_id", "text")
-    val cols = TextAnalysis.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
-    val r = df.select(col("doc_id") +: cols: _*).orderBy("doc_id").collect()
+    val r = TextAnalysis.withRepetitionColumns(df, col("text"))
+      .select((col("doc_id") +: TextAnalysis.RepetitionColumnNames.map(col)): _*)
+      .orderBy("doc_id").collect()
     assert(r(0).getAs[Double]("dup2_frac") == 0.5)
     assert(!r(0).getAs[Boolean]("gopher_keep")) // dup2 0.5 > 0.4 threshold
     assert(r(1).getAs[Double]("dup2_frac") == 0.0)

@@ -61,9 +61,14 @@ def main(sf_dir, out_dir):
             continue
         # the driver's pandas comparator cannot hash/sort array cells
         # (q44 round-1 red row) — reject them here so the local recipe
-        # never green-lights a query the real gate will fail
-        arr_cols = [c for c, r in zip(gcols, zip(*grows)) if grows
-                    and any(isinstance(v, (list, tuple)) for v in r)]
+        # never green-lights a query the real gate will fail. Checked on
+        # the declared TYPES of both sides (not populated cells), so a
+        # zero-row result at this sf cannot mask an array-typed column.
+        arr_cols = sorted(
+            {c for c, t in zip(got.columns, got.types)
+             if any(k in str(t).upper() for k in ("LIST", "STRUCT", "MAP", "[]"))} |
+            {c for c, t in zip(exp.columns, exp.types)
+             if any(k in str(t).upper() for k in ("LIST", "STRUCT", "MAP", "[]"))})
         if arr_cols:
             print(f"FAIL {name}: array-typed result columns {arr_cols} "
                   f"(driver comparator rejects; serialize with array_join)")
