@@ -147,15 +147,89 @@ object ExtensionQueries3 {
       |QUALIFY rank <= 500
       |ORDER BY rank""".stripMargin
 
+  /** q53: deterministic train/valid/test split + shard assignment — dataset
+    * publication's partitioning step. Assignment is pure hash arithmetic
+    * (polyhash of the id with a salt per decision), so it is reproducible
+    * on any engine, any partitioning, any run — no RNG, no sampling
+    * nondeterminism. Emits the (split, shard) histogram with token totals.
+    */
+  def q53_split_shards(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val hSplit = TextAnalysis.polyHash(concat(col("doc_id").cast("string"), lit(":split")))
+    val split = when(pmod(hSplit, lit(100)) < 90, "train")
+      .when(pmod(hSplit, lit(100)) < 95, "valid").otherwise("test")
+    val shard = pmod(TextAnalysis.polyHash(concat(col("doc_id").cast("string"), lit(":shard"))), lit(8))
+    d.select(split.as("split"), shard.as("shard"),
+        TextAnalysis.approxBpeCount(col("text")).as("tokens"))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  val q53Sql: String = {
+    def ph(e: String) = phSql(e)
+    s"""WITH t AS (
+       |  SELECT
+       |    CASE WHEN ${ph("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 90 THEN 'train'
+       |         WHEN ${ph("CAST(doc_id AS VARCHAR) || ':split'")} % 100 < 95 THEN 'valid'
+       |         ELSE 'test' END AS split,
+       |    ${ph("CAST(doc_id AS VARCHAR) || ':shard'")} % 8 AS shard,
+       |    CAST((length(text) + 3) // 4 AS BIGINT) AS tokens
+       |  FROM documents
+       |)
+       |SELECT split, shard, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY split, shard ORDER BY split, shard""".stripMargin
+  }
+
+  /** q54: token-budget packing — assign documents to fixed-token-budget
+    * packs for training shards. Scale shape: documents hash into buckets
+    * (one per shard-writer), and the running token total is a WINDOWED sum
+    * PARTITIONED by bucket — state never crosses buckets, so the cumsum
+    * parallelizes instead of becoming a global single-partition scan.
+    * pack_id = floor(tokens-before / budget): concat-then-chunk semantics.
+    */
+  def q54_token_packing(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val bucket = pmod(TextAnalysis.polyHash(col("doc_id").cast("string")), lit(8))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.select(col("doc_id"), bucket.as("bucket"),
+        TextAnalysis.approxBpeCount(col("text")).as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("pack_id", expr("(cum_tokens - tokens) div 2000"))
+      .orderBy(col("bucket"), col("doc_id"))
+  }
+
+  val q54Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ${phSql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+       |    CAST((length(text) + 3) // 4 AS BIGINT) AS tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, bucket, tokens,
+       |    CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t
+       |)
+       |SELECT doc_id, bucket, tokens, cum_tokens,
+       |  (cum_tokens - tokens) // 2000 AS pack_id
+       |FROM c ORDER BY bucket, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_decontaminate" -> (q48_decontaminate _),
     "q49_repetition_quality" -> (q49_repetition_quality _),
-    "q50_vocab" -> (q50_vocab _)
+    "q50_vocab" -> (q50_vocab _),
+    "q53_split_shards" -> (q53_split_shards _),
+    "q54_token_packing" -> (q54_token_packing _)
   )
 
   val oracle: Map[String, String] = Map(
     "q48_decontaminate" -> q48Sql,
     "q49_repetition_quality" -> q49Sql,
-    "q50_vocab" -> q50Sql
+    "q50_vocab" -> q50Sql,
+    "q53_split_shards" -> q53Sql,
+    "q54_token_packing" -> q54Sql
   )
 }
