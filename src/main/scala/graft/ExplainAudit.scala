@@ -19,7 +19,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q06_spine_join3", "q07_rank_topk",
-        "q26_jaccard_pairs", "q30_cosine_topk")
+        "q26_jaccard_pairs", "q30_cosine_topk", "q48_decontaminate",
+        "q50_vocab", "q54_token_packing")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
