@@ -183,8 +183,12 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // seed with min(id, min neighbor): this IS the first propagation round,
+    // computed during init — one fewer join+shuffle round and one fewer
+    // convergence check; the fixpoint is unchanged (monotone min-label)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("__mn"), col("src")).as("rep"))
       .persist()
     // Convergence via an exact 1-row aggregate: labels only ever decrease,
     // so the (count, sum(rep)) pair is a monotone fingerprint — unchanged
