@@ -217,7 +217,63 @@ object ExtensionQueries3 {
        |  (cum_tokens - tokens) // 2000 AS pack_id
        |FROM c ORDER BY bucket, doc_id""".stripMargin
 
+  /** q55: dataset card — the corpus-level summary a training-data pipeline
+    * publishes alongside the data: per-language doc/token counts, exact-dup
+    * rate (fingerprint groups), quality pass rate, mean quality signals.
+    * One scan + one narrow groupBy on lang; the dup rate reuses the
+    * polyhash fingerprint (8-byte key) via a distinct-agg, not a self-join.
+    */
+  def q55_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withRepetitionColumns(Tables.documents(s, dir), col("text"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("gopher_keep"), 1L).otherwise(0L)).as("n_keep"),
+        avg(col("n_tokens").cast("double")).as("mean_tokens"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+      .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val q55Sql: String = {
+    val toks = "string_split(text, ' ')"
+    def dupFrac(k: Int): String = {
+      val hs = s"list_transform(list_transform(range(1, len($toks) - ${k - 2}), " +
+        s"sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + ${k - 1}), ' ')), " +
+        s"sh_s -> ${phSql("sh_s")})"
+      s"CASE WHEN len($toks) - ${k - 1} > 0 THEN " +
+        s"CAST(len($hs) - len(list_distinct($hs)) AS DOUBLE) / len($hs) END"
+    }
+    s"""WITH t AS (
+       |  SELECT lang, ${phSql("text")} AS fp,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    (CAST(len($toks) AS BIGINT) BETWEEN 2 AND 100000)
+       |      AND coalesce(${dupFrac(2)} <= 0.4, true)
+       |      AND coalesce(${dupFrac(3)} <= 0.3, true)
+       |      AND CAST(list_max(list_transform($toks, mt_t -> length(mt_t))) AS BIGINT) <= 30
+       |      AND coalesce(CASE WHEN length(text) > 0 THEN
+       |            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+       |          END <= 0.1, false) AS keep
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    avg(CAST(n_tokens AS DOUBLE)) AS mean_tokens
+       |  FROM t GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_unique, total_tokens, n_keep, mean_tokens,
+       |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_rate,
+       |  CAST(n_keep AS DOUBLE) / n_docs AS keep_rate
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q55_dataset_card" -> (q55_dataset_card _),
     "q48_decontaminate" -> (q48_decontaminate _),
     "q49_repetition_quality" -> (q49_repetition_quality _),
     "q50_vocab" -> (q50_vocab _),
@@ -226,6 +282,7 @@ object ExtensionQueries3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_dataset_card" -> q55Sql,
     "q48_decontaminate" -> q48Sql,
     "q49_repetition_quality" -> q49Sql,
     "q50_vocab" -> q50Sql,

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty && batch.sameElements(stream))
   }
 
+  test("contamination overlap streaming == batch (extension op as stream-static join)") {
+    val docsDir = Files.createTempDirectory("graft_docs_src")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docsDir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(docsDir.toString)
+    val evalSet = batchDocs.filter(col("doc_id") < 10).select("doc_id", "text")
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Contamination.overlap(
+        df.filter(col("doc_id") >= 10), evalSet, "doc_id", col("text"), 3)
+    val batch = xform(batchDocs).collect().map(_.toString).sorted
+    val q = xform(spark.readStream.schema(batchDocs.schema).parquet(docsDir.toString))
+      .writeStream.format("memory").queryName("contam_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("contam_out").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream))
+  }
+
   test("streaming dedup == batch keep-earliest dedup") {
     val stream = StreamOps.runToMemory(spark, srcDir, "dedup_out",
       df => StreamOps.dedupStream(df, "1 hour"), "append")
