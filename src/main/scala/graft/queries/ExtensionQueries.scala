@@ -7,10 +7,11 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (BASELINE.json north star): text
   * analysis, dedup family, similarity search, multimodal plumbing — over
-  * the documents/embeddings corpora. Oracles mirror the exact integer/fold
-  * arithmetic in DuckDB (nested list lambdas); ops whose oracle SQL
-  * would require mirroring a full 64-hash signature (q29 LSH pairs, q31
-  * ANN) are rows-only here and pinned by unit tests instead.
+  * the documents/embeddings corpora. Every query here carries a bit-exact
+  * DuckDB oracle mirroring the exact integer/fold arithmetic (nested list
+  * lambdas) — including the full 64-component MinHash signature + banded
+  * LSH path (q29) and the hyperplane-LCG ANN path (q31), whose SQL is
+  * generated programmatically.
   */
 object ExtensionQueries {
 
