@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query benchmark: `runMain graft.SpotBench q13_... q14_...`
+  * times each named query (3 runs, median, noop sink, cache cleared) at
+  * SPARK_GRAFT_SF_DIR — the iterate-fast complement to the full Bench.
+  */
+object SpotBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SpotBench <queryName>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(args.head)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save() // warmup
+    spark.catalog.clearCache()
+    for (n <- args) {
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n%-30s median=${ts.sorted.apply(1)}%.2f  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

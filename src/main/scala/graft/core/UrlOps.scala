@@ -3,6 +3,7 @@ package graft.core
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL normalization — the reference's one genuinely custom scalar
   * (`etl_merge.py:474-514`, SURVEY §2 F1). Semantics mirrored branch by
@@ -149,6 +150,15 @@ object UrlOps {
       case _: Exception => u
     }
   }
+
+  /** UTF8String-level entry point called from the expression's generated
+    * code (graft.functions.UrlNormalize#doGenCode) via this object's static
+    * forwarder — keeps the enclosing stage in whole-stage codegen while the
+    * branchy normalization itself runs as compiled Scala. `normalize` never
+    * returns null for non-null input, so the result is always non-null.
+    */
+  def normalizeU8(u: UTF8String, siteBase: String, stripAllParams: Boolean): UTF8String =
+    UTF8String.fromString(normalize(u.toString, siteBase, stripAllParams))
 
   /** Column form: the native expression tier (graft.functions.UrlNormalize)
     * with the config baked in as plan-time constants. Deterministic and

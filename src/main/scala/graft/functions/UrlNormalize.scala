@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,12 +13,15 @@ import graft.core.UrlOps
   * tier" for F1): same semantics as the Scala-UDF form (UrlOps.normalize,
   * unit-pinned in UrlOpsSpec) but evaluated directly on UTF8String — no
   * ScalaUDF closure wrapper, no catalyst↔Scala converters, null handling in
-  * the expression frame. The branchy string logic stays interpreted
-  * (CodegenFallback); the win is the call-path, and it makes the function
-  * SQL-callable via `graft_url_normalize(url[, siteBase[, stripAll]])`.
+  * the expression frame. `doGenCode` emits a direct static call into
+  * UrlOps.normalizeU8 (the PolyHash/SimHash48 pattern), so a projection
+  * using it stays inside whole-stage codegen — the round-2 CodegenFallback
+  * form dropped the stage to interpreted eval and made q12 the third-
+  * slowest bench query. SQL-callable via
+  * `graft_url_normalize(url[, siteBase[, stripAll]])`.
   */
 case class UrlNormalize(child: Expression, siteBase: String, stripAllParams: Boolean)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_url_normalize"
@@ -28,10 +31,15 @@ case class UrlNormalize(child: Expression, siteBase: String, stripAllParams: Boo
     else TypeCheckResult.TypeCheckFailure(
       s"graft_url_normalize requires a string argument, got ${child.dataType}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val out = UrlOps.normalize(input.asInstanceOf[UTF8String].toString,
-      siteBase, stripAllParams)
-    if (out == null) null else UTF8String.fromString(out)
+  override def nullSafeEval(input: Any): Any =
+    UrlOps.normalizeU8(input.asInstanceOf[UTF8String], siteBase, stripAllParams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // siteBase rides as a referenced object (not an escaped source literal);
+    // stripAllParams is a plan-time constant and inlines as a boolean literal
+    val base = ctx.addReferenceObj("siteBase", siteBase, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.core.UrlOps.normalizeU8($c, $base, $stripAllParams);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
