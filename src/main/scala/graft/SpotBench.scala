@@ -18,6 +18,16 @@ object SpotBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def medianOf(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ => spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      ts.sorted.apply(1)
+    }
+    if (args.head == "skew") {
+      val (u, s) = Bench.skewBench(spark, sfDir, medianOf)
+      println(f"skew unsalted=$u%.2f salted=$s%.2f ratio=${u / s}%.2f")
+      spark.stop(); return
+    }
     SparkEntry.queries(args.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warmup
     spark.catalog.clearCache()

@@ -169,13 +169,15 @@ object ScoringQueries {
     * 100. Per-row output (aggregating the normalized doubles would be
     * order-dependent).
     *
-    * Plan shape: the synthesized input AND the normalized output are both
-    * persisted — the decision aggregate, the global sort's range-sampling
-    * job, and the final sort would otherwise each re-evaluate the string
-    * synthesis + try_cast pipeline from the parquet scan (the round-2 bench
-    * regression). The 4-column sort key is kept deliberately: (l_orderkey,
-    * l_linenumber) is NOT unique in the synthetic lineitem (~24% of pairs
-    * duplicate), so the full key is the cheapest total order available.
+    * Plan shape: the synthesized input is persisted — the decision
+    * aggregate, the global sort's range-sampling job, and the final sort
+    * would otherwise each re-evaluate the string synthesis from the parquet
+    * scan (the round-2 bench regression). Only the input is cached: the
+    * downstream try_cast projection is cheaper to recompute than to encode
+    * into the columnar cache a second time. The 4-column sort key is kept
+    * deliberately: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    * lineitem (~24% of pairs duplicate), so the full key is the cheapest
+    * total order available.
     */
   def q13_normalize_ctr_percent(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -187,7 +189,6 @@ object ScoringQueries {
         .otherwise((disc + 1).cast("string"))).as("ctr_str"))
       .persist()
     CtrNormalize(df, "ctr_str", "ctr_norm")
-      .persist()
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
@@ -217,7 +218,8 @@ object ScoringQueries {
   /** q14: normalize_ctr, majority-heuristic branches — no '%' anywhere;
     * ctr_a has 2/3 of rows in (1,100] → divides; ctr_b has 1/3 → parses
     * verbatim. Exercises both heuristic outcomes in one query.
-    * Same persist-both-sides shape as q13 (see there for the rationale).
+    * Same persist-the-synthesized-input shape as q13 (see there for the
+    * rationale).
     */
   def q14_normalize_ctr_heuristic(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -235,7 +237,6 @@ object ScoringQueries {
     CtrNormalize.applyMany(df, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("ctr_a_norm"), col("ctr_b_norm"))
-      .persist()
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
