@@ -66,18 +66,78 @@ object ExtensionQueries2 {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** q38 (rows-only): IVF approximate top-k — sample-trained k-means
-    * centroids partition the corpus; probes search their nprobe nearest
-    * lists. The learned centroids are engine-internal, so this listing has
-    * no SQL mirror; its quality is value-certified by q47 (recall-floor
-    * oracle row) and SimilaritySpec.
+  /** Memoized IVF model per sf dir: q38 and q47 share one deterministic
+    * training run (hash-sampled, id-sorted, fixed seed — IvfIndex.train),
+    * and the q38 oracle mirror (generated AFTER the queries run; Verify
+    * dumps oracle_sql.json last) embeds exactly these centroids.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
+  @volatile private var lastTrainedDir: Option[String] = None
+
+  private def ivfModel(s: SparkSession, dir: String): IvfIndex.Model = {
+    val m = modelCache.computeIfAbsent(dir,
+      d => IvfIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16))
+    lastTrainedDir = Some(dir)
+    m
+  }
+
+  /** q38: IVF approximate top-k — sample-trained k-means centroids
+    * partition the corpus; probes search their nprobe nearest lists.
+    * Oracle: the training is deterministic (seeded hash sample, id-sorted,
+    * fixed Lloyd's iterations), so the learned centroids are embedded into
+    * the mirror SQL as literals ([[q38SqlFor]]) and DuckDB replays
+    * assignment, probing, and ranking exactly — the fold orders match
+    * Similarity.dot/IvfIndex.distSq, so cosines are bit-identical.
+    * Quality (not just determinism) is separately certified by q47's
+    * recall-floor row.
     */
   def q38_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val model = IvfIndex.train(e, "vec_id", "embedding", nlist = 16)
+    val model = ivfModel(s, dir)
     IvfIndex.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4)
       .select(col("probe_id"), col("rank"), col("cand_id"), col("cos"))
       .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** DuckDB mirror of q38 for a given trained model: centroids ride as
+    * DOUBLE[] literals (Double.toString round-trips exactly through
+    * DuckDB's correctly-rounded parser); assignment = argmin over the
+    * same left-to-right (x-c)² fold; probe lists = top-nprobe by
+    * (distance, index); ranking = row_number over (cos DESC, cand_id).
+    */
+  def q38SqlFor(model: IvfIndex.Model): String = {
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, " + c.mkString("CAST([", ", ", "] AS DOUBLE[]))") }
+      .mkString(",\n  ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), dp_i -> $a[dp_i] * $b[dp_i])), " +
+        s"(dp_x, dp_y) -> dp_x + dp_y)"
+    def dist(v: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($v)+1), dq_i -> ($v[dq_i] - cv[dq_i]) * ($v[dq_i] - cv[dq_i]))), " +
+        s"(dq_x, dq_y) -> dq_x + dq_y)"
+    s"""WITH cent(ci, cv) AS (VALUES
+       |  $cents),
+       |c AS (SELECT vec_id AS cand_id, list_transform(range(1, len(embedding)+1),
+       |  cv_i -> CAST(embedding[cv_i] AS DOUBLE)) AS cvec FROM embeddings),
+       |ca AS (SELECT cand_id, cvec, ci AS list FROM (
+       |  SELECT cand_id, cvec, ci,
+       |    row_number() OVER (PARTITION BY cand_id ORDER BY ${dist("cvec")}, ci) AS rn
+       |  FROM c CROSS JOIN cent) WHERE rn = 1),
+       |p AS (SELECT cand_id AS probe_id, cvec AS pvec FROM c WHERE cand_id < 20),
+       |pl AS (SELECT probe_id, pvec, ci AS list FROM (
+       |  SELECT probe_id, pvec, ci,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY ${dist("pvec")}, ci) AS rn
+       |  FROM p CROSS JOIN cent) WHERE rn <= 4),
+       |s AS (SELECT probe_id, cand_id,
+       |  ${fold("pvec", "cvec")} / (sqrt(${fold("pvec", "pvec")}) * sqrt(${fold("cvec", "cvec")})) AS cos
+       |  FROM pl JOIN ca USING (list) WHERE probe_id <> cand_id)
+       |SELECT probe_id, CAST(rank AS INT) AS rank, cand_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM s) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
   /** q47: ANN quality certification — IVF recall@5 vs the exact top-5 for
@@ -94,7 +154,7 @@ object ExtensionQueries2 {
     val e = Tables.embeddings(s, dir)
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5)
       .select(col("probe_id"), col("cand_id"))
-    val model = IvfIndex.train(e, "vec_id", "embedding", nlist = 16)
+    val model = ivfModel(s, dir)
     val ivf = IvfIndex.ivfTopK(e, "vec_id", "embedding", col("vec_id") < 20, 5, model, nprobe = 4)
       .select(col("probe_id"), col("cand_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
@@ -200,9 +260,14 @@ object ExtensionQueries2 {
     "q47_ann_recall" -> (q47_ann_recall _)
   )
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`: the q38 mirror can only be emitted once a model has been
+    * trained for a dir (Verify runs every query, THEN dumps oracle_sql.json,
+    * so the entry is always present in the driver's gate). Without a trained
+    * model the key is omitted → the driver falls back to its rows-only check.
+    */
+  def oracle: Map[String, String] = Map(
     "q37_embed_dedup" -> q37Sql,
     "q42_dedup_clusters" -> q42Sql,
     "q47_ann_recall" -> q47Sql
-  )
+  ) ++ lastTrainedDir.map(d => "q38_ann_ivf" -> q38SqlFor(modelCache.get(d)))
 }
