@@ -80,13 +80,37 @@ object StreamingQueries {
       |FROM j GROUP BY window_start, segment
       |ORDER BY window_start, segment""".stripMargin
 
+  /** q56: the watermarked tumbling-window aggregation's batch formulation —
+    * hourly (window, event_type) counts and exact-cents sums through the
+    * SAME watermarked operator the stream runs (the watermark node is a
+    * no-op in batch). The streaming hop — late data beyond the watermark
+    * provably dropped across real micro-batches — is pinned in
+    * StreamingSpec; this row pins batch == DuckDB.
+    */
+  def q56_tumbling_watermark(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.tumblingAggLate(Tables.events(s, dir), "1 hour", "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q56Sql: String =
+    """WITH e AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+      |    event_type, CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events
+      |)
+      |SELECT window_start, event_type, count(*) AS n,
+      |  CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+      |FROM e GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_spend_milestones" -> (q46_spend_milestones _),
-    "q52_stream_enrich" -> (q52_stream_enrich _)
+    "q52_stream_enrich" -> (q52_stream_enrich _),
+    "q56_tumbling_watermark" -> (q56_tumbling_watermark _)
   )
 
   val oracle: Map[String, String] = Map(
     "q46_spend_milestones" -> q46Sql,
-    "q52_stream_enrich" -> q52Sql
+    "q52_stream_enrich" -> q52Sql,
+    "q56_tumbling_watermark" -> q56Sql
   )
 }

@@ -35,6 +35,23 @@ object StreamOps {
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked tumbling aggregation (SURVEY §2 I — late-data bound): in a
+    * streaming query, `withWatermark` bounds state (windows finalize and
+    * emit in append mode once the watermark passes their end) and DROPS
+    * events arriving later than `late` behind the max observed event time.
+    * In a batch query the watermark node is a no-op (Spark eliminates it),
+    * so this is the standard two-hop certifiable shape: streaming==batch
+    * with in-order data (late-drop pinned separately in StreamingSpec),
+    * batch==DuckDB (q56).
+    */
+  def tumblingAggLate(events: DataFrame, width: String, late: String): DataFrame =
+    events.withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", late)
+      .groupBy(window(col("event_ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** Sliding-window variant. */
   def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
     events.withColumn("event_ts", tsCol)

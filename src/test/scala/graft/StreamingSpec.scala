@@ -141,6 +141,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(i >= 3, "expected at least 3 source files (3 micro-batches)")
   }
 
+  test("watermarked tumbling window DROPS a late event beyond the watermark " +
+    "across real micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ns(min: Long): Long = min * 60L * 1000000000L // minutes → epoch ns
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val events = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.tumblingAggLate(events, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      // batch 1: two events in window [0, 10)
+      mem.addData((1L, ns(0), "view", 1.0), (2L, ns(5), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: event at t=40min → watermark advances to 30min, so window
+      // [0,10) finalizes and emits
+      mem.addData((3L, ns(40), "view", 3.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for [0,10) — event time 7min is behind the
+      // 30min watermark → must be dropped, not re-aggregated
+      mem.addData((4L, ns(7), "view", 100.0))
+      q.processAllAvailable()
+      // batch 4: advance the watermark past [40,50) to flush the rest
+      mem.addData((5L, ns(80), "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0) / 60000000L, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      // window [0,10): exactly the two on-time events; the late 100.0 is gone
+      assert(rows.count(_._1 == 0L) == 1, s"expected one finalized [0,10) row in $rows")
+      assert(rows.contains((0L, "view", 2L, 3.0)),
+        s"late event leaked into the finalized window: $rows")
+      assert(!rows.exists(_._4 == 100.0), s"late event emitted somewhere: $rows")
+      // the watermark-advancing event's window [40,50) flushed too
+      assert(rows.contains((40L, "view", 1L, 3.0)), s"missing [40,50) in $rows")
+    } finally q.stop()
+  }
+
+  test("q56 batch formulation == unwatermarked tumbling agg (watermark is a " +
+    "batch no-op)") {
+    val a = StreamOps.tumblingAggLate(batchEvents, "1 hour", "30 minutes")
+      .collect().map(_.toString).sorted
+    val b = StreamOps.tumblingAgg(batchEvents, "1 hour")
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("sliding windows produce width/slide copies per event") {
     val slid = StreamOps.slidingAgg(batchEvents, "1 hour", "30 minutes")
     val total = slid.agg(sum("n")).collect().head.getLong(0)
