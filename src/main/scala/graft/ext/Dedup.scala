@@ -204,9 +204,17 @@ object Dedup {
       // candidate label for each node: min of own label and neighbors' labels
       val viaEdges = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("rep"))
-      val next = labels.select(col("id"), col("rep")).union(viaEdges)
+      val nextRaw = labels.select(col("id"), col("rep")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .persist()
+      // Lineage truncation: each round stacks a join+union+agg on the prior
+      // round's plan, so a long chain (diameter ~ maxIter) would carry a
+      // 20-deep DAG into every action — planning cost alone kills a 100 TB
+      // run. Every third round an eager localCheckpoint replaces the plan
+      // with its materialized blocks; intermediate rounds persist as before.
+      // (DedupSpec pins bounded plan depth on a diameter-12 chain.)
+      val next =
+        if (iter % 3 == 2) nextRaw.localCheckpoint(true)
+        else nextRaw.persist()
       val cur = fingerprint(next)
       labels.unpersist()
       labels = next

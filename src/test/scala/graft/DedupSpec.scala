@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: diameter-12 chain converges with BOUNDED plan depth " +
+    "(localCheckpoint lineage truncation)") {
+    // path 0-1-2-...-12: the min label travels one hop per round, so the
+    // loop runs ~12 rounds — without truncation the final plan would stack
+    // 12 join+union+agg layers
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val m = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 13 && m.values.forall(_ == 0L), s"bad labels: $m")
+    // the checkpoint every 3rd round restarts the plan from materialized
+    // blocks: at most ~2 propagation layers survive in the final plan
+    val planLines = cc.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines < 40,
+      s"connectedComponents plan not truncated: $planLines optimized-plan nodes")
+  }
+
   test("q29 construction recovers each doctored copy at sf0.001") {
     val out = graft.queries.ExtensionQueries.q29_minhash_lsh_pairs(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getLong(0))).toMap // id_b -> id_a? keep pairs
