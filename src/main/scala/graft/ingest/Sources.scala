@@ -43,9 +43,8 @@ object Sources {
     require(Files.exists(Paths.get(path)), s"input not found: $path") // A9
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
     if (ext == "xlsx") Xlsx.loadXlsx(spark, path) // A2: dispatch by extension
+    else if (ext == "xls") Biff.loadXls(spark, path) // A2: legacy 97-2003 BIFF8
     else {
-      require(ext != "xls",
-        s"legacy .xls (BIFF) is unsupported; convert to .xlsx or CSV: $path")
       val first = readCsv(spark, path, ",", None)
       if (first.columns.length > 1) first
       else readCsv(spark, path, sniffDelimiter(path), Some("#"))
