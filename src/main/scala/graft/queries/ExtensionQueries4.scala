@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-3 training-data governance batch: PII scrubbing and deterministic
+  * mixture rebalancing — two ops every pretraining pipeline runs between
+  * dedup (q25-q29) and packing (q54).
+  */
+object ExtensionQueries4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** q57: PII redaction — emails and phone-shaped tokens replaced with
+    * typed placeholders, with per-doc match counts for the scrub audit.
+    * PII is synthesized deterministically into the documents (the corpus
+    * itself is clean), so the oracle can mirror both the dirt and the
+    * scrub. Pure per-row regex work: one scan, no shuffle except the
+    * output sort; the character-class-only patterns mean Java regex
+    * (Spark) and RE2 (DuckDB) agree.
+    */
+  def q57_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val dirty = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    d.select(col("doc_id"), dirty.as("text_dirty"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text_dirty"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text_dirty"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("text_dirty"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String =
+    s"""WITH dirty AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    AS text_dirty
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text_dirty, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text_dirty, '$PhoneRe')) AS INT) AS n_phones,
+       |  regexp_replace(regexp_replace(text_dirty, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g') AS text_clean
+       |FROM dirty ORDER BY doc_id""".stripMargin
+
+  /** Portable deterministic per-doc hash bucket in [0, 1e6): two affine
+    * steps in exact long arithmetic (doc_id folded below 2^20 first so no
+    * product exceeds 2^52 — identical, overflow-free in any engine).
+    */
+  private def hashBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(1048573L)) * lit(2654435761L) + lit(101L),
+      lit(1000000007L)), lit(1000000L))
+
+  /** q58: deterministic mixture rebalancing — downsample every language to
+    * the smallest language's share (the "balanced mixture" a multilingual
+    * pretraining run wants) by hash-thresholding: keep a doc iff its hash
+    * bucket falls under the per-lang threshold floor(n_min/n_total · 1e6).
+    * The thresholds come from a tiny aggregate broadcast back over one
+    * corpus scan — no window over giant language partitions, no RNG;
+    * reproducible on any partitioning at any scale, quota accurate to
+    * binomial noise. Output: per-lang totals, kept counts, thresholds.
+    */
+  def q58_mixture_sample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val minCount = counts.agg(min(col("n_total")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(minCount))
+      .withColumn("thr",
+        floor(col("n_min").cast("double") / col("n_total") * 1000000).cast("long"))
+      .select(col("lang"), col("n_total"), col("thr"))
+    d.join(broadcast(thr), Seq("lang"))
+      .withColumn("keep", when(hashBucket(col("doc_id")) < col("thr"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_total"), sum(col("keep")).as("n_kept"),
+        max(col("thr")).as("thr"))
+      .orderBy(col("lang"))
+  }
+
+  val q58Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+      |), mn AS (SELECT min(n_total) AS n_min FROM counts
+      |), thr AS (
+      |  SELECT lang, n_total,
+      |    CAST(floor(CAST(n_min AS DOUBLE) / n_total * 1000000) AS BIGINT) AS thr
+      |  FROM counts, mn
+      |), per AS (
+      |  SELECT d.lang, t.n_total, t.thr,
+      |    CASE WHEN (((d.doc_id % 1048573) * 2654435761 + 101) % 1000000007) % 1000000 < t.thr
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM documents d JOIN thr t USING (lang)
+      |)
+      |SELECT lang, max(n_total) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+      |  max(thr) AS thr
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q57_pii_scrub" -> (q57_pii_scrub _),
+    "q58_mixture_sample" -> (q58_mixture_sample _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_pii_scrub" -> q57Sql,
+    "q58_mixture_sample" -> q58Sql
+  )
+}

@@ -76,6 +76,28 @@ class TextSpec extends SparkSpecBase {
     assert(r.head.getAs[Double]("overlap_frac") == 1.0)
   }
 
+  test("q57 scrub removes every synthesized PII token; q58 balances langs to the min share") {
+    val dir = "/root/testdata/sf0.001"
+    val scrub = graft.queries.ExtensionQueries4.q57_pii_scrub(spark, dir)
+    import org.apache.spark.sql.functions._
+    val leaked = scrub.filter(
+      col("text_clean").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("text_clean").rlike("\\+1-555-[0-9]{4}")).count()
+    assert(leaked == 0, s"$leaked docs still carry PII after scrub")
+    assert(scrub.filter(col("n_emails") >= 1 && col("n_phones") >= 1).count() == scrub.count())
+
+    val mix = graft.queries.ExtensionQueries4.q58_mixture_sample(spark, dir).collect()
+    val nMin = mix.map(_.getAs[Long]("n_total")).min
+    for (r <- mix) {
+      val (total, kept) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(kept <= total)
+      // hash-threshold quota: binomial noise around n_min (loose 3-sigma-ish bound)
+      val tol = math.max(6.0, 3 * math.sqrt(nMin.toDouble))
+      assert(math.abs(kept - nMin) <= tol,
+        s"lang ${r.getString(0)}: kept $kept vs target $nMin (total $total)")
+    }
+  }
+
   test("IVF train: hash-sampled path is deterministic and respects maxTrain") {
     val emb = Tables0.embeddings(spark).limit(60).cache()
     def fit() = graft.ext.IvfIndex.train(emb, "vec_id", "embedding",
