@@ -102,13 +102,63 @@ object ExtensionQueries4 {
       |  max(thr) AS thr
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q59: per-document top-3 TF-IDF terms — the keyword/salience extraction
+    * step of a corpus-analysis pipeline. The idf rides as the EXACT scaled
+    * rational tf·N·10⁶ div df (integral division) instead of a float
+    * `ln(N/df)`: log is not correctly-rounded in either engine's libm, so
+    * a float idf could flip cross-engine ranking ties — integer arithmetic
+    * cannot. Shape: the canonical wordcount pair (tf per (doc,term) with
+    * map-side combine; df via distinct-agg), one term-key join, a 1-row
+    * count broadcast, and a per-doc bounded rank (doc_id partitions — no
+    * global window). At trillion-doc scale the scaled product would move to
+    * decimal(38,0); the shape is unchanged.
+    */
+  def q59_tfidf_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val d = Tables.documents(s, dir)
+    val terms = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * n_docs * 1000000) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q59Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tfd AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms
+      |  WHERE length(term) > 0 GROUP BY doc_id, term
+      |), dfd AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM terms
+      |  WHERE length(term) > 0 GROUP BY term
+      |), nd AS (SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT doc_id, t.term, tf, df, (tf * n_docs * 1000000) // df AS score
+      |  FROM tfd t JOIN dfd USING (term), nd
+      |)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored) x
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_pii_scrub" -> (q57_pii_scrub _),
-    "q58_mixture_sample" -> (q58_mixture_sample _)
+    "q58_mixture_sample" -> (q58_mixture_sample _),
+    "q59_tfidf_topk" -> (q59_tfidf_topk _)
   )
 
   val oracle: Map[String, String] = Map(
     "q57_pii_scrub" -> q57Sql,
-    "q58_mixture_sample" -> q58Sql
+    "q58_mixture_sample" -> q58Sql,
+    "q59_tfidf_topk" -> q59Sql
   )
 }
