@@ -50,9 +50,12 @@ object Bench {
     }
 
     def runToNoop(name: String): Double =
-      try medianOf {
+      try {
+        System.gc() // benchmark hygiene: don't charge query N with query N-1's garbage
+        medianOf {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        }
       } catch { case _: Throwable => -1.0 }
 
     // Warmup: exercise codegen, shuffle machinery, and every table's footer.
@@ -77,8 +80,8 @@ object Bench {
   }
 
   /** Salted-vs-unsalted skew join, measured (SURVEY §4.4): lineitem rows
-    * (×4 exploded) mapped onto a hot key carrying ~90% of the data, joined
-    * to an 8-rows-per-key dimension and hash-aggregated. Both legs run as shuffle joins with
+    * (×2 exploded) mapped onto a hot key carrying ~97.5% of the data, joined
+    * to a 16-rows-per-key dimension and hash-aggregated. Both legs run as shuffle joins with
     * AQE's runtime skew split OFF and broadcast OFF — that isolates the
     * explicit-salt operator in the one regime where it is the right tool:
     * skew known ahead of time, on a join AQE cannot rewrite (broadcast
@@ -90,18 +93,18 @@ object Bench {
   def skewBench(spark: SparkSession, sfDir: String,
       medianOf: (=> Unit) => Double): (Double, Double) = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    // ~90% of big-side rows land on key 0; the dimension carries 8 rows per
-    // key, so the join multiplies the hot reducer's output ~8×, and the
+    // ~97.5% of big-side rows land on key 0; the dimension carries 16 rows
+    // per key, so the join multiplies the hot reducer's output ~16×, and the
     // post-join projection is CPU-bound (string build + hash per row) — the
     // work concentrates where the skew is (the reduce side), in a form that
     // parallelizes with cores rather than saturating memory bandwidth
     val big = li.select(
-        when(pmod(xxhash64(col("l_orderkey")), lit(10)) < 9, 0L)
+        when(pmod(xxhash64(col("l_orderkey")), lit(40)) < 39, 0L)
           .otherwise(pmod(xxhash64(col("l_orderkey"), lit(7L)), lit(996)) + 1).as("k"),
         col("l_partkey"),
         round(col("l_extendedprice") * 100).cast("long").as("vc"))
-      .withColumn("rep", explode(sequence(lit(1), lit(4))))
-    val small = spark.range(0, 997L * 8)
+      .withColumn("rep", explode(sequence(lit(1), lit(2))))
+    val small = spark.range(0, 997L * 16)
       .select((col("id") % 997).as("k"), (col("id") % 13).as("w"))
     def agg(j: DataFrame): DataFrame =
       j.agg(sum(pmod(xxhash64(repeat(concat_ws(",", col("vc"), col("w")), 8)), lit(1000000007L))).as("s"))
@@ -111,10 +114,12 @@ object Bench {
     conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      System.gc()
       val unsalted = medianOf {
         agg(big.join(small, Seq("k")))
           .write.format("noop").mode("overwrite").save()
       }
+      System.gc()
       val salted = medianOf {
         agg(graft.ops.SkewJoin.saltedJoin(big, small, "k",
           saltFrom = col("l_partkey") * 17 + col("rep"), n = 32))
