@@ -114,15 +114,128 @@ object RelationalQueries5 {
       |  count(*) AS n
       |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q60: CUBE over (event_type, user bucket) — the grouping-sets family
+    * beyond q20's ROLLUP: all four grouping combinations in one pass (Spark
+    * plans it as a single Expand + aggregate — no four-scan union).
+    * grouping_id disambiguates "null as value" from "null as total"; both
+    * engines put the first cube column in the most significant bit
+    * (mirrored as GROUPING(a)*2 + GROUPING(b)). Sort pinned NULLS FIRST on
+    * both sides — DuckDB defaults NULLS LAST.
+    */
+  def q60_cube(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.select(col("event_type"), (col("user_id") % 10).as("bucket"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .cube(col("event_type"), col("bucket"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        (sum(col("vc")) / 100.0).as("sum_value"))
+      .select(col("gid"), col("event_type"), col("bucket"), col("n"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)
+  }
+
+  val q60Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 10 AS bucket,
+      |    CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events
+      |)
+      |SELECT CAST(GROUPING(event_type)*2 + GROUPING(bucket) AS BIGINT) AS gid,
+      |  event_type, bucket, count(*) AS n,
+      |  CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+      |FROM e GROUP BY CUBE (event_type, bucket)
+      |ORDER BY gid, event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin
+
+  /** q61: exact quartile binning WITHOUT floating-point interpolation — the
+    * quality-binning step of a data pipeline. Interpolating quantiles
+    * (percentile/quantile_cont) are NOT cross-engine bit-stable —
+    * (1-f)·a+f·b vs a+(b-a)·f round differently; order statistics (value at
+    * rank ceil(q·n)) are integers and cannot disagree.
+    *
+    * Shaped for scale as a two-level distributed prefix sum: the distinct-
+    * value histogram (one shuffle, map-side combine) cumsums WITHIN $10k
+    * buckets in parallel (window partitioned by bucket), while the ~110
+    * bucket totals — bounded by the price domain, not the corpus — carry
+    * the cross-bucket offsets through a tiny bounded window. A single
+    * global cumsum over the near-unique cents histogram would be the
+    * one-partition funnel this repo bans. Thresholds then ride back as a
+    * 1-row broadcast to bin the full table.
+    */
+  def q61_quantile_bins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    val c = li.select(cents(col("l_extendedprice")).as("cents"))
+    val hist = c.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("b", expr("cents div 1000000"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketTotals = hist.groupBy(col("b")).agg(sum(col("cnt")).as("bt"))
+    val wOff = graft.ops.Ranks.bounded(col("b"), col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("b"), col("off"))
+    val nRow = c.agg(count(lit(1)).as("n"))
+    val thr = hist.withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .join(broadcast(offsets), Seq("b"))
+      .withColumn("cum", col("cum_in") + col("off"))
+      .crossJoin(broadcast(nRow))
+      .agg(
+        min(when(col("cum") >= expr("(n+3) div 4"), col("cents"))).as("t1"),
+        min(when(col("cum") >= expr("(n+1) div 2"), col("cents"))).as("t2"),
+        min(when(col("cum") >= expr("(3*n+3) div 4"), col("cents"))).as("t3"))
+    c.crossJoin(broadcast(thr))
+      .withColumn("bin",
+        when(col("cents") <= col("t1"), "q1")
+          .when(col("cents") <= col("t2"), "q2")
+          .when(col("cents") <= col("t3"), "q3").otherwise("q4"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
+
+  val q61Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem
+      |), hist AS (
+      |  SELECT cents, count(*) AS cnt, cents // 1000000 AS b FROM c GROUP BY cents
+      |), offs AS (
+      |  SELECT b, coalesce(sum(bt) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM (SELECT b, sum(cnt) AS bt FROM hist GROUP BY b)
+      |), cumh AS (
+      |  SELECT cents, sum(cnt) OVER (PARTITION BY hist.b ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + off AS cum
+      |  FROM hist JOIN offs ON hist.b = offs.b
+      |), nn AS (SELECT count(*) AS n FROM c
+      |), thr AS (
+      |  SELECT
+      |    min(CASE WHEN cum >= (n+3)//4 THEN cents END) AS t1,
+      |    min(CASE WHEN cum >= (n+1)//2 THEN cents END) AS t2,
+      |    min(CASE WHEN cum >= (3*n+3)//4 THEN cents END) AS t3
+      |  FROM cumh, nn
+      |), b AS (
+      |  SELECT CASE WHEN cents <= t1 THEN 'q1' WHEN cents <= t2 THEN 'q2'
+      |              WHEN cents <= t3 THEN 'q3' ELSE 'q4' END AS bin, cents
+      |  FROM c, thr
+      |)
+      |SELECT bin, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_collection_aggs" -> (q44_collection_aggs _),
     "q45_unpivot" -> (q45_unpivot _),
-    "q51_decimal_money" -> (q51_decimal_money _)
+    "q51_decimal_money" -> (q51_decimal_money _),
+    "q60_cube" -> (q60_cube _),
+    "q61_quantile_bins" -> (q61_quantile_bins _)
   )
 
   val oracle: Map[String, String] = Map(
     "q44_collection_aggs" -> q44Sql,
     "q45_unpivot" -> q45Sql,
-    "q51_decimal_money" -> q51Sql
+    "q51_decimal_money" -> q51Sql,
+    "q60_cube" -> q60Sql,
+    "q61_quantile_bins" -> q61Sql
   )
 }
