@@ -102,15 +102,41 @@ object StreamingQueries {
       |FROM e GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** q62: the stream-stream interval join's batch formulation — purchases
+    * attributed to the same user's views within the prior 30 minutes,
+    * through the SAME watermarked operator the stream runs (watermarks
+    * no-op in batch). The streaming hop — the join buffering both sides'
+    * state across real micro-batches — is pinned in StreamingSpec; this
+    * row pins batch == DuckDB (exact-µs range join).
+    */
+  def q62_purchase_attribution(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.purchaseAttribution(Tables.events(s, dir), 30, "1 hour")
+      .orderBy(col("purchase_id"), col("view_id"))
+
+  val q62Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'
+      |)
+      |SELECT p.user_id, purchase_id, view_id, p_us, v_us
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v_us >= p_us - 1800000000 AND v_us <= p_us
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_spend_milestones" -> (q46_spend_milestones _),
     "q52_stream_enrich" -> (q52_stream_enrich _),
-    "q56_tumbling_watermark" -> (q56_tumbling_watermark _)
+    "q56_tumbling_watermark" -> (q56_tumbling_watermark _),
+    "q62_purchase_attribution" -> (q62_purchase_attribution _)
   )
 
   val oracle: Map[String, String] = Map(
     "q46_spend_milestones" -> q46Sql,
     "q52_stream_enrich" -> q52Sql,
-    "q56_tumbling_watermark" -> q56Sql
+    "q56_tumbling_watermark" -> q56Sql,
+    "q62_purchase_attribution" -> q62Sql
   )
 }

@@ -87,6 +87,29 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("c_mktsegment").as("segment"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream time-interval self-join (SURVEY §2 I): attribute each
+    * purchase to the same user's views in the preceding `lookbackMin`
+    * minutes. Both sides carry watermarks and the join condition bounds
+    * both event times, so the engine can size and expire the join state —
+    * the canonical Structured Streaming stream-stream join shape. In batch
+    * the watermarks are no-ops and this is a plain equi+range join.
+    * Exact-µs output columns so the DuckDB oracle (q62) is bit-stable.
+    */
+  def purchaseAttribution(events: DataFrame, lookbackMin: Int,
+      watermark: String): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), tsCol.as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), tsCol.as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    p.join(v, col("user_id") === col("v_user")
+        && col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES")
+        && col("v_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+  }
+
   /** Idempotent re-delivery dedup: first event per (user_id, event_type).
     * Streaming: withWatermark + dropDuplicates (bounded state). Batch
     * equivalent keeps earliest (ts, event_id) via row_number.

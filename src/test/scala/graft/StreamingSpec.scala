@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(i >= 3, "expected at least 3 source files (3 micro-batches)")
   }
 
+  test("stream-stream interval join buffers both sides' state across micro-batches " +
+    "== batch range join") {
+    // one file per trigger → purchases and their matching views arrive in
+    // DIFFERENT micro-batches; the join state must hold both sides
+    val multi = Files.createTempDirectory("graft_ss_join")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count().toInt
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (part <- Seq(0, 1, 2)) {
+      val dir = multi.resolve(s"p$part")
+      e.offset(part * (n / 3)).limit(if (part < 2) n / 3 else n - 2 * (n / 3))
+        .write.parquet(dir.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    // long watermark: nothing is late (files are not time-ordered), state
+    // simply accumulates — the cross-batch buffering is what's under test
+    val q = StreamOps.purchaseAttribution(stream, 30, "365 days")
+      .writeStream.format("memory").queryName("ssjoin_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssjoin_out").collect().map(_.toString).sorted
+    val expect = StreamOps.purchaseAttribution(batchEvents, 30, "365 days")
+      .collect().map(_.toString).sorted
+    assert(i >= 3 && expect.nonEmpty && got.sameElements(expect),
+      s"stream ${got.length} pairs vs batch ${expect.length}")
+  }
+
   test("watermarked tumbling window DROPS a late event beyond the watermark " +
     "across real micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
