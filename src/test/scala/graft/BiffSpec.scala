@@ -237,6 +237,62 @@ class BiffSpec extends SparkSpecBase {
     expect(rows)
   }
 
+  test("property: random grids (unicode strings, ints, holes) round-trip " +
+    "through writer/reader") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    def labelCell(r: Int, c: Int, s: String): Array[Byte] = {
+      val wide = s.exists(_ > 127)
+      val w = new W().u16(r).u16(c).u16(0).u16(s.length).u8(if (wide) 1 else 0)
+      if (wide) w.bytes(s.getBytes(StandardCharsets.UTF_16LE)) else w.ascii(s)
+      rec(0x0204, w.result)
+    }
+    def intCell(r: Int, c: Int, v: Long): Array[Byte] =
+      rec(0x027E, new W().u16(r).u16(c).u16(0).u32(((v << 2) | 2) & 0xFFFFFFFFL).result)
+    val strGen = Gen.nonEmptyListOf(
+      Gen.frequency(6 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', '中', 'ß', ' ')))
+      .map(_.mkString.take(12))
+    val cellGen: Gen[Option[Either[String, Long]]] = Gen.frequency(
+      2 -> Gen.const(None),
+      4 -> strGen.map(s => Some(Left(s))),
+      3 -> Gen.choose(-1000000L, 1000000L).map(v => Some(Right(v))))
+    for (seed <- 0 until 25) {
+      val nCols = sample(Gen.choose(1, 5), seed * 31 + 1)
+      val nRows = sample(Gen.choose(1, 6), seed * 31 + 2)
+      val header = (0 until nCols).map(c => s"h${c}_" + sample(strGen, seed * 31 + 3 + c))
+      val data = (0 until nRows).map(r =>
+        (0 until nCols).map(c => sample(cellGen, seed * 1009 + r * 31 + c)))
+      val body = header.zipWithIndex.map { case (h, c) => labelCell(0, c, h) } ++
+        data.zipWithIndex.flatMap { case (row, r) => row.zipWithIndex.collect {
+          case (Some(Left(s)), c) => labelCell(r + 1, c, s)
+          case (Some(Right(v)), c) => intCell(r + 1, c, v)
+        } }
+      val bofSheet = rec(0x0809,
+        new W().u16(0x0600).u16(0x0010).u16(0).u16(0).u32(0).u32(0).result)
+      val bofGlobals = rec(0x0809,
+        new W().u16(0x0600).u16(0x0005).u16(0).u16(0).u32(0).u32(0).result)
+      val eof = rec(0x000A, Array.emptyByteArray)
+      val bs = new W(); bs.u32(0); bs.u8(0).u8(0).u8(2).u8(0).ascii("S1")
+      val globals = bofGlobals ++ rec(0x0085, bs.result) ++ eof
+      val patched = globals.clone()
+      val pos = bofGlobals.length + 4
+      val so = globals.length
+      patched(pos) = (so & 0xFF).toByte; patched(pos + 1) = ((so >> 8) & 0xFF).toByte
+      patched(pos + 2) = ((so >> 16) & 0xFF).toByte; patched(pos + 3) = ((so >> 24) & 0xFF).toByte
+      val wb = patched ++ bofSheet ++ body.flatten ++ eof
+      val p = Files.createTempDirectory("graft_xls_prop").resolve(s"g$seed.xls").toString
+      writeCfb(p, wb)
+      val (gotHeader, gotRows) = Biff.readSheet(p)
+      // reader semantics: trailing all-empty data rows vanish (no cell records)
+      val expected = data.map(_.map(_.map(_.fold(identity, _.toString))))
+        .reverse.dropWhile(_.forall(_.isEmpty)).reverse
+      assert(gotHeader == header, s"seed=$seed header $gotHeader != $header")
+      assert(gotRows == expected, s"seed=$seed rows $gotRows != $expected")
+    }
+  }
+
   test("loadTable dispatches .xls to the BIFF reader") {
     val df = Sources.loadTable(spark, xlsPath)
     assert(df.columns.toSeq ==

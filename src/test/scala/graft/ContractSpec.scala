@@ -18,7 +18,8 @@ class ContractSpec extends SparkSpecBase {
     "streaming" -> (StreamingQueries.queries.keySet, StreamingQueries.oracle.keySet),
     "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
     "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet),
-    "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet))
+    "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet),
+    "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -27,14 +28,18 @@ class ContractSpec extends SparkSpecBase {
     assert(SparkEntry.queries.size == all.size)
   }
 
-  test("every oracle key names a registered query; only q38 is rows-only (certified by q47)") {
+  test("every oracle key names a registered query; q38's oracle appears once trained") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
-    // q38's learned centroids have no SQL mirror; its recall contract is the
-    // q47 oracle row. Everything else must carry its own DuckDB oracle.
-    assert(qs.diff(os) == Set("q38_ann_ivf"),
+    // q38's mirror embeds the trained centroids, so its entry exists only
+    // after the query has run for a dir (Verify's order guarantees that in
+    // the driver gate). Everything else always carries its DuckDB oracle.
+    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
+    ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
+    assert(SparkEntry.oracleSql.keySet == qs,
+      "q38 oracle missing after training (Verify would dump an incomplete map)")
   }
 
   test("entry (driver smoke) returns rows at sf0.001") {
