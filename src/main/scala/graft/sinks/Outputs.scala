@@ -42,6 +42,29 @@ object Outputs {
       .write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** Size-governed parquet sink — the 100 TB output-hygiene counterpart of
+    * the reference's single-file to_csv: `repartition(n)` bounds the FILE
+    * COUNT (the small-files problem: a 32k-task job writing 32k tiny files
+    * chokes downstream listing/footers), `repartitionByRange` +
+    * `sortWithinPartitions` gives each file a NARROW key range so min/max
+    * footer stats make downstream predicate pushdown selective (hash
+    * repartitioning would spread every file across the full key range),
+    * and `maxRecordsPerFile` caps file SIZE so one skewed partition cannot
+    * produce a multi-GB file. The range partitioner samples — balanced
+    * under skew — and nothing funnels through one task.
+    */
+  def writeParquetSized(df: DataFrame, path: String, numFiles: Int,
+      clusterBy: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(numFiles > 0)
+    val clustered =
+      if (clusterBy.isEmpty) df.repartition(numFiles)
+      else df.repartitionByRange(numFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    clustered.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** Boolean-like env toggle (`get_env_bool`, `etl_merge.py:447-461`):
     * 1/true/yes/y/on → true, 0/false/no/n/off → false, unset/other → default.
     */

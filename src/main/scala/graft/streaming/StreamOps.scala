@@ -96,16 +96,19 @@ object StreamOps {
     * Exact-µs output columns so the DuckDB oracle (q62) is bit-stable.
     */
   def purchaseAttribution(events: DataFrame, lookbackMin: Int,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), tsCol.as("p_ts"))
       .withWatermark("p_ts", watermark)
     val v = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"), tsCol.as("v_ts"))
       .withWatermark("v_ts", watermark)
+    // left_outer: unmatched purchases emit (view_id = null) only once the
+    // watermark passes their join window — state-expiry semantics pinned in
+    // StreamingSpec with a watermark-advancing sentinel
     p.join(v, col("user_id") === col("v_user")
         && col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES")
-        && col("v_ts") <= col("p_ts"))
+        && col("v_ts") <= col("p_ts"), joinType)
       .select(col("user_id"), col("purchase_id"), col("view_id"),
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
   }

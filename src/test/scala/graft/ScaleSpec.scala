@@ -51,6 +51,34 @@ class ScaleSpec extends SparkSpecBase {
     assert(!lines.exists(l => l.contains("E-") || l.contains("E+")))
   }
 
+  test("size-governed parquet sink: bounded file count, clustered footer stats, " +
+    "size cap splits a skewed partition") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    Outputs.writeParquetSized(li, s"$out/a", numFiles = 4, clusterBy = Seq("l_orderkey"))
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$out/a").size == 4, "file count must equal numFiles")
+    assert(spark.read.parquet(s"$out/a").count() == li.count())
+    // maxRecordsPerFile splits output beyond the cap even with numFiles=1
+    Outputs.writeParquetSized(li, s"$out/b", numFiles = 1,
+      clusterBy = Seq("l_orderkey"), maxRecordsPerFile = 10000L)
+    assert(parquetFiles(s"$out/b").size >= 6, // 60k rows / 10k cap
+      s"size cap did not split: ${parquetFiles(s"$out/b").size} files")
+    // clustering: each file's orderkey span is narrow vs the global span →
+    // footer min/max stats prune downstream scans
+    val spans = parquetFiles(s"$out/a").map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect().head
+      r.getLong(1) - r.getLong(0)
+    }
+    val global = li.agg(max(col("l_orderkey")) - min(col("l_orderkey")))
+      .collect().head.getLong(0)
+    assert(spans.forall(_ < global / 2),
+      s"files not clustered: spans=$spans vs global=$global")
+  }
+
   test("bucketed tables join without exchanges (co-located join)") {
     val s2 = spark.newSession() // warehouse dir is set (static) on the base session
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast

@@ -175,6 +175,40 @@ class StreamingSpec extends SparkSpecBase {
       s"stream ${got.length} pairs vs batch ${expect.length}")
   }
 
+  test("LEFT OUTER stream-stream join emits null-view rows after watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ns(min: Long): Long = min * 60L * 1000000000L
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamOps.purchaseAttribution(events, 30, "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("outer_join_out").outputMode("append").start()
+    try {
+      // user 1: purchase WITH a view in the 30-min window; user 2: purchase alone
+      mem.addData(
+        (1L, ns(10), 1L, "view", 0.0, ""),
+        (2L, ns(20), 1L, "purchase", 9.99, ""),
+        (3L, ns(20), 2L, "purchase", 5.00, ""))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("outer_join_out").collect()
+      // the unmatched purchase CANNOT emit yet — its window might still fill
+      assert(!matchedOnly.exists(r => r.isNullAt(2)),
+        s"null-view row emitted before watermark expiry: ${matchedOnly.toSeq}")
+      // sentinels far in the future on BOTH inputs: the join's watermark is
+      // the min over both sides, so each side needs an advancing event
+      mem.addData((98L, ns(10000), 3L, "view", 0.0, ""),
+        (99L, ns(10000), 4L, "purchase", 1.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("outer_join_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((1L, 2L, 1L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 3L, -1L)),
+        s"unmatched purchase did not emit its null-view row after expiry: $rows")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window DROPS a late event beyond the watermark " +
     "across real micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
