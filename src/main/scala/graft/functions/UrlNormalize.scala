@@ -51,9 +51,10 @@ object UrlNormalize {
   def urlNormalize(c: Column, siteBase: String = "", stripAllParams: Boolean = false): Column =
     ColumnBridge.column(UrlNormalize(ColumnBridge.expression(c), siteBase, stripAllParams))
 
-  /** Make `graft_url_normalize` callable from spark.sql. */
-  def register(spark: SparkSession): Unit =
-    ColumnBridge.registerFunction(spark, "graft_url_normalize", { exprs =>
+  /** SQL-arguments builder — shared by the per-session [[register]] and the
+    * config-level [[graft.GraftExtensions]] injection.
+    */
+  val builder: Seq[Expression] => Expression = { exprs =>
       def str(e: Expression, what: String): String = e match {
         case Literal(v: UTF8String, StringType) => v.toString
         case Literal(null, _) => ""
@@ -72,5 +73,9 @@ object UrlNormalize {
         case _ => throw new IllegalArgumentException(
           "graft_url_normalize takes 1 to 3 arguments")
       }
-    })
+  }
+
+  /** Make `graft_url_normalize` callable from spark.sql on one session. */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "graft_url_normalize", builder)
 }

@@ -100,6 +100,38 @@ class ScaleSpec extends SparkSpecBase {
     assert(joined.count() > 0)
   }
 
+  test("GraftExtensions (spark.sql.extensions entry point) registers every " +
+    "custom function on a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val oldDefault = SparkSession.getDefaultSession
+    val oldActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // new session over the SAME SparkContext, extensions applied at build
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new GraftExtensions()).getOrCreate()
+      val r = s2.sql(
+        """SELECT
+          |  graft_polyhash('abc') AS ph,
+          |  graft_url_normalize('HTTPS://Ex.COM/a/?utm_s=1&k=2#f') AS u,
+          |  graft_lang_id('the of and is') AS lang,
+          |  size(graft_shingle_hashes('a b c d e', 3)) AS nsh,
+          |  graft_simhash48(graft_shingle_hashes('a b c d e', 3)) AS sh
+          |""".stripMargin).collect().head
+      val expPh = ("abc".getBytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L))
+      assert(r.getAs[Long]("ph") == expPh)
+      assert(r.getAs[String]("u") == "https://ex.com/a?k=2")
+      assert(r.getAs[String]("lang") == "en")
+      assert(r.getAs[Int]("nsh") == 3)
+      assert(r.getAs[Long]("sh") != 0L)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_url_normalize is SQL-callable and matches the Column API") {
     graft.functions.UrlNormalize.register(spark)
     import spark.implicits._
