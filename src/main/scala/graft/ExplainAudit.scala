@@ -20,7 +20,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q06_spine_join3", "q07_rank_topk",
         "q26_jaccard_pairs", "q30_cosine_topk", "q48_decontaminate",
-        "q50_vocab", "q54_token_packing")
+        "q50_vocab", "q54_token_packing", "q58_mixture_sample",
+        "q59_tfidf_topk", "q61_quantile_bins")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")

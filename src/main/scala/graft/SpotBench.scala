@@ -24,8 +24,8 @@ object SpotBench {
       ts.sorted.apply(1)
     }
     if (args.head == "skew") {
-      val (u, s) = Bench.skewBench(spark, sfDir, medianOf)
-      println(f"skew unsalted=$u%.2f salted=$s%.2f ratio=${u / s}%.2f")
+      val (u, s, a) = Bench.skewBench(spark, sfDir, medianOf)
+      println(f"skew unsalted=$u%.2f salted=$s%.2f aqe=$a%.2f ratio=${u / s}%.2f")
       spark.stop(); return
     }
     SparkEntry.queries(args.head)(spark, sfDir)
