@@ -102,10 +102,14 @@ object IvfIndex {
     Model(centroids)
   }
 
-  /** Squared-L2 distance of a double-array column to a centroid literal. */
+  /** Squared-L2 distance of a double-array column to a centroid literal.
+    * Codegen'd in-order fold ([[graft.functions.L2DistSq]]) — the argmin
+    * evaluates nlist of these per row, so the interpreted-lambda form paid
+    * 2·dim·nlist closure calls per vector.
+    */
   private def distSq(vec: Column, centroid: Array[Double]): Column = {
     val c = array(centroid.map(lit): _*)
-    aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.VectorOps.l2sq(vec, c)
   }
 
   /** Nearest-list id (argmin distance over centroid literals). Implemented

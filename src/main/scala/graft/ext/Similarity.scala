@@ -20,9 +20,13 @@ object Similarity {
   /** Elementwise cast to double — do this ONCE, then all math is double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product as an in-order fold (bit-reproducible). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+  /** Dot product as an in-order fold (bit-reproducible). Backed by the
+    * codegen'd [[graft.functions.DotProduct]] — same left-to-right IEEE op
+    * sequence as the combinator form (and the DuckDB list_reduce mirrors),
+    * but one Java loop per row instead of two interpreted lambda calls per
+    * dimension.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -60,29 +64,19 @@ object Similarity {
     (pmod(lcg, lit(2001L)) - 1000L).cast("double") / 1000.0
   }
 
-  /** LSH bucket id from `nBits` hyperplane sign bits. */
+  /** LSH bucket id from `nBits` hyperplane sign bits. Backed by the
+    * codegen'd [[graft.functions.LshBucket]] (one Java loop per row); the
+    * combinator formulation paid nBits·dim interpreted lambda calls per
+    * vector and kept the projection out of whole-stage codegen. The
+    * hyperplane derivation ([[hyperplaneAt]]) and fold orders are replayed
+    * exactly, so the q31 oracle stays bit-identical.
+    */
   def lshBucket(vec: Column, nBits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nBits - 1)), j => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * hyperplaneAt(j, i)),
-          lit(0.0), _ + _)
-        when(proj > 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+    graft.functions.LshBucket.lshBucket(vec, nBits, 0)
 
   /** LSH bucket id with a per-table seed offset (independent hash tables). */
   def lshBucketT(vec: Column, nBits: Int, table: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nBits - 1)), j => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * hyperplaneAt(j + lit(table * 1000), i)),
-          lit(0.0), _ + _)
-        when(proj > 0, lit(1L)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+    graft.functions.LshBucket.lshBucket(vec, nBits, table)
 
   /** Multi-table LSH approximate top-k: candidates share the probe's bucket
     * in ANY of `tables` independent hyperplane tables (the standard

@@ -32,6 +32,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("codegen kernels == combinator formulations, bit for bit (dot, l2sq, lsh bucket)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    // executable specifications: the interpreted higher-order forms the
+    // codegen expressions (VectorFold, LshBucket) must replay exactly
+    def specDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    def specL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    def specBucket(vec: org.apache.spark.sql.Column, nBits: Int, table: Int) =
+      aggregate(
+        transform(sequence(lit(0), lit(nBits - 1)), j => {
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, i) => x * Similarity.hyperplaneAt(j + lit(table * 1000), i)),
+            lit(0.0), _ + _)
+          when(proj > 0, lit(1L)).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, bit) => acc * 2 + bit)
+    val shifted = transform(col("v"), x => x + 0.001) // inexact partner vector
+    val bad = emb.select(
+        (Similarity.dot(col("v"), shifted) =!= specDot(col("v"), shifted)).as("d"),
+        (graft.functions.VectorOps.l2sq(col("v"), shifted) =!= specL2(col("v"), shifted)).as("l"),
+        (Similarity.lshBucketT(col("v"), 16, 1) =!= specBucket(col("v"), 16, 1)).as("b"))
+      .filter(col("d") || col("l") || col("b")).count()
+    assert(bad == 0, s"$bad vectors disagree with the combinator specification")
+  }
+
   test("multi-table LSH recall beats single-table; IVF nprobe recall is useful") {
     val emb = Tables0.embeddings(spark).cache()
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", col("vec_id") < 20, 5)
