@@ -85,10 +85,13 @@ object Dedup {
     * Callers must bind `hashes` via withColumn (see [[shingleHashes]]) —
     * referencing the hash expression inline would make Catalyst re-evaluate
     * the whole shingle+hash pipeline once per signature component.
+    * Backed by the codegen'd [[graft.functions.MinHashSig]] (one Java
+    * double loop; the combinator form paid n·|shingles| interpreted lambda
+    * calls per row) — same [[affine]] arithmetic, equivalence pinned in
+    * DedupSpec.
     */
   def minhashFromHashes(hashes: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(hashes, h => affine(i, h))))
+    graft.functions.MinHashSig.minhashSig(hashes, n)
 
   /** Shingle polyhash array (bind once per row with withColumn). Backed by
     * the single-pass codegen expression [[graft.functions.ShingleHashes]]

@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpecBase {
       s"near ${ham(1L, 3L)} should beat far ${ham(1L, 4L)}")
   }
 
+  test("codegen MinHashSig == combinator affine-rehash specification, bit for bit") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 3)
+      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+    val spec = transform(sequence(lit(0), lit(64 - 1)),
+      i => array_min(transform(col("hashes"), h => Dedup.affine(i, h))))
+    val bad = d.filter(Dedup.minhashFromHashes(col("hashes"), 64) =!= spec).count()
+    assert(bad == 0, s"$bad signatures disagree with the combinator specification")
+  }
+
   test("connectedComponents: chains, singleton edges, disjoint clusters, min rep") {
     // chain 1-2-3-4 (diameter 3), pair 10-11, disjoint 20-21-22 (star)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
