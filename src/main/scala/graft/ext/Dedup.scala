@@ -125,12 +125,12 @@ object Dedup {
     // non-dividing length silently drops trailing signature components
     require(sigLength % bands == 0 && sigLength / bands >= 1,
       s"signature length $sigLength must divide into $bands bands of >=1 rows")
+    // band keys via the codegen'd fold (graft.functions.BandKeys — same
+    // (acc·31+x) mod M arithmetic as the combinator form; equivalence
+    // pinned in DedupSpec)
     val withSig = docs.select(col(idCol).as("id"), sig.as("sig"))
-      .withColumn("r", (size(col("sig")) / bands).cast("int"))
     val banded = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => aggregate(slice(col("sig"), bnd * col("r") + 1, col("r")),
-          lit(0L), (acc, x) => (acc * 31 + x) % lit(HashMod)))))
+      posexplode(graft.functions.BandKeys.bandKeys(col("sig"), bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("band_key"))
     val a = banded.select(col("id").as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("band_key"))

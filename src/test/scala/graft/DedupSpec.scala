@@ -65,6 +65,19 @@ class DedupSpec extends SparkSpecBase {
       s"near ${ham(1L, 3L)} should beat far ${ham(1L, 4L)}")
   }
 
+  test("codegen BandKeys == combinator slice-fold specification, bit for bit") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 3)
+      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+      .withColumn("sig", Dedup.minhashFromHashes(col("hashes"), 64))
+      .withColumn("r", (size(col("sig")) / 16).cast("int"))
+    val spec = transform(sequence(lit(0), lit(15)),
+      bnd => aggregate(slice(col("sig"), bnd * col("r") + 1, col("r")),
+        lit(0L), (acc, x) => (acc * 31 + x) % lit(graft.ext.TextAnalysis.HashMod)))
+    val bad = d.filter(graft.functions.BandKeys.bandKeys(col("sig"), 16) =!= spec).count()
+    assert(bad == 0, s"$bad band-key vectors disagree with the combinator specification")
+  }
+
   test("codegen MinHashSig == combinator affine-rehash specification, bit for bit") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= 3)
