@@ -150,15 +150,91 @@ object ExtensionQueries4 {
       |  FROM scored) x
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** q63: conversion funnel — per user, the first view and the first
+    * purchase at-or-after it, with a 1-hour conversion flag. Sequential
+    * pattern detection as two narrow aggregations: tv per user (one
+    * groupBy), then purchases re-scanned against the broadcast-joined tv
+    * for the conditional min — never a per-user ordered window over the
+    * full event stream, so no giant-partition sort at 100 TB. Exact-µs
+    * integer time math throughout.
+    */
+  def q63_funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("tv_us"))
+    val firstPurchase = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("tv_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("tp_us"))
+    firstView.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("tv_us"), col("tp_us"),
+        (col("tp_us").isNotNull &&
+          col("tp_us") - col("tv_us") <= 3600L * 1000000L).as("converted_1h"))
+      .orderBy(col("user_id"))
+  }
+
+  val q63Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), fv AS (
+      |  SELECT user_id, min(us) AS tv_us FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id, min(us) AS tp_us
+      |  FROM e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE event_type = 'purchase' AND us >= tv_us
+      |  GROUP BY e.user_id
+      |)
+      |SELECT fv.user_id, tv_us, tp_us,
+      |  coalesce(tp_us - tv_us <= 3600000000, false) AS converted_1h
+      |FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+      |ORDER BY fv.user_id""".stripMargin
+
+  /** q64: exact-quota per-group sampling — exactly k docs per language,
+    * chosen by deterministic hash order (rank over (bucket, doc_id) within
+    * lang). The rank ≤ k filter compiles to WindowGroupLimit (Spark 3.5+):
+    * each partition pre-prunes to its top-k before the per-group shuffle,
+    * so memory stays k-bounded even when one language dominates the
+    * corpus. Complements q58's threshold sampling (binomial quota, zero
+    * window) when the quota must be EXACT.
+    */
+  def q64_group_topk_sample(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("bucket", hashBucket(col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("bucket"), col("doc_id"))
+    d.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("bucket"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q64Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    (((doc_id % 1048573) * 2654435761 + 101) % 1000000007) % 1000000 AS bucket
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bucket FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rank
+      |  FROM d) t
+      |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
-    "q59_tfidf_topk" -> (q59_tfidf_topk _)
+    "q59_tfidf_topk" -> (q59_tfidf_topk _),
+    "q63_funnel" -> (q63_funnel _),
+    "q64_group_topk_sample" -> (q64_group_topk_sample _)
   )
 
   val oracle: Map[String, String] = Map(
     "q57_pii_scrub" -> q57Sql,
     "q58_mixture_sample" -> q58Sql,
-    "q59_tfidf_topk" -> q59Sql
+    "q59_tfidf_topk" -> q59Sql,
+    "q63_funnel" -> q63Sql,
+    "q64_group_topk_sample" -> q64Sql
   )
 }
