@@ -258,6 +258,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("checkpointed restart: dedup state survives a full query stop/start " +
+    "(file sink, no reprocessing)") {
+    val base = Files.createTempDirectory("graft_ckpt")
+    val src = base.resolve("src"); Files.createDirectory(src)
+    val ckpt = base.resolve("ckpt").toString
+    val sink = base.resolve("out").toString
+    import spark.implicits._
+    def writeEvents(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.parquet(base.resolve(name).toString) match { case _ =>
+          import scala.jdk.CollectionConverters._
+          Files.list(base.resolve(name)).iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .foreach(f => Files.copy(f, src.resolve(s"$name.parquet")))
+        }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StreamOps.EventsSchema).parquet(src.toString)
+      val q = StreamOps.dedupStream(stream, "365 days")
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ns = 1000000000L
+    writeEvents("f1", Seq((1L, 10L * ns, 1L, "view", 0.0, ""), (2L, 20L * ns, 2L, "click", 0.0, "")))
+    runOnce()
+    // restart from the checkpoint: the duplicate (1,"view") must be dropped
+    // by RESTORED state, and file f1 must not be reprocessed
+    writeEvents("f2", Seq((3L, 30L * ns, 1L, "view", 0.0, ""), (4L, 40L * ns, 3L, "buy", 0.0, "")))
+    runOnce()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 1L, "view"), (2L, 2L, "click"), (4L, 3L, "buy")),
+      s"restart broke dedup state or reprocessed input: $out")
+  }
+
   test("sliding windows produce width/slide copies per event") {
     val slid = StreamOps.slidingAgg(batchEvents, "1 hour", "30 minutes")
     val total = slid.agg(sum("n")).collect().head.getLong(0)
