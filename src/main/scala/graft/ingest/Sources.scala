@@ -51,6 +51,16 @@ object Sources {
     }
   }
 
+  /** Schema-evolution parquet read: merge the footers of every file under
+    * `dir` (a 100 TB lake accretes columns over time; the default
+    * first-file schema silently DROPS later columns), with rows from
+    * pre-evolution files surfacing the added columns as null. Footer
+    * merging costs one distributed schema pass — use for evolving landing
+    * zones, not for fixed-schema curated tables.
+    */
+  def loadParquetMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** Input path resolution: ENV override → explicit config path → default
     * (`resolve_input_path`, `etl_merge.py:717-731`); existence is validated
     * at load (A9).

@@ -79,6 +79,43 @@ class ScaleSpec extends SparkSpecBase {
       s"files not clustered: spans=$spans vs global=$global")
   }
 
+  test("schema-evolution parquet read: merged footers, old rows null-fill new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score") // column added later
+      .write.parquet(s"$dir/batch=2")
+    val merged = graft.ingest.Sources.loadParquetMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // the default (unmerged) read picks ONE footer — documents why the
+    // helper exists: it can silently drop the evolved column entirely
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= merged.columns.length)
+  }
+
+  test("approximate quantiles (the 100 TB tier) stay within pinned error of the " +
+    "exact order statistics") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(graft.core.FpSafe.cents(col("l_extendedprice")).as("cents"))
+    val n = li.count()
+    val approx = li.stat.approxQuantile("cents", Array(0.25, 0.5, 0.75), 0.01)
+    // exact thresholds: value at rank ceil(q·n) — the q61 definition
+    val exact = Seq((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4).map { k =>
+      li.orderBy(col("cents")).limit(k.toInt).agg(max(col("cents")))
+        .collect().head.getLong(0)
+    }
+    exact.zip(approx).foreach { case (e, a) =>
+      // relative-ERROR bound follows from approxQuantile's rank guarantee
+      // (±1% of n ranks) on this distribution; generous 5% value tolerance
+      assert(math.abs(a - e) <= math.max(0.05 * e, 1.0),
+        s"approx $a too far from exact $e (exact=$exact approx=${approx.toSeq})")
+    }
+  }
+
   test("bucketed tables join without exchanges (co-located join)") {
     val s2 = spark.newSession() // warehouse dir is set (static) on the base session
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
