@@ -126,17 +126,73 @@ object StreamingQueries {
       |  AND v_us >= p_us - 1800000000 AND v_us <= p_us
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** q65: sliding windows (1 h width / 30 min slide) — each event lands in
+    * width/slide = 2 windows. The oracle derives the window starts
+    * arithmetically (start = (⌊us/slide⌋ − k)·slide for k ∈ {0,1}; with
+    * width = 2·slide every k is in range), matching Spark's epoch-aligned
+    * window generation exactly in integer µs.
+    */
+  def q65_sliding(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.slidingAgg(Tables.events(s, dir), "1 hour", "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q65Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us, event_type FROM events
+      |), w AS (
+      |  SELECT make_timestamp(((us // 1800000000) - k) * 1800000000) AS window_start,
+      |    event_type
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+      |)
+      |SELECT window_start, event_type, count(*) AS n
+      |FROM w GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** q66: native session_window (30 min gap) per user — the gap-merged
+    * session operator's batch formulation with a DuckDB gaps-and-islands
+    * mirror (new session when the µs gap exceeds the threshold; running
+    * session id via a windowed sum). Exact-cents sums; session start is
+    * the µs of the first event.
+    */
+  def q66_session_window(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionAgg(Tables.events(s, dir), "30 minutes")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val q66Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS vc
+      |  FROM events
+      |), g AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), sid AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+      |  FROM g
+      |)
+      |SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+      |  CAST(sum(vc) AS BIGINT) / 100.0 AS sum_value
+      |FROM sid GROUP BY user_id, sess
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_spend_milestones" -> (q46_spend_milestones _),
     "q52_stream_enrich" -> (q52_stream_enrich _),
     "q56_tumbling_watermark" -> (q56_tumbling_watermark _),
-    "q62_purchase_attribution" -> (q62_purchase_attribution _)
+    "q62_purchase_attribution" -> (q62_purchase_attribution _),
+    "q65_sliding" -> (q65_sliding _),
+    "q66_session_window" -> (q66_session_window _)
   )
 
   val oracle: Map[String, String] = Map(
     "q46_spend_milestones" -> q46Sql,
     "q52_stream_enrich" -> q52Sql,
     "q56_tumbling_watermark" -> q56Sql,
-    "q62_purchase_attribution" -> q62Sql
+    "q62_purchase_attribution" -> q62Sql,
+    "q65_sliding" -> q65Sql,
+    "q66_session_window" -> q66Sql
   )
 }
