@@ -54,7 +54,8 @@ object Outputs {
     * under skew — and nothing funnels through one task.
     */
   def writeParquetSized(df: DataFrame, path: String, numFiles: Int,
-      clusterBy: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit = {
+      clusterBy: Seq[String], maxRecordsPerFile: Long = 5000000L,
+      codec: String = "zstd"): Unit = {
     require(numFiles > 0)
     val clustered =
       if (clusterBy.isEmpty) df.repartition(numFiles)
@@ -62,6 +63,32 @@ object Outputs {
         .sortWithinPartitions(clusterBy.map(col): _*)
     clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec) // zstd: ~30% smaller than snappy at 100 TB
+      .parquet(path)
+  }
+
+  /** Hive-layout partitioned parquet sink: one directory per value of
+    * `partitionBy` (the coarse pruning axis a 100 TB lake reads by —
+    * language, date, source), `numFilesPerPartition` output tasks per
+    * partition value via a (partition, range-bucket) repartition so one hot
+    * partition value cannot produce a single giant file OR 32k tiny ones.
+    * Downstream filters on the partition column prune whole directories
+    * before any footer is read (PartitionFilters in the scan — asserted in
+    * ScaleSpec).
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String, partitionBy: String,
+      numFilesPerPartition: Int, codec: String = "zstd"): Unit = {
+    require(numFilesPerPartition > 0)
+    // spread key from full row CONTENT (xxhash64 of every column):
+    // deterministic under task retries — a nondeterministic key here
+    // (round-robin, monotonic ids) is the classic repartition-retry
+    // row-loss/duplication bug
+    val spread = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(numFilesPerPartition))
+    df.repartition(col(partitionBy), spread)
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .partitionBy(partitionBy)
       .parquet(path)
   }
 

@@ -79,6 +79,24 @@ class ScaleSpec extends SparkSpecBase {
       s"files not clustered: spans=$spans vs global=$global")
   }
 
+  test("hive-partitioned sink: per-value directories, partition pruning in the scan") {
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Outputs.writeParquetPartitioned(d, out, "lang", numFilesPerPartition = 2)
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == d.count())
+    // filter on the partition column must prune directories, not read+filter
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"no partition pruning in plan:\n${scan.take(1500)}")
+    assert(pruned.count() ==
+      d.filter(col("lang") === "en").count())
+  }
+
   test("schema-evolution parquet read: merged footers, old rows null-fill new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
