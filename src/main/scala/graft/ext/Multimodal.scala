@@ -53,6 +53,58 @@ object Multimodal {
     }
   }
 
+  /** Resized media (the resize stage's output contract): the payload is
+    * re-encoded for the target geometry; n_bytes/checksum summarize it.
+    */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      target_w: Int, target_h: Int, n_bytes_out: Long, checksum_out: Long)
+
+  /** Resize stage: partition-wise, codec init amortized per partition. The
+    * STUB "re-encode" takes the first target_w·target_h/64 payload bytes
+    * (deterministic); a real implementation would decode → scale → encode
+    * in the same per-partition loop.
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+        val keep = math.min(bytes.length, targetW * targetH / 64)
+        var h = 0L
+        var i = 0
+        while (i < keep) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        ResizedMedia(r.media_id, r.kind, targetW, targetH, keep.toLong, h)
+      }
+    }
+  }
+
+  /** A sampled frame: one row per `everyMs` of stub duration, capped. */
+  final case class MediaFrame(media_id: Long, frame_idx: Int, ts_ms: Long,
+      frame_checksum: Long)
+
+  /** Frame-sampling stage: typed partition-wise flatMap — the row-expanding
+    * member of the media pipeline (decode 1:1, resize 1:1, sample 1:N with
+    * the cardinality CAPPED so a corrupt duration cannot explode a task).
+    * Stub duration for time-media (audio/video) derives from the payload
+    * checksum (`checksum % 300000` ms); images sample a single frame.
+    * Frame checksums are integer arithmetic over the payload hash — exact
+    * and engine-portable, so the whole stage is value-oracled (q67).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyMs: Long,
+      maxFrames: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val f = stubDecode(r)
+        val durMs = if (r.kind == "image") 0L else f.checksum % 300000L
+        val n = math.min(durMs / everyMs + 1, maxFrames.toLong).toInt
+        (0 until n).map { k =>
+          MediaFrame(r.media_id, k, k * everyMs, (f.checksum * 31 + k) % 1000000007L)
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents corpus: payload = UTF-8 bytes of
     * the text (stand-in for image/audio bytes), kind assigned round-robin.
     * This is how a binary column enters the engine: `cast(string as binary)`

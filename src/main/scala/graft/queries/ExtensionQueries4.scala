@@ -222,12 +222,43 @@ object ExtensionQueries4 {
       |  FROM d) t
       |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
+  /** q67: media frame sampling (SURVEY §7.4 multimodal, the 1:N stage) —
+    * the documents-as-video corpus through the typed partition-wise
+    * flatMap, cardinality capped at 8 frames. The stub codec's arithmetic
+    * is exact integer math over the payload polyhash, so the WHOLE stage —
+    * duration, frame count cap, per-frame checksums — is value-oracled,
+    * not just row-counted.
+    */
+  def q67_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Multimodal
+    val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
+      .filter(col("kind") === "video")
+    Multimodal.sampleFrames(media, everyMs = 30000L, maxFrames = 8)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q67Sql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id, ${ExtensionQueries3.phSql("text")} AS h
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), f AS (
+       |  SELECT media_id, CAST(k AS INT) AS frame_idx, k * 30000 AS ts_ms,
+       |    (h * 31 + k) % 1000000007 AS frame_checksum,
+       |    least((h % 300000) // 30000 + 1, 8) AS nf
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS k)
+       |)
+       |SELECT media_id, frame_idx, ts_ms, frame_checksum
+       |FROM f WHERE frame_idx < nf
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
     "q59_tfidf_topk" -> (q59_tfidf_topk _),
     "q63_funnel" -> (q63_funnel _),
-    "q64_group_topk_sample" -> (q64_group_topk_sample _)
+    "q64_group_topk_sample" -> (q64_group_topk_sample _),
+    "q67_frame_sample" -> (q67_frame_sample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,6 +266,7 @@ object ExtensionQueries4 {
     "q58_mixture_sample" -> q58Sql,
     "q59_tfidf_topk" -> q59Sql,
     "q63_funnel" -> q63Sql,
-    "q64_group_topk_sample" -> q64Sql
+    "q64_group_topk_sample" -> q64Sql,
+    "q67_frame_sample" -> q67Sql
   )
 }
