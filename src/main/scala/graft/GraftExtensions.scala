@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e, Literal(k: Int, IntegerType)) => ShingleHashes(e, k)
         case other => throw new IllegalArgumentException(
           "graft_shingle_hashes takes (text, k literal int), got " + other) }))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info(classOf[NfcNormalize], "graft_nfc"),
+      { case Seq(e) => NfcNormalize(e)
+        case other => throw new IllegalArgumentException(
+          s"graft_nfc takes 1 argument, got ${other.length}") }))
     ext.injectFunction((FunctionIdentifier("graft_lang_id"),
       info(classOf[LangIdExpr], "graft_lang_id"),
       { case Seq(e) => LangIdExpr(e)

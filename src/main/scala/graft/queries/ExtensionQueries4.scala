@@ -252,13 +252,54 @@ object ExtensionQueries4 {
        |FROM f WHERE frame_idx < nf
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q68: Unicode NFC canonicalization (graft_nfc, a codegen expression
+    * over java.text.Normalizer) — composed ("é") and decomposed ("e"+U+0301)
+    * spellings of identical text are synthesized per document; raw they
+    * compare UNEQUAL (and would hash to different dedup fingerprints),
+    * after NFC they compare equal. Oracle: DuckDB's nfc_normalize
+    * (utf8proc) — both sides implement UAX #15, so strings, lengths
+    * (codepoints), and booleans match exactly.
+    */
+  def q68_unicode_nfc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val d = Tables.documents(s, dir)
+    val comp = concat(lit("caf\u00e9-r\u00e9sum\u00e9-"), col("doc_id").cast("string"))
+    val decomp = concat(lit("cafe\u0301-re\u0301sume\u0301-"), col("doc_id").cast("string"))
+    d.select(col("doc_id"),
+        (comp === decomp).as("eq_raw"),
+        (nfc(comp) === nfc(decomp)).as("eq_nfc"),
+        length(decomp).as("len_raw"),
+        length(nfc(decomp)).as("len_nfc"),
+        nfc(decomp).as("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q68Sql: String = {
+    // raw characters here (precomposed vs combining-mark spellings): these
+    // must reach DuckDB verbatim inside the SQL literal
+    val comp = "café-résumé-"
+    val decomp = "café-résumé-"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    '$comp' || CAST(doc_id AS VARCHAR) AS a,
+       |    '$decomp' || CAST(doc_id AS VARCHAR) AS b
+       |  FROM documents
+       |)
+       |SELECT doc_id, a = b AS eq_raw,
+       |  nfc_normalize(a) = nfc_normalize(b) AS eq_nfc,
+       |  length(b) AS len_raw, length(nfc_normalize(b)) AS len_nfc,
+       |  nfc_normalize(b) AS canonical
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
     "q59_tfidf_topk" -> (q59_tfidf_topk _),
     "q63_funnel" -> (q63_funnel _),
     "q64_group_topk_sample" -> (q64_group_topk_sample _),
-    "q67_frame_sample" -> (q67_frame_sample _)
+    "q67_frame_sample" -> (q67_frame_sample _),
+    "q68_unicode_nfc" -> (q68_unicode_nfc _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -267,6 +308,7 @@ object ExtensionQueries4 {
     "q59_tfidf_topk" -> q59Sql,
     "q63_funnel" -> q63Sql,
     "q64_group_topk_sample" -> q64Sql,
-    "q67_frame_sample" -> q67Sql
+    "q67_frame_sample" -> q67Sql,
+    "q68_unicode_nfc" -> q68Sql
   )
 }

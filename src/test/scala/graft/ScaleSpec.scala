@@ -172,7 +172,8 @@ class ScaleSpec extends SparkSpecBase {
           |  graft_url_normalize('HTTPS://Ex.COM/a/?utm_s=1&k=2#f') AS u,
           |  graft_lang_id('the of and is') AS lang,
           |  size(graft_shingle_hashes('a b c d e', 3)) AS nsh,
-          |  graft_simhash48(graft_shingle_hashes('a b c d e', 3)) AS sh
+          |  graft_simhash48(graft_shingle_hashes('a b c d e', 3)) AS sh,
+          |  graft_nfc('café') AS nfc
           |""".stripMargin).collect().head
       val expPh = ("abc".getBytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L))
       assert(r.getAs[Long]("ph") == expPh)
@@ -180,6 +181,7 @@ class ScaleSpec extends SparkSpecBase {
       assert(r.getAs[String]("lang") == "en")
       assert(r.getAs[Int]("nsh") == 3)
       assert(r.getAs[Long]("sh") != 0L)
+      assert(r.getAs[String]("nfc") == "caf\u00e9")
     } finally {
       SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
       oldDefault.foreach(SparkSession.setDefaultSession)
