@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.UrlOps
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Guard: every custom kernel expression REALLY compiles. Under
+  * `spark.sql.codegen.factoryMode=CODEGEN_ONLY` Spark throws instead of
+  * silently falling back to interpreted eval, so a doGenCode regression
+  * (bad generated Java, a Janino error) fails here instead of quietly
+  * re-introducing the interpreted-path bench regressions this repo spent
+  * two rounds removing.
+  */
+class KernelCodegenSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("all custom expressions evaluate under CODEGEN_ONLY (no interpreter fallback)") {
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+        (2L, "café HTTPS://Ex.COM/a/?utm_s=1&k=2#f", Seq(0.5, -1.0, 2.5), Seq(1.5, 0.0, -2.0)))
+        .toDF("id", "text", "va", "vb")
+        .withColumn("hashes", Dedup.shingleHashes(col("text"), 2))
+      val out = df.select(
+        TextAnalysis.polyHash(col("text")).as("ph"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes48(col("text"))).as("sh"),
+        graft.functions.LangIdExpr.langId(col("text")).as("lang"),
+        UrlOps.urlNormalize(col("text")).as("url"),
+        graft.functions.NfcNormalize.nfc(col("text")).as("nfc"),
+        Similarity.dot(col("va"), col("vb")).as("dot"),
+        graft.functions.VectorOps.l2sq(col("va"), col("vb")).as("l2"),
+        Similarity.lshBucketT(col("va"), 8, 1).as("bucket"),
+        Dedup.minhashFromHashes(col("hashes"), 8).as("sig"),
+        graft.functions.BandKeys.bandKeys(
+          Dedup.minhashFromHashes(col("hashes"), 8), 4).as("bands"))
+        .collect()
+      assert(out.length == 2)
+      assert(out.head.getDouble(5) == 1.0 * 4 + 2 * 5 + 3 * 6) // dot sanity
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+}
