@@ -72,12 +72,61 @@ object Bench {
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    val pipeline = try pipelineBench(spark, medianOf)
+      catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
-      s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},"sf":"$sfDir"}""")
+      s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
+      s""""pipeline_1m_sec":$pipeline,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The reference's OWN workload at scale: the full three-source
+    * visibility merge (robust CSV ingest → schema resolution → URL
+    * normalization → per-source rollups → spine join → scoring) over
+    * synthesized 1M-row Frog/GSC/GA4 CSVs — the reference runs this exact
+    * pipeline on ~20-row demo files; this measures the engine running it
+    * at ~50,000× that size (reported as "pipeline_1m_sec"). CSVs are
+    * generated once per bench run into a temp dir, deterministically.
+    */
+  def pipelineBench(spark: SparkSession, medianOf: (=> Unit) => Double): Double = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_bench").toString
+    val n = 1000000L
+    def url(i: org.apache.spark.sql.Column) =
+      concat(lit("https://www.acme-store.com/products/p"), pmod(i, lit(700000L)),
+        when(pmod(i, lit(3)) === 0, lit("/?utm_source=feed&sku=1")).otherwise(lit("?sku=1")))
+    spark.range(n).select(
+        url(col("id")).as("Address"), lit("text/html").as("Content"),
+        lit(200).as("Status Code"), concat(lit("Title "), col("id")).as("Title 1"),
+        lit("desc").as("Meta Description 1"), pmod(col("id"), lit(40)).as("Inlinks"),
+        pmod(col("id"), lit(2000)).as("Word Count"),
+        when(pmod(col("id"), lit(2)) === 0, "Product").otherwise("BlogPosting")
+          .as("Structured Data"),
+        pmod(col("id"), lit(9)).as("Outlinks"))
+      .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/frog")
+    spark.range(n).select(
+        url(col("id")).as("Top pages"), pmod(col("id"), lit(500)).as("Clicks"),
+        (pmod(col("id"), lit(500)) * 20 + 100).as("Impressions"),
+        concat((pmod(col("id"), lit(80)) / 10.0).cast("string"), lit("%")).as("CTR"),
+        (pmod(col("id"), lit(95)) / 10.0 + 1.0).as("Position"))
+      .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/gsc")
+    spark.range(n).select(
+        concat(lit("/products/p"), pmod(col("id"), lit(700000L)), lit("?sku=1"))
+          .as("Page path + query string"),
+        pmod(col("id"), lit(300)).as("Users"), pmod(col("id"), lit(400)).as("Sessions"),
+        pmod(col("id"), lit(200)).as("Engaged sessions"),
+        (pmod(col("id"), lit(900)) / 10.0).as("Average engagement time"),
+        pmod(col("id"), lit(7)).as("Conversions"))
+      .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/ga4")
+    val cfg = Pipeline.PipelineConfig(
+      frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
+      siteBase = "https://www.acme-store.com")
+    medianOf {
+      Pipeline.merged(spark, cfg).write.format("noop").mode("overwrite").save()
+    }
   }
 
   /** Skew join three ways, measured (SURVEY §4.4): lineitem rows

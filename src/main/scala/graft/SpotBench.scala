@@ -28,6 +28,10 @@ object SpotBench {
       println(f"skew unsalted=$u%.2f salted=$s%.2f aqe=$a%.2f ratio=${u / s}%.2f")
       spark.stop(); return
     }
+    if (args.head == "pipeline") {
+      println(f"pipeline_1m=${Bench.pipelineBench(spark, medianOf)}%.2f sec")
+      spark.stop(); return
+    }
     SparkEntry.queries(args.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warmup
     spark.catalog.clearCache()
