@@ -51,6 +51,32 @@ object Sources {
     }
   }
 
+  /** JSONL corpus ingest with corrupt-record QUARANTINE: at lake scale some
+    * lines are always malformed (truncated uploads, encoding accidents) and
+    * a 100 TB job must neither crash (FAILFAST) nor silently null them
+    * (PERMISSIVE default drops the evidence). Returns (clean, quarantine):
+    * clean rows parse fully; quarantined rows carry the raw offending line
+    * for triage. The explicit schema keeps ingestion one pass — no
+    * inference scan.
+    */
+  def loadJsonlQuarantined(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark requires referencing _corrupt_record via a cached/materialized frame
+    val clean = raw.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw
+      .filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .select(org.apache.spark.sql.functions.col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Schema-evolution parquet read: merge the footers of every file under
     * `dir` (a 100 TB lake accretes columns over time; the default
     * first-file schema silently DROPS later columns), with rows from

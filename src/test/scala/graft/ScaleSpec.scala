@@ -97,6 +97,27 @@ class ScaleSpec extends SparkSpecBase {
       d.filter(col("lang") === "en").count())
   }
 
+  test("JSONL ingest quarantines corrupt lines instead of crashing or nulling them") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "ok"}
+        |{"doc_id": 3, "text": "truncated
+        |not json at all
+        |{"doc_id": 4, "text": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val (clean, quarantine) =
+      graft.ingest.Sources.loadJsonlQuarantined(spark, dir.toString, schema)
+    assert(clean.columns.toSeq == Seq("doc_id", "text"))
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.length == 2 && bad.exists(_.contains("truncated")) &&
+      bad.exists(_.contains("not json")), s"quarantine: ${bad.toSeq}")
+  }
+
   test("schema-evolution parquet read: merged footers, old rows null-fill new columns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
