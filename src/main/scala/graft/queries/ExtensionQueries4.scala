@@ -292,6 +292,35 @@ object ExtensionQueries4 {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+
+  /** q69: content-addressed document identity — sha256 of the NFC-normalized
+    * text, the stable cross-run ID a dedup pipeline joins on (hash-of-content
+    * survives re-crawls, re-partitioning, and re-ingestion where positional
+    * ids do not). Emitted with a short prefix for human-facing keys and the
+    * per-document dup group size computed over the full corpus in one
+    * narrow self-agg. DuckDB mirrors sha256 exactly (hex, lowercase).
+    */
+  def q69_content_ids(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(nfc(col("text")), 256).as("content_id"))
+    val groups = d.groupBy(col("content_id")).agg(count(lit(1)).as("n_same"))
+    d.join(groups, Seq("content_id"))
+      .select(col("doc_id"), col("content_id"),
+        substring(col("content_id"), 1, 12).as("short_id"), col("n_same"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, sha256(nfc_normalize(text)) AS content_id FROM documents
+      |), g AS (
+      |  SELECT content_id, count(*) AS n_same FROM d GROUP BY content_id
+      |)
+      |SELECT doc_id, d.content_id, substring(d.content_id, 1, 12) AS short_id, n_same
+      |FROM d JOIN g ON d.content_id = g.content_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
@@ -299,7 +328,8 @@ object ExtensionQueries4 {
     "q63_funnel" -> (q63_funnel _),
     "q64_group_topk_sample" -> (q64_group_topk_sample _),
     "q67_frame_sample" -> (q67_frame_sample _),
-    "q68_unicode_nfc" -> (q68_unicode_nfc _)
+    "q68_unicode_nfc" -> (q68_unicode_nfc _),
+    "q69_content_ids" -> (q69_content_ids _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,6 +339,7 @@ object ExtensionQueries4 {
     "q63_funnel" -> q63Sql,
     "q64_group_topk_sample" -> q64Sql,
     "q67_frame_sample" -> q67Sql,
-    "q68_unicode_nfc" -> q68Sql
+    "q68_unicode_nfc" -> q68Sql,
+    "q69_content_ids" -> q69Sql
   )
 }
