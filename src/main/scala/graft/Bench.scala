@@ -77,9 +77,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
-      s""""pipeline_1m_sec":$pipeline,"sf":"$sfDir"}""")
+      s""""pipeline_1m_sec":$pipeline,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the one-line JSON outgrew the harness's stdout
+    // tail capture (round-3 artifact was truncated → unverifiable), and a
+    // file survives any amount of surrounding log noise.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 
@@ -124,8 +130,13 @@ object Bench {
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
-    medianOf {
+    try medianOf {
       Pipeline.merged(spark, cfg).write.format("noop").mode("overwrite").save()
+    } finally { // ~3×1M-row temp CSVs; don't leak them past the measurement
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

@@ -185,10 +185,13 @@ object Pipeline {
       .observe("ga4_agg", count(lit(1)).as("rows"))
 
     // persisted: the global-total and median scalar branches below would
-    // otherwise re-execute the whole 3-source load + join per branch
+    // otherwise re-execute the whole 3-source load + join per branch.
+    // Scoped: once the consuming action completes (and, in Pipeline.run,
+    // the OUTER merged persist is materialized), this inner cache is dead
+    // weight — auto-released.
     val joined = frog.join(gsc, Seq("url"), "left").join(ga4, Seq("url"), "left")
       .observe("merged", count(lit(1)).as("rows"))
-      .persist()
+      .transform(graft.core.CacheScope.scoped)
 
     // derived metrics (F6/F7/E5): null-guarded division; global total via
     // 1-row aggregate broadcast (never a partition-less window)

@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Persist with automatic release: query BUILDERS legitimately persist an
+  * intermediate that the finished plan consumes more than once (a rollup
+  * scanned by both the median pass and the candidate pass; a synthesized
+  * input read by a decision aggregate, the sort's range-sampler, and the
+  * sort itself) — but a builder returns a lazy frame and never sees the
+  * action, so it has no natural point to unpersist. A bare `.persist()`
+  * therefore leaks a cached plan into the session for the JVM's lifetime
+  * (round-3 ADVICE: Verify runs 69 queries in one session and accumulated
+  * every one of them).
+  *
+  * [[scoped]] persists the frame and registers a one-shot
+  * QueryExecutionListener that unpersists it after the FIRST completed
+  * action whose analyzed plan contains this frame's plan (matched via
+  * `sameResult` on canonicalized plans — object identity would miss
+  * re-analysis). The cache is alive exactly while the single consuming
+  * action runs, which is the builder contract: one returned frame, one
+  * action. Callers that run the SAME returned frame twice fall back to
+  * recomputing — correct, just uncached (Bench re-invokes the builder per
+  * iteration, so each run gets a fresh scoped persist).
+  *
+  * The listener bus is asynchronous: release lands shortly after the
+  * action returns, not synchronously with it (tests assert emptiness via
+  * `eventually`).
+  */
+object CacheScope {
+
+  def scoped(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    val spark = df.sparkSession
+    val target = p.queryExecution.analyzed
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private def maybe(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target))) {
+          p.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybe(qe)
+    }
+    spark.listenerManager.register(listener)
+    p
+  }
+}

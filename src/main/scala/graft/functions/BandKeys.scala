@@ -15,10 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * DuckDB mirror. acc < M ⇒ acc·31 + x < 2^36: no overflow. Trailing
   * elements of a non-dividing length are ignored, as slice ignored them —
   * callers `require` divisibility up front.
+  *
+  * A band containing any NULL component (MinHashSig emits an all-null
+  * signature for an empty hash array) keys as NULL — matching the
+  * combinator form, where null folds to a null band key that can never
+  * equijoin-match. Without this, null components would read as 0 and every
+  * empty-signature doc would share identical keys in every band — the
+  * O(n²) bucket blowup the lshCandidates guard warns about.
   */
 case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_band_keys"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -36,11 +43,13 @@ case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
       var acc = 0L
       var k = b * r
       val end = k + r
+      var sawNull = false
       while (k < end) {
-        acc = (acc * 31 + sig.getLong(k)) % 1000000007L
+        if (sig.isNullAt(k)) sawNull = true
+        else acc = (acc * 31 + sig.getLong(k)) % 1000000007L
         k += 1
       }
-      out(b) = acc
+      out(b) = if (sawNull) null else acc
       b += 1
     }
     new GenericArrayData(out)
@@ -54,16 +63,19 @@ case class BandKeys(child: Expression, bands: Int) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val k = ctx.freshName("k")
       val end = ctx.freshName("end")
+      val sawNull = ctx.freshName("sawNull")
       s"""
          |int $r = $sig.numElements() / $bands;
          |Object[] $out = new Object[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $acc = 0L;
+         |  boolean $sawNull = false;
          |  int $end = $b * $r + $r;
          |  for (int $k = $b * $r; $k < $end; $k++) {
-         |    $acc = ($acc * 31 + $sig.getLong($k)) % 1000000007L;
+         |    if ($sig.isNullAt($k)) { $sawNull = true; }
+         |    else { $acc = ($acc * 31 + $sig.getLong($k)) % 1000000007L; }
          |  }
-         |  $out[$b] = $acc;
+         |  $out[$b] = $sawNull ? null : (Object) java.lang.Long.valueOf($acc);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

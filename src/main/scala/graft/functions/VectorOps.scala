@@ -20,13 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics are IDENTICAL to the combinator form, including the
   * left-to-right fold order — ((0+t₁)+t₂)+… — which the DuckDB oracle
   * mirrors (`list_reduce(list_prepend(0.0, …))`), so swapping these into
-  * q30/q31/q37/q38/q47 changes no result bit. Null vectors (or a length
-  * mismatch, which the zip_with form would silently truncate) yield null;
-  * null ELEMENTS inside a vector are rejected by the corpus contract
-  * (embeddings are dense float arrays cast to double).
+  * q30/q31/q37/q38/q47 changes no result bit. Null vectors yield null. A
+  * LENGTH MISMATCH also yields null — the combinator form agreed (zip_with
+  * pads the shorter side with nulls, so the sum went null); a
+  * truncate-to-min kernel would instead return a finite, plausible-but-
+  * wrong distance for mixed-dimension corpora. Null ELEMENTS inside a
+  * vector are rejected by the corpus contract (embeddings are dense float
+  * arrays cast to double).
   */
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -43,14 +47,17 @@ abstract class VectorFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
-    val n = math.min(va.numElements(), vb.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += termEval(va.getDouble(i), vb.getDouble(i))
-      i += 1
+    val n = va.numElements()
+    if (n != vb.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += termEval(va.getDouble(i), vb.getDouble(i))
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,12 +66,16 @@ abstract class VectorFold extends BinaryExpression {
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${termJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${termJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

@@ -51,7 +51,11 @@ object Biff {
     private val firstDifat = buf.getInt(68) & 0xFFFFFFFFL
     private val nDifat = buf.getInt(72)
 
-    private def sectorOffset(sid: Long): Int = 512 + (sid.toInt << sectorShift)
+    // MS-CFB §2.2: sector 0 starts AFTER the fixed 512-byte header, at
+    // offset (sid+1)<<shift — which is 512+sid·512 only for the common v3
+    // (512-byte) geometry. Writing it spec-form keeps v4 (4096-byte) files
+    // parsing instead of silently misreading.
+    private def sectorOffset(sid: Long): Int = (sid.toInt + 1) << sectorShift
 
     /** FAT sector ids: 109 from the header DIFAT + chained DIFAT sectors. */
     private val fatSectors: Seq[Long] = {

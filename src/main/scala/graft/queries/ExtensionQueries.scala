@@ -250,7 +250,7 @@ object ExtensionQueries {
     // persist because the frame is consumed 3× (banding + both est sides)
     val withSig = all.withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
       .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
-      .persist()
+      .transform(graft.core.CacheScope.scoped)
     val cands = Dedup.lshCandidates(withSig, "doc_id", col("sig"), 16)
     val sa = withSig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val sb = withSig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))

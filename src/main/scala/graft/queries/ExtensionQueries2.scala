@@ -73,14 +73,10 @@ object ExtensionQueries2 {
     */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
-  @volatile private var lastTrainedDir: Option[String] = None
 
-  private def ivfModel(s: SparkSession, dir: String): IvfIndex.Model = {
-    val m = modelCache.computeIfAbsent(dir,
+  private def ivfModel(s: SparkSession, dir: String): IvfIndex.Model =
+    modelCache.computeIfAbsent(dir,
       d => IvfIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16))
-    lastTrainedDir = Some(dir)
-    m
-  }
 
   /** q38: IVF approximate top-k — sample-trained k-means centroids
     * partition the corpus; probes search their nprobe nearest lists.
@@ -260,14 +256,30 @@ object ExtensionQueries2 {
     "q47_ann_recall" -> (q47_ann_recall _)
   )
 
-  /** A `def`: the q38 mirror can only be emitted once a model has been
-    * trained for a dir (Verify runs every query, THEN dumps oracle_sql.json,
-    * so the entry is always present in the driver's gate). Without a trained
-    * model the key is omitted → the driver falls back to its rows-only check.
-    */
-  def oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q37_embed_dedup" -> q37Sql,
     "q42_dedup_clusters" -> q42Sql,
     "q47_ann_recall" -> q47Sql
-  ) ++ lastTrainedDir.map(d => "q38_ann_ivf" -> q38SqlFor(modelCache.get(d)))
+  )
+
+  /** The q38 mirror keyed BY DIR: the centroid literals must come from the
+    * model trained on exactly the dir being verified — a JVM that trains
+    * two scale dirs must not leak one dir's centroids into the other's
+    * oracle. No model trained for `dir` yet → the key is omitted and the
+    * driver falls back to its rows-only check.
+    */
+  def oracleFor(dir: String): Map[String, String] =
+    baseOracle ++ Option(modelCache.get(dir)).map(m => "q38_ann_ivf" -> q38SqlFor(m))
+
+  /** Dir-less view (driver contract): emits the q38 mirror only when the
+    * JVM has trained exactly ONE dir — unambiguous; with zero or several
+    * trained dirs the key is omitted rather than guessing.
+    */
+  def oracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    modelCache.asScala.toMap.values.toList match {
+      case m :: Nil => baseOracle + ("q38_ann_ivf" -> q38SqlFor(m))
+      case _ => baseOracle
+    }
+  }
 }

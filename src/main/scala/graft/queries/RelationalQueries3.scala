@@ -32,7 +32,7 @@ object RelationalQueries3 {
         bround(col("a"), 2).as("bround_a2"),
         bround(col("b"), 0).as("bround_b0"),
         round(col("b"), 0).as("round_b0"))
-      .persist()
+      .transform(graft.core.CacheScope.scoped)
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 

@@ -68,8 +68,8 @@ object ScoringQueries {
   def q11_anomaly_triage(s: SparkSession, dir: String): DataFrame =
     // the rollup (one row per part) is scanned twice by the triage (median
     // pass + candidate pass) — persist the small aggregated frame, not the
-    // fact table
-    Scoring.anomalyTriage(gscShaped(s, dir).persist(), triageCfg)
+    // fact table; scoped so the cache releases after the consuming action
+    Scoring.anomalyTriage(graft.core.CacheScope.scoped(gscShaped(s, dir)), triageCfg)
       .select(col("url"), col("position"), col("ctr"), col("impressions"), col("clicks"),
         col("schema_types"), col("expected_ctr"), col("expected_ctr_bucket"),
         col("ctr_deficit"), col("intent_multiplier"), col("missed_clicks"),
@@ -187,8 +187,8 @@ object ScoringQueries {
       (when(col("l_linenumber") % 3 === 0, concat(disc.cast("string"), lit("%")))
         .when(col("l_linenumber") % 3 === 1, concat(lit("0."), lpad(disc.cast("string"), 2, "0")))
         .otherwise((disc + 1).cast("string"))).as("ctr_str"))
-      .persist()
-    CtrNormalize(df, "ctr_str", "ctr_norm")
+    val cached = graft.core.CacheScope.scoped(df)
+    CtrNormalize(cached, "ctr_str", "ctr_norm")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
@@ -233,8 +233,8 @@ object ScoringQueries {
         .when(col("l_linenumber") % 3 === 1, mid2).otherwise(frac)).as("ctr_a"),
       (when(col("l_linenumber") % 3 === 0, frac)
         .when(col("l_linenumber") % 3 === 1, frac).otherwise(mid1)).as("ctr_b"))
-      .persist()
-    CtrNormalize.applyMany(df, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
+    val cached = graft.core.CacheScope.scoped(df)
+    CtrNormalize.applyMany(cached, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("ctr_a_norm"), col("ctr_b_norm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.queries.{ExtensionQueries, RelationalQueries3, ScoringQueries}
+
+/** Round-3 ADVICE: query builders persisted intermediates and never
+  * released them — a long-lived session (Verify runs all 69 queries
+  * sequentially) accumulated every cached plan. CacheScope.scoped must
+  * release each builder's cache after its consuming action, leaving the
+  * session clean.
+  */
+class CacheHygieneSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def awaitNoCachedRdds(): Unit = {
+    // the release listener runs on the async listener bus — poll briefly
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("persisting builders release their caches after the consuming action") {
+    spark.catalog.clearCache() // isolate from earlier suites in this JVM
+    val noopWrite = (df: org.apache.spark.sql.DataFrame) =>
+      df.write.format("noop").mode("overwrite").save()
+    noopWrite(ScoringQueries.q11_anomaly_triage(spark, sf))
+    noopWrite(ScoringQueries.q13_normalize_ctr_percent(spark, sf))
+    noopWrite(ScoringQueries.q14_normalize_ctr_heuristic(spark, sf))
+    noopWrite(RelationalQueries3.queries("q33_bround_ties")(spark, sf))
+    noopWrite(ExtensionQueries.queries("q29_minhash_lsh_pairs")(spark, sf))
+    awaitNoCachedRdds()
+  }
+
+  test("scoped cache is LIVE during the action (reused, not recomputed)") {
+    // the q11 rollup is consumed twice inside one action; while that action
+    // runs its cache must exist — verify the frame still computes correctly
+    // and that a second action on a FRESH build also succeeds (the scoped
+    // release never poisons a later rebuild)
+    val r1 = ScoringQueries.q11_anomaly_triage(spark, sf).count()
+    val r2 = ScoringQueries.q11_anomaly_triage(spark, sf).count()
+    assert(r1 == r2 && r1 > 0)
+    awaitNoCachedRdds()
+  }
+}

@@ -66,6 +66,65 @@ class ConfigAndOutputsSpec extends SparkSpecBase {
     assert(!Outputs.envBool("PATH", default = false))
   }
 
+  test("A4 resolution ladder: ENV → sibling xlsx key → extension swap → default → swap → verbatim") {
+    import graft.ingest.Sources
+    val dir = Files.createTempDirectory("graft_resolve")
+    def touch(name: String): String = {
+      val p = dir.resolve(name); Files.write(p, Array[Byte]()); p.toString
+    }
+    val missing = dir.resolve("missing.csv").toString
+
+    // 1. ENV override wins, expanded, never existence-probed
+    assert(Sources.resolveInputPath("GSC_CSV_PATH", Map("gsc_csv" -> missing), "gsc_csv",
+      missing, env = Map("GSC_CSV_PATH" -> s"$dir/from_env.csv"))
+      == s"$dir/from_env.csv")
+    // blank ENV falls through to the config ladder
+    assert(Sources.resolveInputPath("GSC_CSV_PATH", Map.empty, "gsc_csv", missing,
+      env = Map("GSC_CSV_PATH" -> "  ")) == missing)
+
+    // 2. sibling *_xlsx key wins when its file exists
+    val sibXlsx = touch("sib.xlsx")
+    val primary = touch("primary.csv")
+    assert(Sources.resolveInputFromConfig(
+      Map("gsc_csv" -> primary, "gsc_xlsx" -> sibXlsx), "gsc_csv", missing, env = Map.empty)
+      == sibXlsx)
+
+    // 3. extension swap on the primary when the swapped file exists
+    val haveXlsx = touch("only_excel.xlsx")
+    assert(Sources.resolveInputFromConfig(
+      Map("gsc_csv" -> s"$dir/only_excel.csv"), "gsc_csv", missing, env = Map.empty)
+      == haveXlsx)
+
+    // 4. default, then default's swap
+    val defCsv = touch("default.csv")
+    assert(Sources.resolveInputFromConfig(
+      Map("gsc_csv" -> missing), "gsc_csv", defCsv, env = Map.empty) == defCsv)
+    val defOnlyXlsx = touch("def_excel.xlsx")
+    assert(Sources.resolveInputFromConfig(
+      Map("gsc_csv" -> missing), "gsc_csv", s"$dir/def_excel.csv", env = Map.empty)
+      == defOnlyXlsx)
+
+    // 5. nothing exists → primary verbatim (caller validates — A9)
+    assert(Sources.resolveInputFromConfig(Map.empty, "gsc_csv", missing, env = Map.empty)
+      == missing)
+  }
+
+  test("expandPath and swapExt mirror the reference helpers") {
+    import graft.ingest.Sources
+    assert(Sources.expandPath("$DATA/x.csv", env = Map("DATA" -> "/d")) == "/d/x.csv")
+    assert(Sources.expandPath("${DATA}/x.csv", env = Map("DATA" -> "/d")) == "/d/x.csv")
+    // unknown vars stay verbatim (os.path.expandvars contract)
+    assert(Sources.expandPath("$NOPE/x.csv", env = Map.empty) == "$NOPE/x.csv")
+    assert(Sources.expandPath("~/x.csv", env = Map.empty)
+      == sys.props("user.home") + "/x.csv")
+    assert(Sources.expandPath("~", env = Map.empty) == sys.props("user.home"))
+    assert(Sources.swapExt("a/b.csv") == "a/b.xlsx")
+    assert(Sources.swapExt("a/b.xlsx") == "a/b.csv")
+    assert(Sources.swapExt("a/b.xls") == "a/b.csv")
+    assert(Sources.swapExt("a/noext") == "a/noext.csv") // "prefer csv alternative"
+    assert(Sources.swapExt("a.dir/noext") == "a.dir/noext.csv") // dot in dir, not ext
+  }
+
   test("sourceResolutions reports mapping + autodetect + row counts per source") {
     def fx(name: String): String = getClass.getResource(s"/fixtures/$name").getPath
     val cfg = graft.Pipeline.PipelineConfig(

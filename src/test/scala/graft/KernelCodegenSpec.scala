@@ -45,4 +45,26 @@ class KernelCodegenSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("BandKeys null-propagates null signature components (no 0-key collisions)") {
+    // an empty hash array minhashes to an all-null signature; its band keys
+    // must be null (never equijoin-matched), NOT fold-as-zero — zero keys
+    // would bucket every empty doc together in every band (O(n²) blowup)
+    val df = Seq((1L, "a b c d e f g h i"), (2L, "")).toDF("id", "text")
+      .select(col("id"), graft.functions.BandKeys.bandKeys(
+        Dedup.minhashFromHashes(Dedup.shingleHashes(col("text"), 2), 8), 4).as("bands"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[Any](1).forall(_ != null), "real signature must key")
+    assert(rows(1).getSeq[Any](1).forall(_ == null),
+      "empty-signature doc must emit null band keys")
+  }
+
+  test("vector kernels yield null on length mismatch (not a truncated value)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"),
+        graft.functions.VectorOps.l2sq(col("a"), col("b")).as("l"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "mixed-dimension vectors must not produce a finite plausible-but-wrong value")
+  }
 }
