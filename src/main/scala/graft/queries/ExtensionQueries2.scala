@@ -29,11 +29,15 @@ object ExtensionQueries2 {
         i => element_at(col("vec"), i + 1) + ((col("vec_id") + i) % 7 - 3) * lit(0.01))
         .as("vec"))
       .select((col("vec_id") + 100000L).as("vec_id"), col("vec"))
+    // one tiny cached frame with norms precomputed: both sides of the
+    // nested-loop pair join read the 100-row cache instead of re-deriving
+    // scan→cast→jitter→norm per side (round-3 bench regression — the norm
+    // recompute rode the non-equi join's build side)
     val all = base.union(jit)
-    val a = all.select(col("vec_id").as("id_a"), col("vec").as("va"))
-      .withColumn("na", Similarity.norm(col("va")))
-    val b = all.select(col("vec_id").as("id_b"), col("vec").as("vb"))
-      .withColumn("nb", Similarity.norm(col("vb")))
+      .withColumn("n", Similarity.norm(col("vec")))
+      .transform(graft.core.CacheScope.scoped)
+    val a = all.select(col("vec_id").as("id_a"), col("vec").as("va"), col("n").as("na"))
+    val b = all.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("n").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
