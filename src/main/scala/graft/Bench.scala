@@ -97,10 +97,10 @@ object Bench {
     * at ~50,000× that size (reported as "pipeline_1m_sec"). CSVs are
     * generated once per bench run into a temp dir, deterministically.
     */
-  def pipelineBench(spark: SparkSession, medianOf: (=> Unit) => Double): Double = {
+  def pipelineBench(spark: SparkSession, medianOf: (=> Unit) => Double,
+      n: Long = 1000000L): Double = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe_bench").toString
-    val n = 1000000L
     def url(i: org.apache.spark.sql.Column) =
       concat(lit("https://www.acme-store.com/products/p"), pmod(i, lit(700000L)),
         when(pmod(i, lit(3)) === 0, lit("/?utm_source=feed&sku=1")).otherwise(lit("?sku=1")))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale proof-point (round-3 verdict ask #9): the reference's own
+  * three-source merge workload measured at 1M AND 10M rows/source, with
+  * the fitted scaling exponent printed — near-1.0 means the plan's cost
+  * is dominated by per-row work (scans, hash aggs, hash joins) rather
+  * than any super-linear stage (a global sort that stops fitting, a
+  * broadcast that tips over, a skew hotspot), which is the property that
+  * lets the same plan ride from local[32] to a 1000-executor cluster by
+  * adding partitions.
+  *
+  * Usage: `runMain graft.ScaleBench [rows ...]` (default 1000000
+  * 10000000). Each size is a fresh deterministic CSV generation into a
+  * temp dir (deleted after measurement) through the UNCHANGED
+  * Pipeline.merged — no benchmark-special code path.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(1000000L, 10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def medianOf(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    val times = sizes.map { n =>
+      System.gc()
+      val t = Bench.pipelineBench(spark, medianOf, n)
+      println(f"pipeline rows=$n%d median=$t%.2f sec")
+      n -> t
+    }
+    // fitted exponent between consecutive sizes: t ~ n^k
+    times.sliding(2).foreach {
+      case Seq((n1, t1), (n2, t2)) =>
+        val k = math.log(t2 / t1) / math.log(n2.toDouble / n1)
+        println(f"scaling exponent $n1%d -> $n2%d: k=$k%.2f (1.0 = linear)")
+      case _ =>
+    }
+    spark.stop()
+  }
+}
