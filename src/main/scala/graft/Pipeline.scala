@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.{NumOps, PandasCompat, UrlOps}
-import graft.ingest.{SchemaResolve, Sources}
+import graft.ingest.{SchemaResolve, Sources, YamlConfig}
 import graft.ops.{CtrNormalize, Scoring}
 import graft.ops.Scoring.ScoringConfig
 
@@ -34,6 +34,36 @@ object Pipeline {
 
   private def urlNorm(cfg: PipelineConfig)(c: org.apache.spark.sql.Column) =
     UrlOps.urlNormalize(c, cfg.siteBase, cfg.stripAllParams)
+
+  /** The reference main()'s config glue (`etl_merge.py:733-765`) as a pure
+    * function of (yaml text, environment): input paths resolve through the
+    * full A4 ladder (ENV override → `inputs:` keys with the `_xlsx`
+    * sibling and `.csv`↔`.xlsx` swap → `defaultsDir` demo files),
+    * SITE_BASE / STRIP_ALL_QUERY_PARAMS / RUN_ID come from env exactly as
+    * the reference reads them, scoring from the YAML. The environment is a
+    * parameter (not read at call time) so plans stay deterministic and
+    * testable — pass `sys.env` at a real CLI boundary.
+    */
+  def configFromYaml(yamlText: String, env: Map[String, String],
+      defaultsDir: String, runTimestamp: Long): PipelineConfig = {
+    val inputs = YamlConfig.parseInputs(yamlText)
+    def res(envName: String, key: String, default: String) =
+      Sources.resolveInputPath(envName, inputs, key, s"$defaultsDir/$default", env)
+    val truthy = Set("1", "true", "yes")
+    val runId = env.get("RUN_ID").filter(_.nonEmpty).getOrElse(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(runTimestamp)))
+    PipelineConfig(
+      frogPath = res("FROG_CSV_PATH", "screaming_frog_csv", "screaming_frog_export.csv"),
+      gscPath = res("GSC_CSV_PATH", "gsc_csv", "gsc_export.csv"),
+      ga4Path = res("GA4_CSV_PATH", "ga4_csv", "ga4_export.csv"),
+      siteBase = env.getOrElse("SITE_BASE", "").trim,
+      stripAllParams = truthy(env.getOrElse("STRIP_ALL_QUERY_PARAMS", "").toLowerCase.trim),
+      scoring = YamlConfig.parseScoring(yamlText),
+      runId = runId,
+      runTimestamp = runTimestamp)
+  }
 
   /** Canonical wanted-column sets per source (`etl_merge.py:527/547/603`). */
   val FrogColumns: Seq[String] = Seq("url", "status_code", "title",

@@ -49,4 +49,27 @@ object YamlConfig {
       intentMultipliers = intents,
       urlIntentHints = hints)
   }
+
+  private def section(yamlText: String, name: String): Map[String, Object] = {
+    val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
+      .map(_.asScala).getOrElse(Map.empty[String, Object])
+    root.get(name).collect { case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Object] }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** The `inputs:` section as strings — fed to the A4 resolution ladder
+    * (`cfg.get("inputs", {})` in `_resolve_input_from_config`,
+    * `etl_merge.py:43`). The demo config's key names (`screaming_frog`,
+    * not `screaming_frog_csv`) never match the ladder's lookup keys — a
+    * reference quirk (SURVEY §1.5) the ladder reproduces by falling
+    * through to the defaults.
+    */
+  def parseInputs(yamlText: String): Map[String, String] =
+    section(yamlText, "inputs").map { case (k, v) => k -> v.toString }
+
+  /** `output.merged_csv` with the reference default (`etl_merge.py:752`). */
+  def mergedCsvPath(yamlText: String): String =
+    section(yamlText, "output").get("merged_csv").map(_.toString)
+      .getOrElse("merged/merged_visibility.csv")
 }

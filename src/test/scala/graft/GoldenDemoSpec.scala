@@ -23,14 +23,15 @@ class GoldenDemoSpec extends SparkSpecBase {
 
   private val demo = "/root/reference/data_demo"
 
-  private lazy val cfg = Pipeline.PipelineConfig(
-    frogPath = s"$demo/screaming_frog_export.csv",
-    gscPath = s"$demo/gsc_export.csv",
-    ga4Path = s"$demo/ga4_export.csv",
-    siteBase = "", // the reference ran with SITE_BASE unset
-    scoring = YamlConfig.parseScoring(
-      Files.readString(Paths.get("/root/reference/etl_config.yaml"))),
-    runId = "golden", runTimestamp = 1786549663L)
+  // The SAME config glue the reference main() applies: the demo YAML's
+  // inputs keys don't match the ladder keys (reference quirk), so paths
+  // fall through to the data_demo defaults; env empty → SITE_BASE "",
+  // strip-params off, RUN_ID derived from the pinned timestamp.
+  private lazy val cfg = Pipeline.configFromYaml(
+    Files.readString(Paths.get("/root/reference/etl_config.yaml")),
+    env = Map("RUN_ID" -> "golden"),
+    defaultsDir = demo,
+    runTimestamp = 1786549663L)
 
   private lazy val merged = Pipeline.merged(spark, cfg)
   private lazy val mergedRows: Map[String, Row] =
