@@ -24,10 +24,10 @@ object SparkEntry {
     RelationalQueries.oracle ++ ScoringQueries.oracle ++ RelationalQueries2.oracle ++ RelationalQueries3.oracle ++ RelationalQueries4.oracle ++ RelationalQueries5.oracle ++ StreamingQueries.oracle ++ ExtensionQueries.oracle ++ ExtensionQueries2.oracle ++ ExtensionQueries3.oracle ++ ExtensionQueries4.oracle
 
   /** [[oracleSql]] with generated mirrors resolved for a specific sf dir
-    * (q38's centroid literals are per-trained-dir; see
+    * (q38/q70 centroid literals are per-trained-dir; see
     * ExtensionQueries2.oracleFor). Verify uses this so a multi-dir JVM
     * never emits another dir's model.
     */
   def oracleSqlFor(dir: String): Map[String, String] =
-    (oracleSql - "q38_ann_ivf") ++ ExtensionQueries2.oracleFor(dir)
+    (oracleSql - "q38_ann_ivf" - "q70_semdedup") ++ ExtensionQueries2.oracleFor(dir)
 }

@@ -54,6 +54,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest k-means centroid, then compare
+    * pairs ONLY within a cluster and drop any document whose cluster holds
+    * a near-duplicate (cos ≥ `minCos`) with a smaller id — a deterministic
+    * greedy keep-first. Returns (id, list, keep) for every input row.
+    *
+    * Scale shape: the cluster assignment is pure expressions over centroid
+    * literals (no shuffle), the pair join shuffles once on the list id, and
+    * the O(n²) pair blowup is sharded into nlist independent O((n/nlist)²)
+    * problems — the reason SemDeDup clusters before comparing at all. At
+    * corpus scale, nlist grows with n to bound list sizes; a pathological
+    * giant cluster would be sub-sharded with an in-list LSH bucket
+    * ([[lshBucketT]]) before pairing.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, minCos: Double): DataFrame = {
+    // assignment + norm computed once into a scoped cache: the frame feeds
+    // both pair-join sides and the final keep join
+    val v = emb.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("n", norm(col("vec")))
+      .withColumn("list", IvfIndex.listId(model, col("vec")))
+      .transform(graft.core.CacheScope.scoped)
+    val a = v.select(col("list"), col("id").as("id_a"), col("vec").as("va"), col("n").as("na"))
+    val b = v.select(col("list"), col("id").as("id_b"), col("vec").as("vb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
+      .select(col("id_b").as("id")).distinct()
+    v.select(col("id"), col("list"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("list"), col("__drop").isNull.as("keep"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
     * LCG(seed = j·dim + i) scaled by an exact rational. Integer-derived →
     * identical in any engine.

@@ -140,6 +140,73 @@ object ExtensionQueries2 {
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** q70: SemDeDup — semantic dedup within learned clusters
+    * (Similarity.semDedup; the LLM-corpus "prune near-identical content
+    * the MinHash stack can't see" operator). Jittered copies of the first
+    * 50 vectors are unioned in (same deterministic construction family as
+    * q37, tighter perturbation); the operator must assign originals and
+    * copies to lists, pair within lists, and drop exactly the
+    * larger-id member of every cos ≥ 0.98 in-cluster pair. Oracle: full
+    * mirror with the trained centroids as literals ([[q70SqlFor]]) — the
+    * assignment argmin, the jitter arithmetic, and the cosine folds replay
+    * bit-exactly in DuckDB.
+    */
+  def q70_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val model = ivfModel(s, dir)
+    val base = Tables.embeddings(s, dir).filter(col("vec_id") < 150)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    // jitter bound BEFORE the id rename (the q37 cross-engine lateral-alias
+    // trap); ±0.01 per component keeps copies at cos ≥ 0.98 of the source
+    val jit = base.filter(col("vec_id") < 50).select(col("vec_id"),
+      transform(sequence(lit(0), size(col("vec")) - 1),
+        i => element_at(col("vec"), i + 1) + ((col("vec_id") + i) % 5 - 2) * lit(0.005))
+        .as("vec"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("vec"))
+    Similarity.semDedup(base.union(jit), "vec_id", "vec", model, minCos = 0.98)
+      .orderBy(col("id"))
+  }
+
+  /** DuckDB mirror of q70 for a trained model: centroid literals, the q38
+    * assignment argmin (same (x-c)² fold, ties by list index), the q37
+    * jitter arithmetic, and the drop rule as an in-list pair join.
+    */
+  def q70SqlFor(model: IvfIndex.Model): String = {
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, " + c.mkString("CAST([", ", ", "] AS DOUBLE[]))") }
+      .mkString(",\n  ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), dp_i -> $a[dp_i] * $b[dp_i])), " +
+        s"(dp_x, dp_y) -> dp_x + dp_y)"
+    def dist(v: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($v)+1), dq_i -> ($v[dq_i] - cv[dq_i]) * ($v[dq_i] - cv[dq_i]))), " +
+        s"(dq_x, dq_y) -> dq_x + dq_y)"
+    s"""WITH cent(ci, cv) AS (VALUES
+       |  $cents),
+       |base AS (
+       |  SELECT vec_id, list_transform(range(1, len(embedding)+1),
+       |    cv_i -> CAST(embedding[cv_i] AS DOUBLE)) AS vec
+       |  FROM embeddings WHERE vec_id < 150
+       |), jit AS (
+       |  SELECT b.vec_id + 100000 AS vec_id,
+       |    list_transform(range(0, len(b.vec)),
+       |      jt_i -> b.vec[jt_i + 1] + ((b.vec_id + jt_i) % 5 - 2) * 0.005) AS vec
+       |  FROM base b WHERE b.vec_id < 50
+       |), allv AS (SELECT vec_id, vec FROM base UNION ALL SELECT vec_id, vec FROM jit),
+       |asn AS (SELECT vec_id, vec, ci AS list FROM (
+       |  SELECT vec_id, vec, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ${dist("vec")}, ci) AS rn
+       |  FROM allv CROSS JOIN cent) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id AS id
+       |  FROM asn x JOIN asn y ON x.list = y.list AND x.vec_id < y.vec_id
+       |  WHERE ${fold("x.vec", "y.vec")} / (sqrt(${fold("x.vec", "x.vec")}) * sqrt(${fold("y.vec", "y.vec")})) >= 0.98)
+       |SELECT a.vec_id AS id, a.list, (d.id IS NULL) AS keep
+       |FROM asn a LEFT JOIN dropped d ON a.vec_id = d.id
+       |ORDER BY id""".stripMargin
+  }
+
   /** q47: ANN quality certification — IVF recall@5 vs the exact top-5 for
     * the q38 configuration (nlist 16, nprobe 4). The centroids are learned
     * (engine-internal), so the oracle pins the CONTRACT rather than the
@@ -257,7 +324,8 @@ object ExtensionQueries2 {
     "q37_embed_dedup" -> (q37_embed_dedup _),
     "q38_ann_ivf" -> (q38_ann_ivf _),
     "q42_dedup_clusters" -> (q42_dedup_clusters _),
-    "q47_ann_recall" -> (q47_ann_recall _)
+    "q47_ann_recall" -> (q47_ann_recall _),
+    "q70_semdedup" -> (q70_semdedup _)
   )
 
   private val baseOracle: Map[String, String] = Map(
@@ -266,23 +334,25 @@ object ExtensionQueries2 {
     "q47_ann_recall" -> q47Sql
   )
 
-  /** The q38 mirror keyed BY DIR: the centroid literals must come from the
-    * model trained on exactly the dir being verified — a JVM that trains
-    * two scale dirs must not leak one dir's centroids into the other's
-    * oracle. No model trained for `dir` yet → the key is omitted and the
-    * driver falls back to its rows-only check.
+  /** The generated mirrors (q38, q70) keyed BY DIR: centroid literals must
+    * come from the model trained on exactly the dir being verified — a JVM
+    * that trains two scale dirs must not leak one dir's centroids into the
+    * other's oracle. No model trained for `dir` yet → the keys are omitted
+    * and the driver falls back to its rows-only check.
     */
   def oracleFor(dir: String): Map[String, String] =
-    baseOracle ++ Option(modelCache.get(dir)).map(m => "q38_ann_ivf" -> q38SqlFor(m))
+    baseOracle ++ Option(modelCache.get(dir)).toList.flatMap(m => Seq(
+      "q38_ann_ivf" -> q38SqlFor(m), "q70_semdedup" -> q70SqlFor(m)))
 
-  /** Dir-less view (driver contract): emits the q38 mirror only when the
-    * JVM has trained exactly ONE dir — unambiguous; with zero or several
-    * trained dirs the key is omitted rather than guessing.
+  /** Dir-less view (driver contract): emits the generated mirrors only
+    * when the JVM has trained exactly ONE dir — unambiguous; with zero or
+    * several trained dirs the keys are omitted rather than guessing.
     */
   def oracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     modelCache.asScala.toMap.values.toList match {
-      case m :: Nil => baseOracle + ("q38_ann_ivf" -> q38SqlFor(m))
+      case m :: Nil => baseOracle ++
+        Seq("q38_ann_ivf" -> q38SqlFor(m), "q70_semdedup" -> q70SqlFor(m))
       case _ => baseOracle
     }
   }

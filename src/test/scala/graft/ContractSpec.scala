@@ -32,14 +32,16 @@ class ContractSpec extends SparkSpecBase {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
-    // q38's mirror embeds the trained centroids, so its entry exists only
-    // after the query has run for a dir (Verify's order guarantees that in
-    // the driver gate). Everything else always carries its DuckDB oracle.
-    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf")),
+    // the q38/q70 mirrors embed the trained centroids, so their entries
+    // exist only after a query has trained the dir's model (Verify's order
+    // guarantees that in the driver gate). Everything else always carries
+    // its DuckDB oracle.
+    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf", "q70_semdedup")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs,
-      "q38 oracle missing after training (Verify would dump an incomplete map)")
+      "generated oracles missing after training (Verify would dump an incomplete map)")
+    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
   }
 
   test("entry (driver smoke) returns rows at sf0.001") {

@@ -78,6 +78,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r4 > 0.1, s"4-table recall collapsed: $r4")
     assert(rIvf > 0.2, s"IVF nprobe-half recall collapsed: $rIvf")
   }
+
+  test("semDedup drops exactly the larger-id member of each in-cluster near-dup pair") {
+    val emb = Tables0.embeddings(spark).filter(col("vec_id") < 30)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+    val model = graft.ext.IvfIndex.train(emb, "vec_id", "vec", nlist = 4)
+    // exact copies at +1000: cos = 1.0 and identical assignment guaranteed
+    val copies = emb.select((col("vec_id") + 1000L).as("vec_id"), col("vec"))
+    val out = Similarity.semDedup(emb.union(copies), "vec_id", "vec", model,
+      minCos = 0.9999999).collect()
+    assert(out.length == 60)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    (0L until 30L).foreach { id =>
+      assert(byId(id).getBoolean(2), s"original $id must be kept")
+      assert(!byId(id + 1000).getBoolean(2), s"copy ${id + 1000} must be dropped")
+      assert(byId(id).getInt(1) == byId(id + 1000).getInt(1),
+        "copy must land in its original's cluster")
+    }
+  }
 }
 
 object Tables0 {
