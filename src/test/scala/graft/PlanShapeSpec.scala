@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guard: the §2-critical physical properties the
+  * PLANS.md audits describe — filter pushdown, column pruning, broadcast
+  * joins on pre-aggregated sides, TakeOrderedAndProject instead of global
+  * windows, codegen'd kernel projections — pinned as assertions, so a
+  * refactor that silently degrades a plan (a lost pushdown, a join that
+  * flips to cartesian, a window that loses its partition bound) fails CI
+  * instead of surfacing as an unexplained bench regression two rounds
+  * later. Asserted on the pre-AQE plan (AQE re-plans sizes at runtime;
+  * the static shape is what the engine controls).
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: date predicate reaches the parquet scan; columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters"), "no pushdown section in scan")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "l_shipdate predicate not pushed to the scan")
+    // the 16-column lineitem scan must read a subset, not SELECT *
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    assert(read.split(",").length <= 8, s"scan reads too many columns: $read")
+  }
+
+  test("q06: both spine joins broadcast the small pre-aggregated sides") {
+    val p = plan("q06_spine_join3")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "spine joins are not broadcast-hash")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q07/q11: ranking compiles to TakeOrderedAndProject, never an unbounded global window") {
+    Seq("q07_rank_topk", "q11_anomaly_triage").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the sort+limit shape")
+      // any Window must carry a partition spec (Ranks.bounded's constant
+      // key counts; what must never appear is an empty partition clause)
+      assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+        s"$q has a partition-less window")
+    }
+  }
+
+  test("q12: url_normalize runs inside a WholeStageCodegen span") {
+    // AQE defers codegen-stage annotation to runtime — disable it so the
+    // static executedPlan shows the codegen spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q12_url_normalize")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // in simple-string notation a leading `*(n)` marks a node inside
+      // whole-stage-codegen stage n — the Project carrying the kernel
+      // calls must have one (a CodegenFallback expression would drop its
+      // stage out of codegen, losing the round-3 100x win)
+      val projLine = p.linesIterator
+        .find(l => l.contains("graft_url_normalize")).getOrElse(
+          fail("url_normalize expression missing from plan"))
+      assert(projLine.trim.stripPrefix("+- ").startsWith("*("),
+        s"url_normalize Project is outside codegen: $projLine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q30: norms are projected below the pair join, not recomputed per pair") {
+    val p = plan("q30_cosine_topk")
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinIdx >= 0, "brute-force baseline should be a nested-loop join")
+    // SQRT appears only in Project nodes (inputs), never in the join condition
+    val joinLine = p.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(!joinLine.toLowerCase.contains("sqrt"), "norms computed in the join")
+  }
+
+  test("q48: the eval-set side broadcasts; the corpus never shuffles wide") {
+    val p = plan("q48_decontaminate")
+    assert(p.contains("BroadcastExchange"), "small side not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q70: assignment is expression-only; the pair join is an equi-join on the list id") {
+    val p = plan("q70_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "semantic dedup must never pair across clusters")
+    assert(p.contains("graft_l2sq"), "centroid assignment kernel missing")
+  }
+}
