@@ -120,4 +120,44 @@ object TextAnalysis {
     * with 8-byte keys instead of 16-byte md5 — cheaper shuffle at scale).
     */
   def fingerprint(text: Column): Column = polyHash(text)
+
+  /** Fixed-width paragraph chunks: tokens grouped `width` at a time,
+    * re-joined with spaces — the deterministic span unit for
+    * [[flagBoilerplate]] over corpora without natural paragraph breaks.
+    * Requires ≥ 1 token (callers filter): an empty token array would make
+    * the chunk-count bound negative and `sequence` DESCENDS for
+    * start > stop — a cross-engine trap (DuckDB's range yields empty).
+    */
+  def paragraphChunks(text: Column, width: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), floor((size(toks) - 1) / width).cast("int")),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+  }
+
+  /** Repeated-span (boilerplate) flagging — the RefinedWeb/CCNet-style
+    * "drop spans duplicated across many documents" pass (navigation
+    * chrome, cookie banners, newsletter calls-to-action survive
+    * whole-document dedup because the surrounding text differs).
+    *
+    * Input: one row per (doc, paragraph). A paragraph is boilerplate when
+    * it appears in ≥ `minDocs` DISTINCT docs. Output: the input plus a
+    * `keep` flag (false = boilerplate).
+    *
+    * Scale shape: the distinct-doc count is one shuffle on the paragraph
+    * key with partial aggregation; the surviving hot set is tiny by
+    * construction (only spans repeated across ≥ minDocs docs) and rides
+    * back as a broadcast join — the corpus paragraphs never shuffle a
+    * second time.
+    */
+  def flagBoilerplate(paras: org.apache.spark.sql.DataFrame, idCol: String,
+      paraCol: String, minDocs: Long): org.apache.spark.sql.DataFrame = {
+    val hot = paras.groupBy(col(paraCol))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .select(col(paraCol), lit(true).as("__hot"))
+    paras.join(broadcast(hot), Seq(paraCol), "left")
+      .withColumn("keep", col("__hot").isNull)
+      .drop("__hot")
+  }
 }

@@ -321,7 +321,60 @@ object ExtensionQueries4 {
       |FROM d JOIN g ON d.content_id = g.content_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q71: repeated-span boilerplate removal
+    * (TextAnalysis.flagBoilerplate — the RefinedWeb-style pass that
+    * catches navigation chrome / CTA spans whole-document dedup misses).
+    * Documents are chunked into deterministic 8-token paragraphs and a
+    * synthetic newsletter CTA is appended to every third doc (the corpus
+    * itself has no cross-doc spans); the op must flag exactly the injected
+    * span — it appears in ~n/3 distinct docs, far above the 20-doc
+    * threshold — while every organic chunk stays kept. Output is
+    * paragraph-level (doc_id, idx, para, keep); reassembly order is
+    * pinned by idx.
+    */
+  def q71_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val d = Tables.documents(s, dir)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
+      .select(col("doc_id"),
+        TextAnalysis.paragraphChunks(col("text"), 8).as("chunks"))
+    val withCta = d.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("chunks"), array(lit("subscribe to our newsletter today"))))
+        .otherwise(col("chunks")).as("chunks"))
+    val paras = withCta
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx0", "para")))
+      .select(col("doc_id"), (col("idx0") + 1).cast("long").as("idx"), col("para"))
+    TextAnalysis.flagBoilerplate(paras, "doc_id", "para", minDocs = 20)
+      .select(col("doc_id"), col("idx"), col("para"), col("keep"))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  val q71Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1
+      |), ch AS (
+      |  SELECT doc_id, list_transform(range(0, CAST(floor((len(toks) - 1) / 8.0) AS BIGINT) + 1),
+      |    ck_i -> array_to_string(list_slice(toks, ck_i * 8 + 1, ck_i * 8 + 8), ' ')) AS chunks
+      |  FROM d
+      |), wb AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN list_append(chunks, 'subscribe to our newsletter today')
+      |    ELSE chunks END AS chunks
+      |  FROM ch
+      |), p AS (
+      |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS idx, unnest(chunks) AS para
+      |  FROM wb
+      |), hot AS (
+      |  SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 20
+      |)
+      |SELECT p.doc_id, p.idx, p.para, (h.para IS NULL) AS keep
+      |FROM p LEFT JOIN hot h ON p.para = h.para
+      |ORDER BY doc_id, idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q71_boilerplate" -> (q71_boilerplate _),
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
     "q59_tfidf_topk" -> (q59_tfidf_topk _),
@@ -333,6 +386,7 @@ object ExtensionQueries4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_boilerplate" -> q71Sql,
     "q57_pii_scrub" -> q57Sql,
     "q58_mixture_sample" -> q58Sql,
     "q59_tfidf_topk" -> q59Sql,
