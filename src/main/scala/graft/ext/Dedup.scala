@@ -35,6 +35,34 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
 
+  /** INCREMENTAL exact dedup — the production shape: a delta batch arrives
+    * against an already-deduplicated corpus, and each delta row must be
+    * flagged against BOTH the corpus (`dup_of_corpus`) and earlier rows of
+    * its own batch (`dup_in_delta`, keep-first by id). Re-deduplicating
+    * corpus ∪ delta from scratch would rescan the full corpus per batch;
+    * this touches the corpus once for its key set only.
+    *
+    * Scale shape: the corpus projects to its distinct key column (pruned
+    * scan, one narrow distinct), the delta joins it on the key (shuffle on
+    * an 8/32-byte key — the corpus side is large, so no broadcast), and
+    * the within-delta check is a row_number window PARTITIONED BY KEY —
+    * bounded by duplicate-group size, never a global window.
+    */
+  def incrementalExact(corpus: DataFrame, delta: DataFrame, idCol: String,
+      key: Column): DataFrame = {
+    val corpusKeys = corpus.select(key.as("__key")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key")).orderBy(col(idCol))
+    delta.withColumn("__key", key)
+      .join(corpusKeys, Seq("__key"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("dup_of_corpus", coalesce(col("__in_corpus"), lit(false)))
+      .withColumn("dup_in_delta", col("__rn") > 1)
+      .withColumn("keep", !col("dup_of_corpus") && !col("dup_in_delta"))
+      .drop("__key", "__in_corpus", "__rn")
+  }
+
   /** Distinct-shingle inverted-index self-join → pairwise exact Jaccard.
     * Output: (id_a, id_b, inter, na, nb, jaccard) for id_a < id_b pairs
     * sharing ≥ 1 shingle.

@@ -135,6 +135,21 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
   }
 
+  /** Sliding token windows — context-window chunking for pretraining /
+    * retrieval: windows of `size` tokens starting every `stride` tokens
+    * (overlap = size − stride preserves cross-boundary context), the final
+    * window clipped at the document end. Same start-index arithmetic as
+    * [[paragraphChunks]] (which is the stride == size special case), and
+    * the same ≥ 1 token requirement.
+    */
+  def slidingChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size >= stride && stride >= 1, s"need size >= stride >= 1, got $size/$stride")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), floor((org.apache.spark.sql.functions.size(toks) - 1) / stride).cast("int")),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))
+  }
+
   /** Repeated-span (boilerplate) flagging — the RefinedWeb/CCNet-style
     * "drop spans duplicated across many documents" pass (navigation
     * chrome, cookie banners, newsletter calls-to-action survive

@@ -373,8 +373,81 @@ object ExtensionQueries4 {
       |FROM p LEFT JOIN hot h ON p.para = h.para
       |ORDER BY doc_id, idx""".stripMargin
 
+  /** q72: incremental exact dedup (Dedup.incrementalExact) — docs < 400
+    * play the already-clean corpus; the delta is docs ≥ 400 plus re-crawled
+    * copies of docs 0-29 (id + 500000). Keys are sha-256 of the text (the
+    * q69 content-id). The op must flag the copies as corpus dups, flag any
+    * within-delta repeats keep-first, and keep the genuinely new docs.
+    */
+  def q72_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val corpus = d.filter(col("doc_id") < 400)
+    val recrawl = corpus.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val delta = d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      .union(recrawl)
+    graft.ext.Dedup.incrementalExact(corpus, delta, "doc_id", sha2(col("text"), 256))
+      .select(col("doc_id"), col("dup_of_corpus"), col("dup_in_delta"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, sha256(text) AS k FROM documents WHERE doc_id < 400
+      |), delta AS (
+      |  SELECT doc_id, sha256(text) AS k FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 500000, sha256(text) FROM documents WHERE doc_id < 30
+      |), ck AS (SELECT DISTINCT k FROM corpus),
+      |flagged AS (
+      |  SELECT d.doc_id,
+      |    (ck.k IS NOT NULL) AS dup_of_corpus,
+      |    row_number() OVER (PARTITION BY d.k ORDER BY d.doc_id) > 1 AS dup_in_delta
+      |  FROM delta d LEFT JOIN ck ON d.k = ck.k
+      |)
+      |SELECT doc_id, dup_of_corpus, dup_in_delta,
+      |  (NOT dup_of_corpus AND NOT dup_in_delta) AS keep
+      |FROM flagged ORDER BY doc_id""".stripMargin
+
+  /** q73: sliding-window context chunking (TextAnalysis.slidingChunks) —
+    * 32-token windows every 24 tokens (8-token overlap), trailing window
+    * clipped (HF-tokenizer overflow semantics: starts run while
+    * start ≤ len−1, so the tail may be short). Output one row per chunk
+    * with its token count; the window arithmetic mirrors in DuckDB's
+    * list_slice exactly.
+    */
+  def q73_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val d = Tables.documents(s, dir)
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 1)
+      .select(col("doc_id"), TextAnalysis.slidingChunks(col("text"), 32, 24).as("chunks"))
+    d.select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx0", "chunk")))
+      .select(col("doc_id"), (col("idx0") + 1).cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"), col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q73Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1
+      |), ch AS (
+      |  SELECT doc_id, list_transform(range(0, CAST(floor((len(toks) - 1) / 24.0) AS BIGINT) + 1),
+      |    cw_i -> array_to_string(list_slice(toks, cw_i * 24 + 1, cw_i * 24 + 32), ' ')) AS chunks
+      |  FROM d
+      |), p AS (
+      |  SELECT doc_id, unnest(range(1, len(chunks) + 1)) AS chunk_id,
+      |    unnest(chunks) AS chunk
+      |  FROM ch
+      |)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens, chunk
+      |FROM p ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q71_boilerplate" -> (q71_boilerplate _),
+    "q72_incremental_dedup" -> (q72_incremental_dedup _),
+    "q73_chunk_overlap" -> (q73_chunk_overlap _),
     "q57_pii_scrub" -> (q57_pii_scrub _),
     "q58_mixture_sample" -> (q58_mixture_sample _),
     "q59_tfidf_topk" -> (q59_tfidf_topk _),
@@ -387,6 +460,8 @@ object ExtensionQueries4 {
 
   val oracle: Map[String, String] = Map(
     "q71_boilerplate" -> q71Sql,
+    "q72_incremental_dedup" -> q72Sql,
+    "q73_chunk_overlap" -> q73Sql,
     "q57_pii_scrub" -> q57Sql,
     "q58_mixture_sample" -> q58Sql,
     "q59_tfidf_topk" -> q59Sql,

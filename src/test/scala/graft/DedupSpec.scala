@@ -121,4 +121,23 @@ class DedupSpec extends SparkSpecBase {
     val pairs = out.toSeq
     assert(pairs.nonEmpty, "no near-dup pairs recovered")
   }
+
+  test("incrementalExact: corpus dups, keep-first within delta, new rows kept") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha"), // re-crawl of corpus doc
+      (11L, "gamma"), // genuinely new
+      (12L, "gamma"), // within-delta repeat of 11
+      (13L, "alpha")  // corpus dup AND delta repeat of 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(corpus, delta, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "dup_of_corpus", "dup_in_delta", "keep")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (10L, true, false, false),
+      (11L, false, false, true),
+      (12L, false, true, false),
+      (13L, true, true, false)))
+  }
 }

@@ -107,4 +107,18 @@ class TextSpec extends SparkSpecBase {
     assert(m1.centroids.length == 4)
     assert(m1.centroids.forall(_.length == m1.centroids.head.length))
   }
+
+  test("slidingChunks: HF-overflow window starts, clipped tail, stride==size degenerates to paragraphChunks") {
+    import graft.ext.TextAnalysis
+    val df = Seq((1, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = df.select(TextAnalysis.slidingChunks(col("text"), 4, 3).as("c"))
+      .collect().head.getSeq[String](0)
+    // starts 0,3,6,9 (while start <= len-1); last window clipped to 1 token
+    assert(got == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    val para = df.select(TextAnalysis.paragraphChunks(col("text"), 4).as("c"))
+      .collect().head.getSeq[String](0)
+    val slid = df.select(TextAnalysis.slidingChunks(col("text"), 4, 4).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(para == slid, "stride==size must equal paragraphChunks")
+  }
 }
