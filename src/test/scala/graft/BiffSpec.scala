@@ -181,6 +181,46 @@ class BiffSpec extends SparkSpecBase {
     }
   }
 
+  /** Version-4 CFB (4096-byte sectors, major=4): the geometry where the
+    * naive `512 + (sid << shift)` offset formula breaks — sector 0 starts
+    * at byte 4096 (the 512-byte header pads to a full sector), so every
+    * sector offset must come from the spec form `(sid+1) << shift`.
+    * Regular-FAT single-stream layout: sector 0 = FAT, 1 = directory,
+    * 2.. = payload.
+    */
+  private def writeCfbV4(path: String, payload: Array[Byte]): Unit = {
+    val SS = 4096
+    def pad(b: Array[Byte]) = b ++ new Array[Byte]((SS - b.length % SS) % SS)
+    val payloadSectors = (payload.length + SS - 1) / SS
+    require(2 + payloadSectors <= SS / 4, "test writer: one FAT sector only")
+    val fat = new W()
+    fat.u32(FatSect).u32(End)
+    for (i <- 0 until payloadSectors)
+      fat.u32(if (i == payloadSectors - 1) End else 3L + i)
+    for (_ <- (2 + payloadSectors) until SS / 4) fat.u32(Free)
+    val dir = pad(dirEntry("Root Entry", 5, End, 0L) ++
+      dirEntry("Workbook", 2, 2, payload.length.toLong))
+    val h = new W()
+    h.u32(0xE011CFD0L).u32(0xE11AB1A1L) // magic
+    h.bytes(new Array[Byte](16)) // clsid
+    h.u16(0x3E).u16(4).u16(0xFFFE) // minor, major=4, little-endian
+    h.u16(12).u16(6) // sector 4096, mini 64
+    h.bytes(new Array[Byte](6)).u32(1) // reserved, nDir (v4: counted)
+    h.u32(1) // one FAT sector
+    h.u32(1) // first directory sector
+    h.u32(0) // transaction
+    h.u32(4096) // mini cutoff
+    h.u32(End).u32(0) // no mini FAT
+    h.u32(End).u32(0) // no DIFAT chain
+    h.u32(0) // DIFAT[0] = FAT at sector 0
+    for (_ <- 1 until 109) h.u32(Free)
+    val header = h.result
+    require(header.length == 512, s"header ${header.length}")
+    // v4: the header occupies a full 4096-byte sector (512 real + zero pad)
+    Files.write(Paths.get(path),
+      header ++ new Array[Byte](SS - 512) ++ fat.result ++ dir ++ pad(payload))
+  }
+
   private def writeHeader(path: String, body: Array[Byte],
       firstMiniFat: Long, nMiniFat: Int): Unit = {
     val h = new W()
@@ -233,6 +273,14 @@ class BiffSpec extends SparkSpecBase {
 
   test("xls (regular-FAT layout, >=4096 bytes): identical parse") {
     val (header, rows) = Biff.readSheet(bigXlsPath)
+    assert(header == Seq("Top pages", "Clicks", "Impressions", "CTR Percent", "Position"))
+    expect(rows)
+  }
+
+  test("xls in a v4 CFB container (4096-byte sectors): identical parse") {
+    val p = Files.createTempDirectory("graft_xls_v4").resolve("gsc_v4.xls").toString
+    writeCfbV4(p, workbookStream ++ new Array[Byte](8192))
+    val (header, rows) = Biff.readSheet(p)
     assert(header == Seq("Top pages", "Clicks", "Impressions", "CTR Percent", "Position"))
     expect(rows)
   }
