@@ -323,6 +323,11 @@ object Pipeline {
     * Scoring runs ONCE: the anomaly sink is the debug frame's
     * underperformers-only continuation (same scored columns, narrow triage
     * projection, keep-filter + rank) — not a second scoring pass.
+    *
+    * The RETURNED frame is persisted (it fed four sinks and is handed back
+    * for further composition) — the CALLER owns that cache and should
+    * `unpersist()` it when done; the internal debug persist is released
+    * here and the merged-stage inner cache is scope-released automatically.
     */
   def run(spark: SparkSession, cfg: PipelineConfig, outDir: String): DataFrame = {
     val m = merged(spark, cfg).persist()

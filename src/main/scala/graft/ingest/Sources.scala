@@ -95,6 +95,14 @@ object Sources {
   def loadParquetMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
 
+  /** ORC twin of [[loadParquetMerged]] — same footer-merging contract for
+    * the other columnar lake format Spark ships a native vectorized reader
+    * for (an engine claiming lake-scale ingest breadth must read both; the
+    * per-file schema-evolution semantics are identical).
+    */
+  def loadOrcMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").orc(dir)
+
   /** `~` and `$VAR`/`${VAR}` expansion (`_resolve_any_path`,
     * `etl_merge.py:79-85`): unknown variables stay verbatim (Python's
     * `os.path.expandvars` contract); only a leading `~` or `~/` expands

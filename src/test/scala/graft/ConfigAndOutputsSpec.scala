@@ -66,6 +66,20 @@ class ConfigAndOutputsSpec extends SparkSpecBase {
     assert(!Outputs.envBool("PATH", default = false))
   }
 
+  test("YAML inputs section and output.merged_csv parse with reference defaults") {
+    val y = """inputs:
+              |  screaming_frog: data_demo/screaming_frog_export.csv
+              |  gsc_csv: gsc.csv
+              |output:
+              |  merged_csv: out/custom.csv
+              |""".stripMargin
+    assert(YamlConfig.parseInputs(y) ==
+      Map("screaming_frog" -> "data_demo/screaming_frog_export.csv", "gsc_csv" -> "gsc.csv"))
+    assert(YamlConfig.mergedCsvPath(y) == "out/custom.csv")
+    assert(YamlConfig.parseInputs("site:\n  base_domain: x\n") == Map.empty)
+    assert(YamlConfig.mergedCsvPath("{}") == "merged/merged_visibility.csv")
+  }
+
   test("A4 resolution ladder: ENV → sibling xlsx key → extension swap → default → swap → verbatim") {
     import graft.ingest.Sources
     val dir = Files.createTempDirectory("graft_resolve")

@@ -136,6 +136,18 @@ class ScaleSpec extends SparkSpecBase {
     assert(plain.columns.length <= merged.columns.length)
   }
 
+  test("schema-evolution ORC read: same merged-footer contract as parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_orc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.orc(s"$dir/batch=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score").write.orc(s"$dir/batch=2")
+    val merged = graft.ingest.Sources.loadOrcMerged(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+  }
+
   test("approximate quantiles (the 100 TB tier) stay within pinned error of the " +
     "exact order statistics") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
