@@ -169,15 +169,18 @@ object ScoringQueries {
     * 100. Per-row output (aggregating the normalized doubles would be
     * order-dependent).
     *
-    * Plan shape: the synthesized input is persisted — the decision
-    * aggregate, the global sort's range-sampling job, and the final sort
-    * would otherwise each re-evaluate the string synthesis from the parquet
-    * scan (the round-2 bench regression). Only the input is cached: the
-    * downstream try_cast projection is cheaper to recompute than to encode
-    * into the columnar cache a second time. The 4-column sort key is kept
-    * deliberately: (l_orderkey, l_linenumber) is NOT unique in the synthetic
-    * lineitem (~24% of pairs duplicate), so the full key is the cheapest
-    * total order available.
+    * Plan shape: NO cache. The decision aggregate, the sort's
+    * range-sampling job, and the final sort each re-evaluate the string
+    * synthesis from the parquet scan — and with the synthesis fully
+    * codegen'd that recompute is CHEAPER than materializing a 600k-row
+    * string frame into the columnar cache (measured round 4 at sf0.1:
+    * no-persist 2.31 s vs persist 3.19 s; cache materialization alone
+    * costs ~0.9 s over the plain pass). The round-2 regression that
+    * motivated the persist predated the codegen work; the measurement has
+    * since flipped. The 4-column sort key is kept deliberately:
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    * (~24% of pairs duplicate), so the full key is the cheapest total
+    * order available.
     */
   def q13_normalize_ctr_percent(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -187,8 +190,7 @@ object ScoringQueries {
       (when(col("l_linenumber") % 3 === 0, concat(disc.cast("string"), lit("%")))
         .when(col("l_linenumber") % 3 === 1, concat(lit("0."), lpad(disc.cast("string"), 2, "0")))
         .otherwise((disc + 1).cast("string"))).as("ctr_str"))
-    val cached = graft.core.CacheScope.scoped(df)
-    CtrNormalize(cached, "ctr_str", "ctr_norm")
+    CtrNormalize(df, "ctr_str", "ctr_norm")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
@@ -218,8 +220,7 @@ object ScoringQueries {
   /** q14: normalize_ctr, majority-heuristic branches — no '%' anywhere;
     * ctr_a has 2/3 of rows in (1,100] → divides; ctr_b has 1/3 → parses
     * verbatim. Exercises both heuristic outcomes in one query.
-    * Same persist-the-synthesized-input shape as q13 (see there for the
-    * rationale).
+    * Same no-cache shape as q13 (see there for the measured rationale).
     */
   def q14_normalize_ctr_heuristic(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -233,8 +234,7 @@ object ScoringQueries {
         .when(col("l_linenumber") % 3 === 1, mid2).otherwise(frac)).as("ctr_a"),
       (when(col("l_linenumber") % 3 === 0, frac)
         .when(col("l_linenumber") % 3 === 1, frac).otherwise(mid1)).as("ctr_b"))
-    val cached = graft.core.CacheScope.scoped(df)
-    CtrNormalize.applyMany(cached, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
+    CtrNormalize.applyMany(df, Seq("ctr_a" -> "ctr_a_norm", "ctr_b" -> "ctr_b_norm"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("ctr_a_norm"), col("ctr_b_norm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
