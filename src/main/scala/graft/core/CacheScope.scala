@@ -30,13 +30,23 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheScope {
 
+  /** Abandonment bound: a frame that is built but never executed (a
+    * builder called for its oracle SQL, an explain-only path) would keep
+    * its listener registered forever, charging every later action a plan
+    * comparison. After this many non-matching actions the frame is
+    * treated as abandoned: released and unregistered.
+    */
+  private val AbandonAfter = 256
+
   def scoped(df: DataFrame): DataFrame = {
     val p = df.persist()
     val spark = df.sparkSession
     val target = p.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private def maybe(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
+        if (qe.analyzed.exists(_.sameResult(target)) ||
+            misses.incrementAndGet() > AbandonAfter) {
           p.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
         }

@@ -121,4 +121,17 @@ class TextSpec extends SparkSpecBase {
       .collect().head.getSeq[String](0)
     assert(para == slid, "stride==size must equal paragraphChunks")
   }
+
+  test("flagBoilerplate threshold boundary: minDocs-1 distinct docs kept, minDocs dropped") {
+    import graft.ext.TextAnalysis
+    // span A in 2 docs (one twice - distinct count still 2), span B in 3
+    val paras = Seq(
+      (1L, "span a"), (2L, "span a"), (2L, "span a"),
+      (1L, "span b"), (2L, "span b"), (3L, "span b"),
+      (3L, "unique span")).toDF("doc_id", "para")
+    val out = TextAnalysis.flagBoilerplate(paras, "doc_id", "para", minDocs = 3)
+      .select("para", "keep").distinct().collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("span a" -> true, "span b" -> false, "unique span" -> true))
+  }
 }
