@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{CacheScope, Tables}
+import graft.functions.BloomMightContain
+
+/** Round-4 widening batch: graph ranking, record linkage, warehouse
+  * versioning, time-series repair, sketch-accelerated joins, robust
+  * statistics, and market-basket mining — operators a corpus/feature
+  * pipeline reaches for once the dedup/similarity core (q25-q31, q70-q73)
+  * is in place. Every query keeps the repo's cross-engine determinism
+  * contract: long-only sums, integer `div`, interpolated percentiles, and
+  * per-row IEEE arithmetic that both engines execute identically.
+  */
+object ExtensionQueries5 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q74
+
+  private val PrIters = 5
+  private val PrInitMass = 1000000000000L // 1e12 per node
+  private val PrTeleportMass = 150000000000L // 0.15 * init, exact
+
+  /** q74: PageRank over the part co-purchase graph, 5 synchronous
+    * iterations in EXACT integer mass arithmetic. Floating-point PageRank
+    * cannot hash-match across engines (contribution sums are
+    * order-dependent doubles), so each node carries an integer mass
+    * (1e12): per-edge contribution is `mass div outdeg`, damping is the
+    * exact rational `(17·Σ) div 20`, teleport is the constant 0.15·1e12.
+    * Long sums are associative — any partitioning, any engine, same bits.
+    *
+    * Scale shape: the edge list (distinct same-order part pairs) builds
+    * once — a self-equijoin on l_orderkey, never all-pairs across orders —
+    * and is cached for the 5 iterations ([[CacheScope.scoped]] releases it
+    * after the action). Out-degree and per-iteration mass are |V|-row
+    * frames BROADCAST onto the cached |E|-row edge list, so each iteration
+    * costs one map-side join plus one partial-agg shuffle keyed by dst —
+    * never a sort or window over the edges; the driver never sees the
+    * graph. Dangling/isolated parts keep teleport-only mass — pinned, and
+    * mirrored by the oracle's LEFT JOIN + COALESCE.
+    */
+  def q74_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = CacheScope.scoped(lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct())
+    // out-degree is a |V|-row aggregate — broadcast it onto the edges
+    // instead of a window over |E| (the window's per-partition sort of the
+    // full edge list is what a 100 TB graph cannot afford); the identical
+    // broadcast subtree is exchange-reused across iterations
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
+    var mass = nodes.select(col("id"), lit(PrInitMass).as("mass"))
+    for (_ <- 1 to PrIters) {
+      // mass is |V| rows — broadcast onto the cached edge list, so each
+      // iteration is a map-side join plus one partial-agg shuffle on dst
+      val contrib = pairs.join(broadcast(deg), Seq("src"))
+        .join(broadcast(mass), col("src") === col("id"))
+        .select(col("dst"), expr("mass div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+      mass = nodes.join(broadcast(contrib), col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(PrTeleportMass) +
+            expr("(17 * coalesce(inmass, 0L)) div 20")).as("mass"))
+    }
+    mass.join(broadcast(deg), col("id") === col("src"), "left")
+      .select(col("id").as("part_key"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("mass").as("pr_mass"))
+      .orderBy(col("part_key"))
+  }
+
+  private def prIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.id,
+       |    CAST($PrTeleportMass + (17 * COALESCE(s.inmass, 0)) // 20 AS BIGINT) AS mass
+       |  FROM n LEFT JOIN (
+       |    SELECT e2.dst, CAST(SUM(m.mass // e2.outdeg) AS BIGINT) AS inmass
+       |    FROM $prev m JOIN e2 ON e2.src = m.id GROUP BY e2.dst
+       |  ) s ON n.id = s.dst
+       |)""".stripMargin
+
+  val q74Sql: String = {
+    val iters = (1 to PrIters)
+      .map(i => prIterSql(if (i == 1) "m0" else s"m${i - 1}", s"m$i"))
+      .mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lp a JOIN lp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |),
+       |e2 AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS outdeg FROM pairs),
+       |n AS (SELECT p_partkey AS id FROM part),
+       |m0 AS (SELECT id, CAST($PrInitMass AS BIGINT) AS mass FROM n),
+       |$iters,
+       |deg AS (SELECT src, CAST(MAX(outdeg) AS BIGINT) AS outdeg FROM e2 GROUP BY src)
+       |SELECT m.id AS part_key, COALESCE(d.outdeg, 0) AS outdeg, m.mass AS pr_mass
+       |FROM m$PrIters m LEFT JOIN deg d ON m.id = d.src
+       |ORDER BY part_key""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q75
+
+  /** q75: blocked fuzzy self-join (record linkage) — part-name pairs
+    * within edit distance 4, candidate generation restricted to a blocking
+    * key (the name's last token). Blocking is the canonical linkage
+    * tradeoff: Levenshtein on all pairs is O(n²·len²) and unrunnable at
+    * scale; an equijoin on the block key bounds candidates to same-block
+    * pairs (recall is scoped to the block by DESIGN — cross-block near
+    * matches are not considered, and the oracle mirrors that contract).
+    * Distinct names aggregate first, so the quadratic term is over name
+    * cardinality, not row count.
+    */
+  def q75_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"),
+        (col("a.n_parts") + col("b.n_parts")).as("n_parts"))
+      .filter(col("edit_dist") <= 4)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val q75Sql: String =
+    """WITH n AS (
+      |  SELECT p_name, count(*) AS n_parts, string_split(p_name, ' ')[-1] AS block
+      |  FROM part GROUP BY p_name
+      |)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+      |  a.n_parts + b.n_parts AS n_parts
+      |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+
+  private val VipCents = 325000000L // $3.25M lifetime spend (≈ p80)
+
+  /** q76: SCD-2 dimension merge (the warehouse MERGE/upsert): customers
+    * whose exact lifetime spend (long cents — never a double sum) exceeds
+    * the VIP threshold get a new segment version as of 2024-06-01; their
+    * previous version closes (valid_to set, is_current 0), everyone else
+    * keeps one open row. Shape: one groupBy on the fact table, one hash
+    * join to the dimension, a union of two projections of the SAME joined
+    * frame — no window, no collect; the changed-row set never leaves the
+    * executors. At 100 TB the fact-side agg is the only big shuffle and it
+    * partial-aggregates map-side.
+    */
+  def q76_scd2(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val j = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .withColumn("new_seg",
+        when(col("cents") > VipCents, lit("VIP")).otherwise(col("c_mktsegment")))
+      .withColumn("changed", col("new_seg") =!= col("c_mktsegment"))
+    val oldRows = j.select(col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      to_date(lit("2024-01-01")).as("valid_from"),
+      when(col("changed"), to_date(lit("2024-06-01")))
+        .otherwise(lit(null).cast("date")).as("valid_to"),
+      (!col("changed")).cast("int").as("is_current"))
+    val newRows = j.filter(col("changed")).select(col("c_custkey"),
+      col("new_seg").as("segment"),
+      to_date(lit("2024-06-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(1).as("is_current"))
+    oldRows.union(newRows).orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val q76Sql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY o_custkey
+       |), j AS (
+       |  SELECT c.c_custkey, c.c_mktsegment, COALESCE(s.cents, 0) AS cents,
+       |    CASE WHEN COALESCE(s.cents, 0) > $VipCents THEN 'VIP'
+       |         ELSE c.c_mktsegment END AS new_seg
+       |  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+       |)
+       |SELECT c_custkey, c_mktsegment AS segment, DATE '2024-01-01' AS valid_from,
+       |  CASE WHEN new_seg <> c_mktsegment THEN DATE '2024-06-01' END AS valid_to,
+       |  CAST(new_seg = c_mktsegment AS INT) AS is_current
+       |FROM j
+       |UNION ALL
+       |SELECT c_custkey, new_seg, DATE '2024-06-01', CAST(NULL AS DATE), 1
+       |FROM j WHERE new_seg <> c_mktsegment
+       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+
+  private val NsPerDay = 86400000000000L
+
+  /** q77: time-series gap-fill + last-observation-carried-forward — the
+    * repair step before any per-entity daily feature join. Daily revenue
+    * per user in exact cents; each user's missing days inside their own
+    * [min, max] span are materialized by exploding `sequence(d0, d1)`
+    * (per-user, bounded by the span — never a global calendar cross join)
+    * and filled by `last(_, ignoreNulls)` over a user-partitioned,
+    * day-ordered running frame. Day arithmetic stays in exact integers:
+    * `ts div ns_per_day` here ≡ `epoch_us // µs_per_day` in the oracle
+    * (events.ts surfaces as long nanoseconds, see [[Tables]]).
+    */
+  def q77_gapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr(s"ts div $NsPerDay").as("day_idx"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("day_cents"))
+    val days = daily.groupBy(col("user_id"))
+      .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(daily, Seq("user_id", "day_idx"), "left")
+      .select(col("user_id"), col("day_idx"),
+        date_add(to_date(lit("1970-01-01")), col("day_idx").cast("int")).as("day"),
+        col("day_cents"),
+        last(col("day_cents"), ignoreNulls = true).over(w).as("locf_cents"),
+        col("day_cents").isNull.cast("int").as("is_gap"))
+      .orderBy(col("user_id"), col("day_idx"))
+  }
+
+  val q77Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM events GROUP BY 1, 2
+      |), spans AS (
+      |  SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+      |  FROM daily GROUP BY user_id
+      |), days AS (
+      |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day_idx FROM spans
+      |), f AS (
+      |  SELECT d.user_id, d.day_idx, dl.day_cents
+      |  FROM days d LEFT JOIN daily dl USING (user_id, day_idx)
+      |)
+      |SELECT user_id, day_idx,
+      |  DATE '1970-01-01' + CAST(day_idx AS INT) AS day, day_cents,
+      |  last_value(day_cents IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents,
+      |  CAST(day_cents IS NULL AS INT) AS is_gap
+      |FROM f ORDER BY user_id, day_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+
+  private val HiOrderCents = 40000000L // orders over $400k (≈ top 20%)
+
+  /** q78: bloom-filter-accelerated semi join. The build side (high-value
+    * order keys) is sketched into a driver-built [[BloomMightContain]]
+    * bloom filter (fixed 200k capacity / 1% fpp ≈ 240 KB — a bounded
+    * sketch, the repo's bounded-collect contract) and the probe side
+    * (lineitem) is pre-filtered AT THE SCAN by the codegen probe before
+    * the exact left-semi join removes the ~1% false positives. The final
+    * aggregate is therefore byte-identical to the plain semi join — which
+    * is exactly what the oracle runs. At 100 TB this is sideways
+    * information passing: the fact table's shuffle/broadcast input shrinks
+    * to the matching few percent before any join machinery runs.
+    */
+  def q78_bloom_semijoin(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.orders(s, dir)
+      .filter(round(col("o_totalprice") * 100).cast("long") > HiOrderCents)
+      .select(col("o_orderkey"))
+    val bf = hi.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+    val li = Tables.lineitem(s, dir)
+    li.filter(BloomMightContain.mightContainLong(col("l_orderkey"), bf))
+      .join(broadcast(hi), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+      .withColumn("revenue", col("price_cents") / lit(100.0))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q78Sql: String =
+    s"""WITH agg AS (
+       |  SELECT l_returnflag, count(*) AS n_items,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+       |  FROM lineitem
+       |  WHERE l_orderkey IN (
+       |    SELECT o_orderkey FROM orders
+       |    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > $HiOrderCents)
+       |  GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n_items, price_cents, price_cents / 100.0 AS revenue
+       |FROM agg ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+
+  /** q79: per-group winsorized statistics — the robust-mean treatment a
+    * quality-scoring pipeline applies before thresholding on document
+    * length. p05/p95 are exact interpolated percentiles (the q08-pinned
+    * cross-engine-identical form); the winsorized sum stays deterministic
+    * by flooring each clipped value to integer cents BEFORE summing
+    * (doubles are clipped per-row with identical IEEE ops, but their SUM
+    * would be order-dependent — floor-to-long first makes it associative).
+    * Shape: tiny per-lang percentile frame broadcast back over one corpus
+    * scan; two shuffles total, both keyed by lang.
+    */
+  def q79_winsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pct = d.groupBy(col("lang")).agg(
+      percentile(col("n_chars"), lit(0.05)).as("p05"),
+      percentile(col("n_chars"), lit(0.95)).as("p95"),
+      count(lit(1)).as("n_docs"))
+    val clipped = least(greatest(col("n_chars").cast("double"), col("p05")), col("p95"))
+    d.join(broadcast(pct), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L)).as("n_above"),
+        sum(floor(clipped * 100).cast("long")).as("win_cents"))
+      .withColumn("win_mean_cents", expr("win_cents div n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val q79Sql: String =
+    """WITH pct AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+      |    quantile_cont(n_chars, 0.95) AS p95, count(*) AS n_docs
+      |  FROM documents GROUP BY lang
+      |), agg AS (
+      |  SELECT d.lang, max(p.n_docs) AS n_docs, max(p.p05) AS p05, max(p.p95) AS p95,
+      |    CAST(SUM(CASE WHEN d.n_chars < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |    CAST(SUM(CASE WHEN d.n_chars > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(SUM(CAST(floor(
+      |      least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95) * 100)
+      |      AS BIGINT)) AS BIGINT) AS win_cents
+      |  FROM documents d JOIN pct p USING (lang)
+      |  GROUP BY d.lang
+      |)
+      |SELECT lang, n_docs, p05, p95, n_below, n_above, win_cents,
+      |  win_cents // n_docs AS win_mean_cents
+      |FROM agg ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+
+  /** q80: market-basket co-purchase pairs with exact integer lift — the
+    * association-mining primitive (frequent-pair counting with support
+    * pruning). Same-order part pairs count via one self-equijoin on the
+    * order key (never all-pairs across orders); support < 2 prunes before
+    * the per-part frequency joins; lift rides as the exact scaled rational
+    * `n_co·n_orders·10⁶ div (n_a·n_b)` — a float lift would be
+    * division-order-identical here, but the integer form also sorts/ties
+    * deterministically at any scale. The 1-row order-count aggregate
+    * broadcasts; nothing unbounded reaches the driver.
+    */
+  def q80_copurchase(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+    val freq = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orders_part"))
+    val totals = lp.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("n_orders_part").as("n_a")),
+        Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"), col("n_orders_part").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("n_co"), col("n_a"), col("n_b"),
+        expr("(n_co * n_orders * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val q80Sql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |freq AS (SELECT l_partkey, count(*) AS n_orders_part FROM lp GROUP BY 1),
+      |totals AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp)
+      |SELECT p.part_a, p.part_b, p.n_co, fa.n_orders_part AS n_a,
+      |  fb.n_orders_part AS n_b,
+      |  (p.n_co * t.n_orders * 1000000) // (fa.n_orders_part * fb.n_orders_part)
+      |    AS lift_ppm
+      |FROM pairs p
+      |JOIN freq fa ON p.part_a = fa.l_partkey
+      |JOIN freq fb ON p.part_b = fb.l_partkey
+      |CROSS JOIN totals t
+      |ORDER BY part_a, part_b""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q74_pagerank" -> (q74_pagerank _),
+    "q75_fuzzy_join" -> (q75_fuzzy_join _),
+    "q76_scd2" -> (q76_scd2 _),
+    "q77_gapfill" -> (q77_gapfill _),
+    "q78_bloom_semijoin" -> (q78_bloom_semijoin _),
+    "q79_winsorize" -> (q79_winsorize _),
+    "q80_copurchase" -> (q80_copurchase _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q74_pagerank" -> q74Sql,
+    "q75_fuzzy_join" -> q75Sql,
+    "q76_scd2" -> q76Sql,
+    "q77_gapfill" -> q77Sql,
+    "q78_bloom_semijoin" -> q78Sql,
+    "q79_winsorize" -> q79Sql,
+    "q80_copurchase" -> q80Sql
+  )
+}

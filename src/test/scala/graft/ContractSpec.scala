@@ -19,7 +19,8 @@ class ContractSpec extends SparkSpecBase {
     "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
     "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet),
     "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet),
-    "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet))
+    "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet),
+    "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)

@@ -23,7 +23,10 @@ class KernelCodegenSpec extends SparkSpecBase {
         (2L, "café HTTPS://Ex.COM/a/?utm_s=1&k=2#f", Seq(0.5, -1.0, 2.5), Seq(1.5, 0.0, -2.0)))
         .toDF("id", "text", "va", "vb")
         .withColumn("hashes", Dedup.shingleHashes(col("text"), 2))
+      val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      bloom.putLong(1L)
       val out = df.select(
+        graft.functions.BloomMightContain.mightContainLong(col("id"), bloom).as("bm"),
         TextAnalysis.polyHash(col("text")).as("ph"),
         Dedup.simhashFromHashes(Dedup.tokenHashes48(col("text"))).as("sh"),
         graft.functions.LangIdExpr.langId(col("text")).as("lang"),
@@ -37,7 +40,9 @@ class KernelCodegenSpec extends SparkSpecBase {
           Dedup.minhashFromHashes(col("hashes"), 8), 4).as("bands"))
         .collect()
       assert(out.length == 2)
-      assert(out.head.getDouble(5) == 1.0 * 4 + 2 * 5 + 3 * 6) // dot sanity
+      assert(out.head.getDouble(6) == 1.0 * 4 + 2 * 5 + 3 * 6) // dot sanity
+      assert(out.head.getBoolean(0) && !out(1).getBoolean(0)) // bloom: no false negative on 1L
+
     } finally {
       saved match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
