@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank in exact integer mass arithmetic (damping 17/20 —
+  * the exact rational form of 0.85 — so every engine computes identical
+  * bits; see q74's determinism note).
+  *
+  * Scale shape — the round-4 verdict's one true 100 TB killer was the
+  * previous formulation's per-iteration `broadcast(mass)`: a |V|-row frame
+  * cannot broadcast when |V| is hundreds of millions (the 8 GB broadcast
+  * ceiling kills the job), and nesting five lazy broadcast stages
+  * re-computed every earlier iteration inside each later one. This operator
+  * is the co-partitioned fixpoint loop instead, the same pattern as
+  * [[graft.ext.Dedup.connectedComponents]]:
+  *
+  *  - the out-degree-annotated edge list materializes ONCE, hash-partitioned
+  *    by `src`, via an eager `localCheckpoint` (lineage truncated; blocks
+  *    reused by all iterations with their partitioning intact);
+  *  - the node set materializes once, hash-partitioned by `id`;
+  *  - each iteration's mass frame is ≤ |V| rows partitioned by `id`, so the
+  *    edges⋈mass join is co-partitioned (src ≡ id hash) — ZERO exchange on
+  *    the |E|-row side, and the `shuffle_hash` hint keeps it a hash join
+  *    (a sort-merge plan would re-sort the edge partitions every
+  *    iteration). The only per-iteration exchange is the contribution
+  *    partial-aggregate keyed by `dst` — map-side combine shrinks it to
+  *    ~|V| rows before the wire;
+  *  - each new mass frame `localCheckpoint`s eagerly: plan depth stays O(1)
+  *    across iterations instead of O(iters), and nothing is ever collected
+  *    to or broadcast from the driver. (On a real cluster a reliable
+  *    `checkpoint` trades recomputability for executor-loss resilience —
+  *    same call site.)
+  */
+object PageRank {
+
+  /** One synchronous PageRank iteration, LAZY (no checkpoint) — exposed so
+    * PlanShapeSpec can pin the physical shape: no BroadcastExchange on any
+    * |V|-row input, shuffled-hash (not sort-merge) joins, and a partial
+    * aggregate on `dst`.
+    *
+    * @param edges (src, dst, outdeg) — outdeg pre-joined so the hot loop
+    *              touches exactly one big input
+    * @param nodes (id) — every vertex, including danglers
+    * @param mass  (id, mass) — current integer mass per vertex
+    */
+  def step(edges: DataFrame, nodes: DataFrame, mass: DataFrame,
+      teleportMass: Long): DataFrame = {
+    val contrib = edges.join(mass.hint("shuffle_hash"), col("src") === col("id"))
+      .select(col("dst"), expr("mass div outdeg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+    nodes.join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
+      .select(col("id"),
+        (lit(teleportMass) +
+          expr("(17 * coalesce(inmass, 0L)) div 20")).as("mass"))
+  }
+
+  /** Full run: `iters` synchronous iterations from a uniform `initMass`.
+    *
+    * @param rawEdges (src, dst) distinct directed edges
+    * @param nodes    (id) the full vertex set
+    * @return (id, outdeg, mass) — dangling/isolated vertices keep
+    *         teleport-only mass and outdeg 0
+    */
+  def run(rawEdges: DataFrame, nodes: DataFrame, iters: Int,
+      initMass: Long, teleportMass: Long): DataFrame = {
+    require(iters >= 1)
+    // materialize the two loop-invariant inputs once, partitioned on their
+    // join keys; persist the raw edge list only while deg + edges build
+    // from it (two consumers), then release it
+    val pairs = rawEdges.select(col("src"), col("dst")).persist()
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val edges = pairs.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint(true)
+    pairs.unpersist()
+    val nodeSet = nodes.select(col("id")).repartition(col("id"))
+      .localCheckpoint(true)
+    var mass = nodeSet.select(col("id"), lit(initMass).as("mass"))
+    for (_ <- 1 to iters)
+      mass = step(edges, nodeSet, mass, teleportMass).localCheckpoint(true)
+    mass.join(deg.hint("shuffle_hash"), col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("mass"))
+  }
+}

