@@ -65,20 +65,49 @@ object Similarity {
     * the O(n²) pair blowup is sharded into nlist independent O((n/nlist)²)
     * problems — the reason SemDeDup clusters before comparing at all. At
     * corpus scale, nlist grows with n to bound list sizes; a pathological
-    * giant cluster would be sub-sharded with an in-list LSH bucket
-    * ([[lshBucketT]]) before pairing.
+    * giant cluster (a skewed corpus whose embeddings collapse into one
+    * list) is sub-sharded behind `giantCap`: rows of any list larger than
+    * the cap get an in-list LSH bucket ([[lshBucketT]], `subBits` sign
+    * bits, an independent `subTable`) appended to the pair-join key, so the
+    * worst task holds O((cap-ish)²) pairs instead of O(|list|²). Near-dup
+    * pairs (cos ≥ minCos) point in almost the same direction, so their sign
+    * bits agree unless a hyperplane lands inside the tiny angle between
+    * them — sub-sharding can only MISS pairs (keep a few extra rows), never
+    * invent drops (SimilaritySpec pins both the subset property and the
+    * per-shard bound).
+    *
+    * @param giantCap sub-shard lists larger than this many rows; the
+    *                 default never triggers
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      model: IvfIndex.Model, minCos: Double): DataFrame = {
+      model: IvfIndex.Model, minCos: Double, giantCap: Int = Int.MaxValue,
+      subBits: Int = 4, subTable: Int = 9): DataFrame = {
     // assignment + norm computed once into a scoped cache: the frame feeds
     // both pair-join sides and the final keep join
-    val v = emb.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("vec"))
+    val v0 = emb.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("n", norm(col("vec")))
       .withColumn("list", IvfIndex.listId(model, col("vec")))
-      .transform(graft.core.CacheScope.scoped)
-    val a = v.select(col("list"), col("id").as("id_a"), col("vec").as("va"), col("n").as("na"))
-    val b = v.select(col("list"), col("id").as("id_b"), col("vec").as("vb"), col("n").as("nb"))
-    val dropped = a.join(b, Seq("list"))
+    // the list-size frame is ≤ nlist rows — broadcast back; the sub key is
+    // a constant 0 everywhere the cap is not exceeded, so the non-giant
+    // path pairs exactly as before
+    val v =
+      if (giantCap == Int.MaxValue) v0.withColumn("sub", lit(0L))
+        .transform(graft.core.CacheScope.scoped)
+      else {
+        val withSub = v0.transform { d =>
+          val sizes = d.groupBy(col("list")).agg(count(lit(1)).as("__lsz"))
+          d.join(broadcast(sizes), Seq("list"))
+            .withColumn("sub", when(col("__lsz") > giantCap,
+              lshBucketT(col("vec"), subBits, subTable)).otherwise(lit(0L)))
+            .drop("__lsz")
+        }
+        graft.core.CacheScope.scoped(withSub)
+      }
+    val a = v.select(col("list"), col("sub"), col("id").as("id_a"),
+      col("vec").as("va"), col("n").as("na"))
+    val b = v.select(col("list"), col("sub"), col("id").as("id_b"),
+      col("vec").as("vb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("list", "sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCos)
       .select(col("id_b").as("id")).distinct()

@@ -140,16 +140,27 @@ object ExtensionQueries2 {
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
+  // q70's giant-cluster guard: lists above the cap sub-shard on an in-list
+  // LSH bucket (4 sign bits, independent table 9). 24 < the biggest list
+  // this corpus produces, so the guard genuinely EXERCISES at verify scale
+  // and the oracle proves the SQL mirror of the sub-bucket LCG.
+  private val SemGiantCap = 24
+  private val SemSubBits = 4
+  private val SemSubTable = 9
+
   /** q70: SemDeDup — semantic dedup within learned clusters
     * (Similarity.semDedup; the LLM-corpus "prune near-identical content
     * the MinHash stack can't see" operator). Jittered copies of the first
     * 50 vectors are unioned in (same deterministic construction family as
     * q37, tighter perturbation); the operator must assign originals and
     * copies to lists, pair within lists, and drop exactly the
-    * larger-id member of every cos ≥ 0.98 in-cluster pair. Oracle: full
-    * mirror with the trained centroids as literals ([[q70SqlFor]]) — the
-    * assignment argmin, the jitter arithmetic, and the cosine folds replay
-    * bit-exactly in DuckDB.
+    * larger-id member of every cos ≥ 0.98 in-cluster pair — where lists
+    * larger than [[SemGiantCap]] pair within (list, LSH sub-bucket)
+    * instead (the 100 TB degenerate-cluster guard, live at this scale).
+    * Oracle: full mirror with the trained centroids as literals
+    * ([[q70SqlFor]]) — the assignment argmin, the jitter arithmetic, the
+    * cosine folds, AND the conditional sub-bucket LCG replay bit-exactly
+    * in DuckDB.
     */
   def q70_semdedup(s: SparkSession, dir: String): DataFrame = {
     val model = ivfModel(s, dir)
@@ -162,13 +173,16 @@ object ExtensionQueries2 {
         i => element_at(col("vec"), i + 1) + ((col("vec_id") + i) % 5 - 2) * lit(0.005))
         .as("vec"))
       .select((col("vec_id") + 100000L).as("vec_id"), col("vec"))
-    Similarity.semDedup(base.union(jit), "vec_id", "vec", model, minCos = 0.98)
+    Similarity.semDedup(base.union(jit), "vec_id", "vec", model, minCos = 0.98,
+        giantCap = SemGiantCap, subBits = SemSubBits, subTable = SemSubTable)
       .orderBy(col("id"))
   }
 
   /** DuckDB mirror of q70 for a trained model: centroid literals, the q38
     * assignment argmin (same (x-c)² fold, ties by list index), the q37
-    * jitter arithmetic, and the drop rule as an in-list pair join.
+    * jitter arithmetic, the conditional giant-cluster LSH sub-bucket (the
+    * q31 hyperplane-LCG replayed at [[SemSubBits]] bits / table
+    * [[SemSubTable]]), and the drop rule as an in-(list, sub) pair join.
     */
   def q70SqlFor(model: IvfIndex.Model): String = {
     val cents = model.centroids.zipWithIndex
@@ -182,6 +196,21 @@ object ExtensionQueries2 {
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(range(1, len($v)+1), dq_i -> ($v[dq_i] - cv[dq_i]) * ($v[dq_i] - cv[dq_i]))), " +
         s"(dq_x, dq_y) -> dq_x + dq_y)"
+    // sub-bucket: bit j (0-based, MSB first) is the sign of the in-order
+    // projection fold onto hyperplane LCG(jj = j + table·1000) — literal
+    // mirror of functions.LshBucket / Similarity.hyperplaneAt
+    def hp(j: Int, i: String): String = {
+      val jj = j + SemSubTable * 1000
+      s"(CAST(((($jj*4099 + ($i)*131 + 7) * 1103515245 + 12345) % 2147483647) % 2001 - 1000 AS DOUBLE) / 1000.0)"
+    }
+    def proj(v: String, j: Int): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($v)+1), pr_i -> $v[pr_i] * ${hp(j, "pr_i - 1")})), " +
+        s"(pj_a, pj_b) -> pj_a + pj_b)"
+    def bucket(v: String): String =
+      (0 until SemSubBits).map { j =>
+        s"(CASE WHEN ${proj(v, j)} > 0 THEN ${1L << (SemSubBits - 1 - j)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
     s"""WITH cent(ci, cv) AS (VALUES
        |  $cents),
        |base AS (
@@ -194,13 +223,18 @@ object ExtensionQueries2 {
        |      jt_i -> b.vec[jt_i + 1] + ((b.vec_id + jt_i) % 5 - 2) * 0.005) AS vec
        |  FROM base b WHERE b.vec_id < 50
        |), allv AS (SELECT vec_id, vec FROM base UNION ALL SELECT vec_id, vec FROM jit),
-       |asn AS (SELECT vec_id, vec, ci AS list FROM (
+       |asn0 AS (SELECT vec_id, vec, ci AS list FROM (
        |  SELECT vec_id, vec, ci,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ${dist("vec")}, ci) AS rn
        |  FROM allv CROSS JOIN cent) WHERE rn = 1),
+       |asn AS (
+       |  SELECT vec_id, vec, list,
+       |    CASE WHEN count(*) OVER (PARTITION BY list) > $SemGiantCap
+       |         THEN ${bucket("vec")} ELSE 0 END AS sub
+       |  FROM asn0),
        |dropped AS (
        |  SELECT DISTINCT y.vec_id AS id
-       |  FROM asn x JOIN asn y ON x.list = y.list AND x.vec_id < y.vec_id
+       |  FROM asn x JOIN asn y ON x.list = y.list AND x.sub = y.sub AND x.vec_id < y.vec_id
        |  WHERE ${fold("x.vec", "y.vec")} / (sqrt(${fold("x.vec", "x.vec")}) * sqrt(${fold("y.vec", "y.vec")})) >= 0.98)
        |SELECT a.vec_id AS id, a.list, (d.id IS NULL) AS keep
        |FROM asn a LEFT JOIN dropped d ON a.vec_id = d.id

@@ -89,6 +89,44 @@ object ExtensionQueries5 {
 
   // ---------------------------------------------------------------- q75
 
+  /** q75's secondary blocking geometry. The band width (8) deliberately
+    * EXCEEDS the edit-distance threshold (4): a qualifying pair's lengths
+    * differ by at most the edit distance, so its two bands differ by at
+    * most one — probing a candidate's own band plus both neighbors loses
+    * NOTHING. The cap (6) is below this corpus's uniform block size (8
+    * names per last-token block) so the guard runs live at verify scale;
+    * production would set it around the task-size budget (~10⁴).
+    */
+  private val BlockCap = 6
+  private val BandWidth = 8
+
+  /** Candidate pairs for the blocked fuzzy join: same last-token block,
+    * and — for blocks larger than `cap` — same length band on one side
+    * probing {band-1, band, band+1} on the other. Because `bandWidth` >
+    * the edit threshold, the banded candidate set contains EVERY pair
+    * within edit distance `bandWidth-1` that shares a block: banding
+    * bounds the per-task quadratic term (|block|² → ~3·|band-group|²)
+    * without changing the query's result, which is why q75's oracle is
+    * identical with or without the guard. Exposed for
+    * ExtensionQueries5Spec's skewed-fixture bound check.
+    */
+  private[graft] def blockedCandidates(names: DataFrame, cap: Int,
+      bandWidth: Int): DataFrame = {
+    val sizes = names.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+    val sized = names.join(broadcast(sizes), Seq("block"))
+    val band = expr(s"length(p_name) div $bandWidth")
+    val a = sized.withColumn("band",
+      when(col("__bsz") > cap, band).otherwise(lit(0L)))
+    val b = sized.withColumn("band", explode(
+      when(col("__bsz") > cap, array(band - 1, band, band + 1))
+        .otherwise(array(lit(0L)))))
+    // the three probe arms are distinct values, so a qualifying pair
+    // matches exactly one arm — never duplicated
+    a.as("a").join(b.as("b"),
+      col("a.block") === col("b.block") && col("a.band") === col("b.band") &&
+        col("a.p_name") < col("b.p_name"))
+  }
+
   /** q75: blocked fuzzy self-join (record linkage) — part-name pairs
     * within edit distance 4, candidate generation restricted to a blocking
     * key (the name's last token). Blocking is the canonical linkage
@@ -97,14 +135,16 @@ object ExtensionQueries5 {
     * pairs (recall is scoped to the block by DESIGN — cross-block near
     * matches are not considered, and the oracle mirrors that contract).
     * Distinct names aggregate first, so the quadratic term is over name
-    * cardinality, not row count.
+    * cardinality, not row count; a skew-heavy block (every name sharing
+    * one last token) additionally sub-blocks on a length band
+    * ([[blockedCandidates]]) — result-preserving by construction, so the
+    * oracle needs no banding mirror.
     */
   def q75_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(s, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
       .withColumn("block", element_at(split(col("p_name"), " "), -1))
-    names.as("a").join(names.as("b"),
-        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+    blockedCandidates(names, BlockCap, BandWidth)
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
         levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"),
         (col("a.n_parts") + col("b.n_parts")).as("n_parts"))

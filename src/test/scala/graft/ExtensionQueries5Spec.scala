@@ -41,6 +41,37 @@ class ExtensionQueries5Spec extends SparkSpecBase {
     }
   }
 
+  test("q75: giant-block banding bounds candidates and preserves the pair set exactly") {
+    import spark.implicits._
+    // skewed fixture: 300 names ALL sharing one last token — the naive
+    // block is a single O(n²) candidate task (the round-4 "watch" item)
+    val names = spark.range(300).select(
+        concat(lit("name"), lpad(col("id").cast("string"), 3, "0"),
+          lit(" "), repeat(lit("x"), (col("id") % 40).cast("int") + 1),
+          lit(" tok")).as("p_name"),
+        lit(1L).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    def pairs(cap: Int) =
+      ExtensionQueries5.blockedCandidates(names, cap, bandWidth = 8)
+        .select(col("a.p_name"), col("b.p_name"))
+        .withColumn("d", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("d") <= 4)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val banded = pairs(6)
+    val naive = pairs(Int.MaxValue)
+    assert(banded == naive,
+      "banding must be result-preserving (band width > edit threshold)")
+    assert(naive.nonEmpty, "fixture should contain near-matching names")
+    // the physical bound: no (block, band) candidate group may approach
+    // the naive n²/2 single task
+    val groups = ExtensionQueries5.blockedCandidates(names, 6, bandWidth = 8)
+      .groupBy(col("a.block"), col("a.band")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(groups.length > 3, s"banding produced only ${groups.length} groups")
+    assert(groups.max < 300L * 299 / 8,
+      s"worst candidate group ${groups.max} is still near-quadratic")
+  }
+
   test("q76: changed customers carry a closed old version + open VIP version; others one open row") {
     val rows = ExtensionQueries5.q76_scd2(spark, sf).collect()
     val byCust = rows.groupBy(_.getLong(0))
