@@ -112,8 +112,18 @@ object Pipeline {
   /** GSC loader (`etl_merge.py:547-574`): url-likeness filter, no-comma
     * numeric parses, data-dependent CTR normalization.
     */
-  def loadGsc(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val r = resolveHeaders(Sources.loadTable(spark, cfg.gscPath), GscColumns,
+  def loadGsc(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    loadGscFrom(Sources.loadTable(spark, cfg.gscPath), cfg)
+
+  /** GSC transforms over an already-loaded raw frame — the reuse point for
+    * the streaming visibility loop ([[graft.streaming.VisibilityLoop]]),
+    * whose accumulated drop state enters here instead of a CSV path. The
+    * data-dependent CTR normalization stays lazy (decision aggregate,
+    * broadcast back), so it re-decides over whatever corpus the frame
+    * holds — exactly the batch semantics.
+    */
+  def loadGscFrom(raw: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val r = resolveHeaders(raw, GscColumns,
       trimHeaders = true, ga4Renames = false)
     val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, GscColumns)
       .filter(SchemaResolve.looksUrlLike(col("url")))
@@ -205,13 +215,23 @@ object Pipeline {
     * `observe` metrics: zero extra jobs, readable from the returned frame's
     * listener/observation API after any action.
     */
-  def merged(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
+  def merged(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    mergedFrom(spark, cfg, loadFrog(spark, cfg), loadGsc(spark, cfg),
+      loadGa4(spark, cfg))
+
+  /** [[merged]] over already-loaded source frames — the reuse point for the
+    * streaming visibility loop, which substitutes its accumulated GSC drop
+    * state for the batch CSV read while keeping every downstream stage
+    * byte-identical.
+    */
+  def mergedFrom(spark: SparkSession, cfg: PipelineConfig, frogIn: DataFrame,
+      gscIn: DataFrame, ga4In: DataFrame): DataFrame = {
     val frog = dedupSpine(
-      loadFrog(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+      frogIn.filter(col("url").isNotNull && length(col("url")) > 0))
       .observe("frog_spine", count(lit(1)).as("rows"))
-    val gsc = aggGsc(loadGsc(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+    val gsc = aggGsc(gscIn.filter(col("url").isNotNull && length(col("url")) > 0))
       .observe("gsc_agg", count(lit(1)).as("rows"))
-    val ga4 = aggGa4(loadGa4(spark, cfg).filter(col("url").isNotNull && length(col("url")) > 0))
+    val ga4 = aggGa4(ga4In.filter(col("url").isNotNull && length(col("url")) > 0))
       .observe("ga4_agg", count(lit(1)).as("rows"))
 
     // persisted: the global-total and median scalar branches below would

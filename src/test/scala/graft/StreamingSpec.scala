@@ -299,4 +299,45 @@ class StreamingSpec extends SparkSpecBase {
     val total = slid.agg(sum("n")).collect().head.getLong(0)
     assert(total == batchEvents.count() * 2) // each event in exactly 2 windows
   }
+
+  test("visibility loop: two streamed GSC drops == one batch merge; replay is idempotent") {
+    import graft.streaming.VisibilityLoop
+    val demo = "/root/reference/data_demo"
+    val root = Files.createTempDirectory("graft_vloop")
+    val dropDir = Files.createDirectory(root.resolve("drops"))
+    val stateDir = root.resolve("state").toString
+    // split the reference's own demo GSC export into two drops
+    val lines = Files.readAllLines(Paths.get(s"$demo/gsc_export.csv"))
+    val header = lines.get(0)
+    val body = (1 until lines.size).map(lines.get)
+    val (half1, half2) = body.splitAt(body.size / 2)
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(dropDir.resolve(name), (header +: rows).mkString("\n").getBytes)
+    val cfg = Pipeline.PipelineConfig(
+      frogPath = s"$demo/screaming_frog_export.csv",
+      gscPath = s"$demo/gsc_export.csv", // batch-comparison path; the loop ignores it
+      ga4Path = s"$demo/ga4_export.csv")
+    drop("drop1.csv", half1)
+    val q = VisibilityLoop.start(spark, cfg, dropDir.toString, stateDir,
+      headers = header.split(","))
+    try {
+      q.processAllAvailable()
+      drop("drop2.csv", half2)
+      q.processAllAvailable()
+    } finally q.stop()
+    def snapshot(): Seq[Seq[Any]] = spark.read.parquet(s"$stateDir/merged")
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+    val streamed = snapshot()
+    val batch = Pipeline.merged(spark, cfg)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+    assert(streamed.nonEmpty && streamed == batch,
+      "accumulated streamed drops must reproduce the batch merge exactly")
+    // failure re-delivery: replay batch 0 (same rows, same id) — the
+    // landing overwrites the same path and the re-merge must be a no-op
+    val replay = spark.read.option("header", "true")
+      .schema(VisibilityLoop.dropSchema(header.split(",").toSeq))
+      .csv(dropDir.resolve("drop1.csv").toString)
+    VisibilityLoop.processBatch(spark, cfg, stateDir)(replay, 0L)
+    assert(snapshot() == batch, "replaying a delivered batch must not change the snapshot")
+  }
 }
