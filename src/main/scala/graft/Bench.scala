@@ -77,13 +77,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
+    // Two artifact tiers. The full per-query map is ~5 KB — twice it has
+    // overflowed the harness's bounded stdout capture and left the round
+    // artifact unparseable. So: a COMPACT line (same schema, `queries`
+    // limited to the slowest 10) is printed both before AND after the full
+    // line — whichever end of the stream the capture window anchors to, a
+    // complete parseable line lands inside it. bench_out.json keeps the
+    // full map regardless.
+    val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
       s""""pipeline_1m_sec":$pipeline,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,""" +
+      s""""queries_total":${results.size},"queries":$slow10,""" + suffix
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" + suffix
+    println(compact)
     println(json)
-    // Also persist to a file: the one-line JSON outgrew the harness's stdout
-    // tail capture (round-3 artifact was truncated → unverifiable), and a
-    // file survives any amount of surrounding log noise.
+    println(compact)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
@@ -135,8 +146,9 @@ object Bench {
     } finally { // ~3×1M-row temp CSVs; don't leak them past the measurement
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

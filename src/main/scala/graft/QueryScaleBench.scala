@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-query scale proof (round-4 verdict ask #8): fit t ~ n^k for named
+  * queries across a 10× data step and print the exponent. Two rungs:
+  *
+  *  - `sf0.01 → sf0.1`: the driver's own generated data — real content,
+  *    every query eligible.
+  *  - `sf0.1 → sf1x` (flag `--sf1`): no sf1 testdata exists, so the
+  *    relational tables (lineitem/orders/part/supplier/customer) are
+  *    replicated 10× into a temp dir with all join keys shifted per
+  *    replica — row counts AND key cardinalities scale 10× while group
+  *    cardinalities (returnflag etc.) stay fixed, exactly how TPC-H SF
+  *    scaling behaves. Content tables (documents/embeddings) are NOT
+  *    replicated: byte-identical text copies would synthesize a
+  *    pathological 100%-duplicate corpus and measure the dedup operators
+  *    on a distribution sf1 would never have; content queries get their
+  *    exponent from the real sf0.01→sf0.1 rung instead.
+  *
+  * k ≈ 1.0 means per-row work (scan/hash-agg/hash-join) dominates — the
+  * plan rides to more data by adding partitions; k substantially above 1
+  * flags a super-linear stage (a pair blowup, a sort that stopped
+  * fitting, a broadcast tipping over) to audit in PLANS.md.
+  *
+  * Usage: `runMain graft.QueryScaleBench [--sf1] q74_pagerank q80_...`
+  */
+object QueryScaleBench {
+
+  /** Per-replica key offset: far above any sf0.1 key (orders ~150k) yet
+    * small enough that 9 replicas stay inside Int if a key column is
+    * 32-bit (the shifted value is cast back to the column's dtype).
+    */
+  private val KeyOffset = 10000000L
+
+  private val KeyCols = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "customer" -> Seq("c_custkey"))
+
+  /** 10× replicate the relational tables from `src` into `dst`, shifting
+    * every join key by replica·offset so FK relationships hold within
+    * each replica and never collide across replicas.
+    */
+  def replicateRelational(s: SparkSession, src: String, dst: String,
+      copies: Int = 10): Unit =
+    for ((t, keys) <- KeyCols) {
+      val df = s.read.parquet(s"$src/$t.parquet")
+      val rep = df.withColumn("_r", explode(sequence(lit(0), lit(copies - 1))))
+      val shifted = keys.foldLeft(rep) { (d, k) =>
+        d.withColumn(k,
+          (col(k).cast("long") + col("_r").cast("long") * KeyOffset)
+            .cast(df.schema(k).dataType))
+      }.drop("_r")
+      shifted.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sf1 = args.contains("--sf1")
+    val names = args.filterNot(_.startsWith("--")).toSeq
+    require(names.nonEmpty, "usage: QueryScaleBench [--sf1] <queryName>...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def medianOf(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(1)
+    }
+    def timeAt(name: String, dir: String): Double = {
+      System.gc()
+      medianOf {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    val (loDir, hiDir, step) =
+      if (sf1) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sf1x").toString
+        println(s"replicating relational tables 10x into $tmp ...")
+        replicateRelational(spark, "/root/testdata/sf0.1", tmp)
+        ("/root/testdata/sf0.1", tmp, "sf0.1->sf1x")
+      } else ("/root/testdata/sf0.01", "/root/testdata/sf0.1", "sf0.01->sf0.1")
+
+    // warmup both dirs through the first query
+    try timeAt(names.head, loDir) catch { case _: Throwable => }
+    for (n <- names) {
+      val t1 = timeAt(n, loDir)
+      val t2 = timeAt(n, hiDir)
+      val k = math.log(t2 / t1) / math.log(10.0)
+      println(f"$n%-28s $step: lo=$t1%6.2f s  hi=$t2%6.2f s  k=$k%.2f")
+    }
+    if (sf1) {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(hiDir)
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    spark.stop()
+  }
+}

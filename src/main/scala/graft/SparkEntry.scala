@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ScoringQueries.queries ++ RelationalQueries2.queries ++ RelationalQueries3.queries ++ RelationalQueries4.queries ++ RelationalQueries5.queries ++ StreamingQueries.queries ++ ExtensionQueries.queries ++ ExtensionQueries2.queries ++ ExtensionQueries3.queries ++ ExtensionQueries4.queries ++ ExtensionQueries5.queries
+    RelationalQueries.queries ++ ScoringQueries.queries ++ RelationalQueries2.queries ++ RelationalQueries3.queries ++ RelationalQueries4.queries ++ RelationalQueries5.queries ++ StreamingQueries.queries ++ ExtensionQueries.queries ++ ExtensionQueries2.queries ++ ExtensionQueries3.queries ++ ExtensionQueries4.queries ++ ExtensionQueries5.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

@@ -38,18 +38,31 @@ object CacheScope {
     */
   private val AbandonAfter = 256
 
-  def scoped(df: DataFrame): DataFrame = {
+  def scoped(df: DataFrame): DataFrame = scopedN(df, 1)
+
+  /** [[scoped]] generalized to a builder that KNOWS its returned/consumed
+    * frame will flow through `actions` distinct completed actions before
+    * the cache is dead — e.g. q78's high-value-orders frame feeds a
+    * capacity count, the bloom-filter build, and the final query's
+    * broadcast (3 actions, 1 scan). Release fires after the `actions`-th
+    * matching action; an undercount (some consumer bypasses the listener
+    * bus) degrades to the [[AbandonAfter]] bound, never a leak-forever.
+    */
+  def scopedN(df: DataFrame, actions: Int): DataFrame = {
     val p = df.persist()
     val spark = df.sparkSession
     val target = p.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
-      private def maybe(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target)) ||
-            misses.incrementAndGet() > AbandonAfter) {
+      private val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      private def maybe(qe: QueryExecution): Unit = {
+        val matched = qe.analyzed.exists(_.sameResult(target))
+        if ((matched && hits.incrementAndGet() >= actions) ||
+            (!matched && misses.incrementAndGet() > AbandonAfter)) {
           p.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
         }
+      }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)
       override def onFailure(funcName: String, qe: QueryExecution,

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable-sketch tier (round-4 verdict ask #7): the approximate
+  * complement to the exact distinct/percentile operators (q36, q08/q61).
+  * The EXACT tier stays the oracle-hashed surface (a different engine's
+  * sketch can never hash-match, see RelationalQueries3 q36 note); this
+  * tier exists for the 100 TB regime where an exact global distinct or
+  * percentile is a full-shuffle of the key universe, while a sketch is a
+  * few KB per group, mergeable across partitions, days, and shards
+  * without ever rescanning history. Correctness contract is therefore an
+  * ERROR BOUND pinned by SketchSpec, not a DuckDB hash.
+  *
+  * Two families:
+  *  - distinct count: Spark's built-in DataSketches HLL
+  *    (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate` — codegen'd,
+  *    order-independent, register-max mergeable) used directly by
+  *    [[graft.queries.SketchQueries]]; nothing to reimplement.
+  *  - quantiles: Spark exposes `approx_percentile` but NOT a mergeable
+  *    quantile-sketch VALUE — you cannot store a group's sketch and merge
+  *    it with tomorrow's. The [[QuantileSketchBytes]] /
+  *    [[QuantileSketchMergeQuery]] aggregators close that gap on top of
+  *    Spark's own Greenwald-Khanna implementation
+  *    (`catalyst.util.QuantileSummaries`, the machinery inside
+  *    `approx_percentile`/`df.stat.approxQuantile`): rank error ≤ eps·n
+  *    for a single sketch, ≤ 2·eps·n after a merge (GK merge bound).
+  *
+  * Buffers use the Kryo encoder: `QuantileSummaries` is Serializable but
+  * not a product; the buffer crosses the wire only at partial-aggregation
+  * boundaries (one compressed sketch per partition per group, ~KBs).
+  */
+object Sketches {
+
+  /** eps for the query surface: rank error ≤ 1% of n per sketch. */
+  val DefaultEps = 0.01
+
+  private def zeroSummary(eps: Double) =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, eps)
+
+  /** compress() flushes the insert-side head buffer; merge/query/serialize
+    * all require a compressed summary.
+    */
+  private def flushed(s: QuantileSummaries): QuantileSummaries =
+    if (s.compressed) s else s.compress()
+
+  private[ops] def toBytes(s: QuantileSummaries): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    try { oos.writeObject(flushed(s)); oos.flush() } finally oos.close()
+    bos.toByteArray
+  }
+
+  private[ops] def fromBytes(b: Array[Byte]): QuantileSummaries = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+  }
+
+  /** Query a (flushed) summary at each probability; empty input → NaNs so
+    * the output arity is stable for downstream schema contracts.
+    */
+  private def queryAll(s: QuantileSummaries, probs: Seq[Double]): Array[Double] = {
+    val f = flushed(s)
+    probs.map(p => f.query(p).getOrElse(Double.NaN)).toArray
+  }
+
+  /** Direct quantile estimates per group: one pass, rank error ≤ eps·n.
+    * Use when the sketch itself doesn't need to be stored.
+    */
+  class QuantileSketchQuery(eps: Double, probs: Seq[Double])
+      extends Aggregator[Double, QuantileSummaries, Array[Double]] {
+    override def zero: QuantileSummaries = zeroSummary(eps)
+    override def reduce(b: QuantileSummaries, v: Double): QuantileSummaries =
+      b.insert(v)
+    override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      flushed(a).merge(flushed(b))
+    override def finish(r: QuantileSummaries): Array[Double] = queryAll(r, probs)
+    override def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** The mergeable artifact: a group's quantile sketch as bytes. Store it
+    * (per day, per shard); [[QuantileSketchMergeQuery]] folds any set of
+    * stored sketches into combined quantiles WITHOUT rescanning the rows
+    * that built them — the shape that matters at 100 TB, where "p95 over
+    * the trailing 30 days" must not re-read 30 days of data.
+    */
+  class QuantileSketchBytes(eps: Double)
+      extends Aggregator[Double, QuantileSummaries, Array[Byte]] {
+    override def zero: QuantileSummaries = zeroSummary(eps)
+    override def reduce(b: QuantileSummaries, v: Double): QuantileSummaries =
+      b.insert(v)
+    override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      flushed(a).merge(flushed(b))
+    override def finish(r: QuantileSummaries): Array[Byte] = toBytes(r)
+    override def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  }
+
+  /** Fold serialized sketches and query the union. GK merge guarantee:
+    * rank error ≤ 2·eps·n over the merged population.
+    */
+  class QuantileSketchMergeQuery(eps: Double, probs: Seq[Double])
+      extends Aggregator[Array[Byte], QuantileSummaries, Array[Double]] {
+    override def zero: QuantileSummaries = zeroSummary(eps)
+    override def reduce(b: QuantileSummaries, bytes: Array[Byte]): QuantileSummaries =
+      flushed(b).merge(fromBytes(bytes))
+    override def merge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
+      flushed(a).merge(flushed(b))
+    override def finish(r: QuantileSummaries): Array[Double] = queryAll(r, probs)
+    override def bufferEncoder: Encoder[QuantileSummaries] =
+      Encoders.kryo[QuantileSummaries]
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+}

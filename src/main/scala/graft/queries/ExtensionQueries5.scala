@@ -282,20 +282,32 @@ object ExtensionQueries5 {
 
   /** q78: bloom-filter-accelerated semi join. The build side (high-value
     * order keys) is sketched into a driver-built [[BloomMightContain]]
-    * bloom filter (fixed 200k capacity / 1% fpp ≈ 240 KB — a bounded
-    * sketch, the repo's bounded-collect contract) and the probe side
-    * (lineitem) is pre-filtered AT THE SCAN by the codegen probe before
-    * the exact left-semi join removes the ~1% false positives. The final
-    * aggregate is therefore byte-identical to the plain semi join — which
-    * is exactly what the oracle runs. At 100 TB this is sideways
-    * information passing: the fact table's shuffle/broadcast input shrinks
-    * to the matching few percent before any join machinery runs.
+    * bloom filter (capacity derived from a cheap cached count, 1% fpp —
+    * a bounded sketch, the repo's bounded-collect contract; at 200k keys
+    * ≈ 240 KB) and the probe side (lineitem) is pre-filtered AT THE SCAN
+    * by the codegen probe before the exact left-semi join removes the ~1%
+    * false positives. The final aggregate is therefore byte-identical to
+    * the plain semi join — which is exactly what the oracle runs. At
+    * 100 TB this is sideways information passing: the fact table's
+    * shuffle/broadcast input shrinks to the matching few percent before
+    * any join machinery runs.
+    *
+    * The build side is scanned ONCE: [[CacheScope.scopedN]] keeps the
+    * filtered key frame cached across its three consumers (the capacity
+    * count, the bloom build, and the final query's broadcast build), then
+    * releases it. Deriving capacity from the count (instead of a fixed
+    * 200k) keeps the fpp honest at any scale factor — an undersized bloom
+    * silently degrades to a pass-through and the scan-side pruning
+    * evaporates.
     */
   def q78_bloom_semijoin(s: SparkSession, dir: String): DataFrame = {
-    val hi = Tables.orders(s, dir)
-      .filter(round(col("o_totalprice") * 100).cast("long") > HiOrderCents)
-      .select(col("o_orderkey"))
-    val bf = hi.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+    val hi = CacheScope.scopedN(
+      Tables.orders(s, dir)
+        .filter(round(col("o_totalprice") * 100).cast("long") > HiOrderCents)
+        .select(col("o_orderkey")),
+      actions = 3)
+    val nHi = hi.count()
+    val bf = hi.stat.bloomFilter("o_orderkey", math.max(nHi, 1024L), 0.01)
     val li = Tables.lineitem(s, dir)
     li.filter(BloomMightContain.mightContainLong(col("l_orderkey"), bf))
       .join(broadcast(hi), col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -22,15 +22,25 @@ class CacheHygieneSpec extends SparkSpecBase {
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
 
+  private def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   test("persisting builders release their caches after the consuming action") {
     spark.catalog.clearCache() // isolate from earlier suites in this JVM
-    val noopWrite = (df: org.apache.spark.sql.DataFrame) =>
-      df.write.format("noop").mode("overwrite").save()
     noopWrite(ScoringQueries.q11_anomaly_triage(spark, sf))
     noopWrite(ScoringQueries.q13_normalize_ctr_percent(spark, sf))
     noopWrite(ScoringQueries.q14_normalize_ctr_heuristic(spark, sf))
     noopWrite(RelationalQueries3.queries("q33_bround_ties")(spark, sf))
     noopWrite(ExtensionQueries.queries("q29_minhash_lsh_pairs")(spark, sf))
+    awaitNoCachedRdds()
+  }
+
+  test("scopedN(3) releases after the builder's count + bloom build + final action") {
+    // q78 consumes its cached build side three times: the capacity count and
+    // the bloom build run eagerly inside the builder, the broadcast build
+    // runs inside the final action — after which the cache must be gone
+    spark.catalog.clearCache()
+    noopWrite(graft.queries.ExtensionQueries5.queries("q78_bloom_semijoin")(spark, sf))
     awaitNoCachedRdds()
   }
 
