@@ -21,7 +21,7 @@ object SparkEntry {
     * rows-only check (reserved for non-SQL-expressible ops).
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ ScoringQueries.oracle ++ RelationalQueries2.oracle ++ RelationalQueries3.oracle ++ RelationalQueries4.oracle ++ RelationalQueries5.oracle ++ StreamingQueries.oracle ++ ExtensionQueries.oracle ++ ExtensionQueries2.oracle ++ ExtensionQueries3.oracle ++ ExtensionQueries4.oracle ++ ExtensionQueries5.oracle
+    RelationalQueries.oracle ++ ScoringQueries.oracle ++ RelationalQueries2.oracle ++ RelationalQueries3.oracle ++ RelationalQueries4.oracle ++ RelationalQueries5.oracle ++ StreamingQueries.oracle ++ ExtensionQueries.oracle ++ ExtensionQueries2.oracle ++ ExtensionQueries3.oracle ++ ExtensionQueries4.oracle ++ ExtensionQueries5.oracle ++ SketchQueries.oracle
 
   /** [[oracleSql]] with generated mirrors resolved for a specific sf dir
     * (q38/q70 centroid literals are per-trained-dir; see

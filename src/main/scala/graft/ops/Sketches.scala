@@ -117,4 +117,88 @@ object Sketches {
       Encoders.kryo[QuantileSummaries]
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
   }
+
+  /** Misra-Gries heavy hitters (capacity k): O(k) state per partial
+    * buffer regardless of input size — the frequent-token / hot-domain
+    * question answered with NO shuffle of the keys themselves, only the
+    * k-entry summaries (the summary-merge theorem of Agarwal et al.,
+    * "Mergeable Summaries", PODS'12: merged MG summaries keep the
+    * deterministic guarantee). Contract, any merge tree:
+    *   true_count - n/k  <=  reported  <=  true_count
+    * and every key with true_count > n/k survives in the summary.
+    *
+    * reduce is the textbook algorithm (hit: +1; room: insert; full:
+    * decrement-all — a miss costs O(k), amortized O(1) per decrement
+    * "paid for" by k prior arrivals). merge sums the two maps and, if
+    * over capacity, subtracts the (k+1)-th largest count from everyone
+    * (the mergeable-summaries offset trick) and drops the non-positive.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1L)
+        case None if b.size < k => b.updated(key, 1L)
+        case None =>
+          // decrement-all: the arriving key's own +1 cancels against the
+          // shared -1, so it simply isn't inserted
+          b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val offset = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        sum.view.mapValues(_ - offset).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** KMV ("k minimum values") distinct-set sketch: the k smallest
+    * 63-bit hashes of the set, kept sorted. Unlike HLL it supports SET
+    * ALGEBRA — union is merge-and-truncate, and an intersection ESTIMATE
+    * falls out of the union sketch (the fraction of its entries present
+    * in both inputs, Beyer et al. SIGMOD'07) — the "audience overlap"
+    * question at corpus scale without ever materializing either set.
+    * Estimator: |S| ≈ (k-1) · 2^63 / kth_smallest, RSE ≈ 1/sqrt(k-2).
+    * Deterministic: bottom-k of a hash SET is insertion-order-free.
+    *
+    * Inputs must already be non-negative hashes (xxhash64 & Long.MaxValue
+    * — 63-bit uniform); the aggregator only maintains the bottom-k.
+    * After warmup an arriving hash beats the current k-th with
+    * probability ~k/i, so the O(k) insertion is rare — amortized O(1).
+    */
+  class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      if (b.length >= k && h >= b(b.length - 1)) b
+      else {
+        val i = java.util.Arrays.binarySearch(b, h)
+        if (i >= 0) b // already present (sets: duplicates are one member)
+        else {
+          val at = -i - 1
+          val grown = new Array[Long](math.min(b.length + 1, k))
+          System.arraycopy(b, 0, grown, 0, at)
+          grown(at) = h
+          System.arraycopy(b, at, grown, at + 1,
+            math.min(b.length - at, grown.length - at - 1))
+          grown
+        }
+      }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val merged = new Array[Long](a.length + b.length)
+      System.arraycopy(a, 0, merged, 0, a.length)
+      System.arraycopy(b, 0, merged, a.length, b.length)
+      java.util.Arrays.sort(merged)
+      merged.distinct.take(k)
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
 }

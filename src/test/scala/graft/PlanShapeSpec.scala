@@ -122,4 +122,20 @@ class PlanShapeSpec extends SparkSpecBase {
       "semantic dedup must never pair across clusters")
     assert(p.contains("graft_l2sq"), "centroid assignment kernel missing")
   }
+
+  test("q84: rank<=k filter compiles to WindowGroupLimit (map-side per-group pruning)") {
+    val p = plan("q84_bottomk_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group sample must pre-prune to k rows per group before the shuffle — " +
+        "without WindowGroupLimit the window sorts the full table")
+  }
+
+  test("q83: heavy-hitter aggregation is partial (summaries merge, keys never shuffle raw)") {
+    val p = plan("q83_heavy_hitters")
+    // typed-aggregator partial mode: an ObjectHashAggregate/SortAggregate pair
+    // around the exchange — the per-partition MG summary IS the map-side output
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "MG aggregation should plan as a partial object aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -70,6 +70,58 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("q83: Misra-Gries finds exactly the hot keys, within the n/k undercount bound") {
+    val exact = SketchQueries.heavyHitterStream(spark, sf)
+      .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val floor = n / 64
+    val hot = exact.filter(_._2 > floor).keySet
+    val out = SketchQueries.q83_heavy_hitters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every key with true > n/k must be reported above the floor...
+    assert(hot.subsetOf(out.keySet), s"missing hot keys: ${hot -- out.keySet}")
+    // ...anything else reported is sub-threshold residue the floor filter
+    // should have removed unless its TRUE count brushes the floor
+    for ((k, est) <- out) {
+      val ex = exact(k)
+      assert(est <= ex, s"$k: MG must never overcount (est $est > exact $ex)")
+      assert(est >= ex - floor, s"$k: undercount beyond n/k (est $est, exact $ex, floor $floor)")
+    }
+    assert(hot.size == 5, s"fixture should have exactly 5 hot domains, got ${hot.size}")
+  }
+
+  test("q84: bottom-k sample is 10 rows per group and re-run identical") {
+    val a = SketchQueries.q84_bottomk_sample(spark, sf).collect().toSeq
+    val b = SketchQueries.q84_bottomk_sample(spark, sf).collect().toSeq
+    assert(a == b, "deterministic sample must be identical across runs")
+    val perGroup = a.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == 10), s"per-group sizes: $perGroup")
+    // ranks within each group are 1..10 ordered by the md5 sample key
+    for ((_, rows) <- a.groupBy(_.getString(0))) {
+      val keys = rows.sortBy(_.getInt(4)).map(_.getString(3))
+      assert(keys == keys.sorted, "sample_rank order must follow the hash order")
+    }
+  }
+
+  test("q85: KMV estimates of |A|, |B|, union, intersection within 10% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val sides = li.select(pmod(col("l_suppkey"), lit(2)).as("side"), col("l_partkey"))
+    val exA = sides.filter(col("side") === 0).select("l_partkey").distinct().count()
+    val exB = sides.filter(col("side") === 1).select("l_partkey").distinct().count()
+    val exU = sides.select("l_partkey").distinct().count()
+    val exI = exA + exB - exU
+    val r = SketchQueries.q85_set_overlap_sketch(spark, sf).head()
+    def within(est: Double, exact: Long, tol: Double, what: String): Unit =
+      assert(math.abs(est - exact) / exact <= tol,
+        f"$what: est $est%.0f vs exact $exact (${math.abs(est - exact) / exact * 100}%.1f%%)")
+    within(r.getAs[Double]("est_a"), exA, 0.10, "A")
+    within(r.getAs[Double]("est_b"), exB, 0.10, "B")
+    within(r.getAs[Double]("est_union"), exU, 0.10, "union")
+    // intersection compounds union + ratio noise: 15%
+    within(r.getAs[Double]("est_inter"), exI, 0.15, "intersection")
+  }
+
   test("quantile sketches merge across arbitrary shards without rescan") {
     // shard by orderkey (uncorrelated with price), store one sketch per
     // shard, fold the four stored sketches — never re-reading the rows
