@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.RangeJoin
+
+/** Round-5 widening batch. */
+object ExtensionQueries6 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q86
+
+  private val NsPerMin = 60L * 1000000000L
+  private val WindowNs = 30L * NsPerMin // incident window length
+  private val BucketNs = 30L * NsPerMin // bucket ≈ window length → ≤2 buckets/interval
+
+  /** q86: range (interval) join — every 200th event opens a 30-minute
+    * "incident window" and all events falling inside any window are
+    * rolled up per window. Executed via [[RangeJoin.bucketed]]: the
+    * interval side explodes to ≤2 time buckets, the probe side computes
+    * one bucket, and the match is a hash EQUI-join plus an exact BETWEEN
+    * post-filter — never the BroadcastNestedLoopJoin Spark would plan
+    * for a bare range predicate (PlanShapeSpec pins it). At 100 TB both
+    * sides shuffle (or the interval side broadcasts) on the bucket key
+    * like any equi-join; candidate pairs are bounded by per-bucket
+    * density, not |P|·|I|. Time math is exact integer ns (`div`),
+    * mirrored µs-side by the oracle (q77 contract).
+    */
+  def q86_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val windows = ev.filter(pmod(col("event_id"), lit(200)) === 0)
+      .select(col("event_id").as("window_id"),
+        col("ts").cast("long").as("ws"),
+        (col("ts").cast("long") + WindowNs).as("we"))
+    val points = ev.select(col("ts").cast("long").as("pt"),
+      col("user_id"), col("value"))
+    RangeJoin.bucketed(points, "pt", windows, "ws", "we", BucketNs)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("window_id"))
+  }
+
+  val q86Sql: String =
+    s"""WITH w AS (
+       |  SELECT event_id AS window_id, epoch_us(ts) * 1000 AS ws,
+       |    epoch_us(ts) * 1000 + $WindowNs AS we
+       |  FROM events WHERE event_id % 200 = 0
+       |)
+       |SELECT w.window_id, count(*) AS n_events,
+       |  count(DISTINCT e.user_id) AS n_users,
+       |  CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM w JOIN events e
+       |  ON epoch_us(e.ts) * 1000 BETWEEN w.ws AND w.we
+       |GROUP BY w.window_id ORDER BY w.window_id""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+
+  private val SampleStepCents = 50000000L // one pick per $500k of weight
+
+  /** q87: deterministic weighted systematic sampling — the exact-integer
+    * alternative to Efraimidis-Spirakis (whose ln/pow keys would hang the
+    * cross-engine contract on libm ulp agreement): rows are shuffled by
+    * an md5 rank, weights (price cents — exact longs) are cumulatively
+    * summed per group, and a row is picked whenever its weight span
+    * crosses a step boundary (`cum div step` changes) — i.e. every
+    * step-th unit of WEIGHT, not every k-th row, so selection
+    * probability ∝ weight, the mixture-sampling contract. All integer
+    * math → bit-reproducible anywhere, and a re-run picks the same rows
+    * (auditable training subsets). The cumsum window is per group — the
+    * production shape is many strata (sources × quality bands), so state
+    * per partition stays bounded; no global window exists here.
+    */
+  def q87_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    val h = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    val w = round(col("l_extendedprice") * 100).cast("long")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    // (the q13 note) — w_cents completes a total order up to fully
+    // identical rows, which are interchangeable under a cumsum
+    val win = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("shuffle_key"), col("l_orderkey"), col("l_linenumber"), col("w_cents"))
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        h.as("shuffle_key"), w.as("w_cents"))
+      .withColumn("cum", sum(col("w_cents")).over(win))
+      .filter(expr(s"((cum - w_cents) div ${SampleStepCents}L) != (cum div ${SampleStepCents}L)"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("w_cents"), col("cum"))
+      .orderBy(col("l_returnflag"), col("cum"))
+  }
+
+  val q87Sql: String =
+    s"""WITH t AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS shuffle_key,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w_cents
+       |  FROM lineitem
+       |), c AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber, w_cents,
+       |    SUM(w_cents) OVER (PARTITION BY l_returnflag
+       |      ORDER BY shuffle_key, l_orderkey, l_linenumber, w_cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT l_returnflag, l_orderkey, l_linenumber, w_cents, CAST(cum AS BIGINT) AS cum
+       |FROM c
+       |WHERE (cum - w_cents) // $SampleStepCents != cum // $SampleStepCents
+       |ORDER BY l_returnflag, cum""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88: content-checksum table diff (anti-entropy): both table versions
+    * fold to one 32-bit-digest SUM per key bucket, and only the 64-row
+    * checksum frames join — "which shard of the replica drifted" at
+    * 100 TB without moving either table. The row digest hashes the
+    * FP-safe canonical serialization (ints + cents-scaled money, the
+    * repo's cross-engine contract — raw doubles would hang bucket
+    * equality on float formatting); digests are 32-bit so a 2^31-row
+    * bucket sum still fits int64 in any engine. The drifted "replica" is
+    * synthesized from the same scan (q12 precedent): every orderkey
+    * divisible by 1000 ships one extra quantity unit.
+    */
+  def q88_table_checksum(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def digestOf(qty: org.apache.spark.sql.Column) = conv(substring(md5(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"), qty,
+          round(col("l_extendedprice") * 100).cast("long"), col("l_returnflag"))),
+      1, 8), 16, 10).cast("long")
+    def side(qty: org.apache.spark.sql.Column) =
+      li.groupBy(pmod(col("l_orderkey"), lit(64)).as("bucket"))
+        .agg(sum(digestOf(qty)).as("cksum"), count(lit(1)).as("n"))
+    val a = side(col("l_quantity").cast("long"))
+    val b = side(when(pmod(col("l_orderkey"), lit(1000)) === 0,
+      col("l_quantity").cast("long") + 1).otherwise(col("l_quantity").cast("long")))
+    a.select(col("bucket"), col("cksum").as("cksum_a"), col("n").as("n_a"))
+      .join(b.select(col("bucket"), col("cksum").as("cksum_b"), col("n").as("n_b")),
+        Seq("bucket"))
+      .withColumn("drifted", (col("cksum_a") =!= col("cksum_b")).cast("int"))
+      .orderBy(col("bucket"))
+  }
+
+  val q88Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey % 64 AS bucket,
+      |    CAST(SUM(('0x' || substr(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+      |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+      |      CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |      l_returnflag), 1, 8))::BIGINT) AS BIGINT) AS cksum_a,
+      |    count(*) AS n_a
+      |  FROM lineitem GROUP BY 1
+      |), b AS (
+      |  SELECT l_orderkey % 64 AS bucket,
+      |    CAST(SUM(('0x' || substr(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+      |      CAST(CAST(l_quantity AS BIGINT) + (CASE WHEN l_orderkey % 1000 = 0 THEN 1 ELSE 0 END) AS VARCHAR) || '|' ||
+      |      CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |      l_returnflag), 1, 8))::BIGINT) AS BIGINT) AS cksum_b,
+      |    count(*) AS n_b
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT a.bucket, cksum_a, n_a, cksum_b, n_b,
+      |  CAST(cksum_a != cksum_b AS INT) AS drifted
+      |FROM a JOIN b ON a.bucket = b.bucket
+      |ORDER BY a.bucket""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q86_range_join" -> (q86_range_join _),
+    "q87_weighted_sample" -> (q87_weighted_sample _),
+    "q88_table_checksum" -> (q88_table_checksum _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q86_range_join" -> q86Sql,
+    "q87_weighted_sample" -> q87Sql,
+    "q88_table_checksum" -> q88Sql
+  )
+}

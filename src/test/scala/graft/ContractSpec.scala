@@ -20,7 +20,16 @@ class ContractSpec extends SparkSpecBase {
     "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet),
     "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet),
     "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet),
-    "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet))
+    "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet),
+    "sketch" -> (SketchQueries.queries.keySet, SketchQueries.oracle.keySet),
+    "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet))
+
+  /** The sketch-tier queries whose ESTIMATES cannot hash-match another
+    * engine's sketch — rows-only by design, bounds pinned in SketchSpec.
+    */
+  private val sketchOnly =
+    Set("q81_hll_distinct", "q82_quantile_sketch", "q83_heavy_hitters",
+      "q85_set_overlap_sketch")
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -37,12 +46,12 @@ class ContractSpec extends SparkSpecBase {
     // exist only after a query has trained the dir's model (Verify's order
     // guarantees that in the driver gate). Everything else always carries
     // its DuckDB oracle.
-    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf", "q70_semdedup")),
+    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf", "q70_semdedup") ++ sketchOnly),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
-    assert(SparkEntry.oracleSql.keySet == qs,
+    assert(SparkEntry.oracleSql.keySet == qs -- sketchOnly,
       "generated oracles missing after training (Verify would dump an incomplete map)")
-    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
+    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs -- sketchOnly)
   }
 
   test("entry (driver smoke) returns rows at sf0.001") {

@@ -130,6 +130,14 @@ class PlanShapeSpec extends SparkSpecBase {
         "without WindowGroupLimit the window sorts the full table")
   }
 
+  test("q86: range join compiles to a hash equi-join on the bucket, never BNLJ") {
+    val p = plan("q86_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a bare range predicate degrades to BNLJ — the bucketed rewrite must equi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "bucket equi-join missing")
+  }
+
   test("q83: heavy-hitter aggregation is partial (summaries merge, keys never shuffle raw)") {
     val p = plan("q83_heavy_hitters")
     // typed-aggregator partial mode: an ObjectHashAggregate/SortAggregate pair

@@ -56,6 +56,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty && batch.sameElements(stream))
   }
 
+  test("windowed HLL distinct-user sketch: streaming == batch EXACTLY (register merge is order-free)") {
+    // the sketch tier composes with streaming for free: hll_sketch_agg is
+    // a mergeable aggregate, so per-window sketches accumulate across
+    // micro-batches like any partial agg — and because HLL registers are
+    // max-merged, the stream arrival order cannot change the estimate:
+    // equality here is exact, not approximate
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      df.select(timestamp_seconds(col("ts").cast("double") / 1e9).as("t"), col("user_id"))
+        .groupBy(window(col("t"), "1 day"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_users"))
+        .select(col("window.start").as("ws"), col("est_users"))
+    val batch = xform(batchEvents).collect().map(_.toString).sorted
+    val stream = StreamOps.runToMemory(spark, srcDir, "hll_win_out",
+      xform, "complete").collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream))
+  }
+
   test("streaming dedup == batch keep-earliest dedup") {
     val stream = StreamOps.runToMemory(spark, srcDir, "dedup_out",
       df => StreamOps.dedupStream(df, "1 hour"), "append")
