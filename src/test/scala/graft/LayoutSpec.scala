@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** The layout operator's contract is observable on disk: range
+  * clustering must produce files whose key ranges are pairwise disjoint
+  * (a point predicate touches one file), and the parquet footer stats of
+  * a clustered write must let the reader skip row groups a shuffled
+  * write cannot.
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  test("clusteredWrite: per-file key ranges are pairwise disjoint and cover all rows") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    Layout.clusteredWrite(li, dir, 8, "l_orderkey")
+    val ranges = Layout.fileRanges(spark, dir, "l_orderkey")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    assert(ranges.map(_._3).sum == li.count())
+    for (Seq((_, hiA, _), (loB, _, _)) <- ranges.toSeq.sliding(2))
+      assert(hiA <= loB, s"overlapping file ranges: hi $hiA > next lo $loB")
+  }
+
+  test("a point predicate on the cluster key reads one file's rows, not the table") {
+    val dir = Files.createTempDirectory("graft_layout2").toString + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    Layout.clusteredWrite(li, dir, 8, "l_orderkey")
+    val key = li.agg(max("l_orderkey")).head().getLong(0) / 2
+    // file-level pruning is observable through input_file_name: the rows
+    // matching a point predicate all come from a single file
+    val files = spark.read.parquet(dir).filter(col("l_orderkey") === key)
+      .select(input_file_name()).distinct().count()
+    assert(files <= 1, s"point predicate touched $files files")
+  }
+
+  test("multi-column clustering orders within files by the full key") {
+    val dir = Files.createTempDirectory("graft_layout3").toString + "/li"
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    Layout.clusteredWrite(li, dir, 4, "l_returnflag", "l_orderkey")
+    // within every file, (flag, orderkey) must be non-decreasing
+    val viol = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_returnflag"), col("l_orderkey"),
+        monotonically_increasing_id().as("pos"))
+      .withColumn("prev_flag", lag("l_returnflag", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy("pos")))
+      .withColumn("prev_key", lag("l_orderkey", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy("pos")))
+      .filter(col("prev_flag").isNotNull &&
+        (col("prev_flag") > col("l_returnflag") ||
+          (col("prev_flag") === col("l_returnflag") && col("prev_key") > col("l_orderkey"))))
+      .count()
+    assert(viol == 0, s"$viol out-of-order row pairs inside clustered files")
+  }
+}
