@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // tier-(c) optimizer rule: auto-rewrite bare long-range joins to the
+    // bucketed equi-join (inert until spark.graft.rangeJoin.bucketWidth
+    // is set — see RangeJoinRewrite's eligibility notes)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectFunction((FunctionIdentifier("graft_url_normalize"),
       info(classOf[UrlNormalize], "graft_url_normalize"),
       UrlNormalize.builder))
