@@ -21,7 +21,9 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q06_spine_join3", "q07_rank_topk",
         "q26_jaccard_pairs", "q30_cosine_topk", "q48_decontaminate",
         "q50_vocab", "q54_token_packing", "q58_mixture_sample",
-        "q59_tfidf_topk", "q61_quantile_bins")
+        "q59_tfidf_topk", "q61_quantile_bins", "q74_pagerank",
+        "q83_heavy_hitters", "q84_bottomk_sample", "q86_range_join",
+        "q88_table_checksum")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
