@@ -158,6 +158,46 @@ object StreamOps {
       }
   }
 
+  final case class BucketDistinct(bucket: Long, est_users: Double, sketch_size: Int)
+
+  /** Running distinct-count per key across micro-batches with BOUNDED
+    * state: the keyed state is a KMV bottom-k hash sketch
+    * ([[graft.ops.Sketches.KmvSketch]]'s reduce is a pure function, so
+    * the exact same fold runs here and in the batch aggregator), never
+    * the seen-key set itself. The streaming-native answer to "distinct
+    * users per shard, forever" — exact distinct state grows with the key
+    * universe and eventually evicts or OOMs; sketch state is ≤k longs
+    * per group no matter how much history has streamed past. Because
+    * bottom-k of a set is arrival-order-free, the running estimate after
+    * N batches equals the batch estimate over the same rows EXACTLY
+    * (pinned in StreamingSpec). Emits the current estimate per group per
+    * micro-batch (Update mode); estimates are exact below k distincts
+    * and (k−1)·2⁶³/kth above.
+    */
+  def runningDistinctSketch(events: DataFrame, buckets: Int = 8,
+      k: Int = 256): Dataset[BucketDistinct] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kmv = new graft.ops.Sketches.KmvSketch(k)
+    events
+      .select(pmod(col("user_id"), lit(buckets.toLong)).as("bucket"),
+        xxhash64(col("user_id")).bitwiseAND(lit(Long.MaxValue)).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], BucketDistinct](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
+          val sk = rows.foldLeft(state.getOption.getOrElse(Array.emptyLongArray)) {
+            (s, r) => kmv.reduce(s, r._2)
+          }
+          state.update(sk)
+          val est =
+            if (sk.length < k) sk.length.toDouble
+            else (k - 1).toDouble * 9.223372036854776e18 / sk(k - 1).toDouble
+          Iterator.single(BucketDistinct(bucket, est, sk.length))
+      }
+  }
+
   /** Run a streaming transform over a parquet directory to completion via
     * the memory sink; returns the materialized result table.
     */

@@ -56,6 +56,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty && batch.sameElements(stream))
   }
 
+  test("running KMV distinct state across micro-batches == batch sketch EXACTLY, state stays <= k") {
+    // 3-file source → 3 real micro-batches; keyed state is the bottom-k
+    // sketch, so the FINAL per-bucket estimate must equal a single batch
+    // fold over the same rows (bottom-k of a set is order-free), and the
+    // stored state never exceeds k longs per bucket regardless of history
+    val multi = Files.createTempDirectory("graft_stream_kmv")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count()
+    e.limit((n / 3).toInt).write.parquet(multi.resolve("p1").toString)
+    e.orderBy("event_id").offset((n / 3).toInt).limit((n / 3).toInt)
+      .write.parquet(multi.resolve("p2").toString)
+    e.orderBy("event_id").offset(2 * (n / 3).toInt)
+      .write.parquet(multi.resolve("p3").toString)
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (p <- Seq("p1", "p2", "p3")) {
+      import scala.jdk.CollectionConverters._
+      Files.list(multi.resolve(p)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val k = 64 // below the 1500-user universe so the estimator path runs
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.runningDistinctSketch(stream, buckets = 4, k = k)
+      .writeStream.format("memory").queryName("kmv_running")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emission per bucket (update mode appends one row per bucket per batch)
+    val w = Window.partitionBy("bucket")
+      .orderBy(monotonically_increasing_id().desc)
+    val finalRows = spark.table("kmv_running")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("est_users"), r.getAs[Int]("sketch_size"))).toMap
+    val batch = StreamOps.runningDistinctSketch(batchEvents, buckets = 4, k = k)
+      .collect().map(r => r.bucket -> (r.est_users, r.sketch_size)).toMap
+    assert(finalRows == batch,
+      s"running sketch diverged from batch fold:\n$finalRows\nvs\n$batch")
+    assert(finalRows.values.forall(_._2 <= k), "state exceeded the k-long bound")
+    // and the estimate is actually close to the exact distinct count
+    val exact = batchEvents.groupBy(pmod(col("user_id"), lit(4L)).as("b"))
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((b, (est, _)) <- finalRows) {
+      val ex = exact(b)
+      assert(math.abs(est - ex) / ex <= 0.40,
+        s"bucket $b: est $est vs exact $ex (k=$k → RSE ~13%, 40% ≈ 3σ)")
+    }
+  }
+
   test("windowed HLL distinct-user sketch: streaming == batch EXACTLY (register merge is order-free)") {
     // the sketch tier composes with streaming for free: hll_sketch_agg is
     // a mergeable aggregate, so per-window sketches accumulate across
