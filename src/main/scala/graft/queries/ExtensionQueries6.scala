@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{CacheScope, Tables}
 import graft.ops.RangeJoin
 
 /** Round-5 widening batch. */
@@ -13,6 +13,7 @@ object ExtensionQueries6 {
   // ---------------------------------------------------------------- q86
 
   private val NsPerMin = 60L * 1000000000L
+  private val NsPerDay = 86400L * 1000000000L
   private val WindowNs = 30L * NsPerMin // incident window length
   private val BucketNs = 30L * NsPerMin // bucket ≈ window length → ≤2 buckets/interval
 
@@ -168,15 +169,113 @@ object ExtensionQueries6 {
       |FROM a JOIN b ON a.bucket = b.bucket
       |ORDER BY a.bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+
+  /** q89: declarative data-quality constraint audit (the Deequ-style
+    * gate a pipeline runs before promoting a batch): every row-local
+    * constraint folds into ONE scan — a single aggregate projection of
+    * conditional counts — and the one cross-table constraint
+    * (referential integrity of l_partkey) is a left-anti join against
+    * the key dimension, counted. Output is a single verdict row: each
+    * violation count plus an overall pass flag. At 100 TB the audit
+    * costs exactly one fact scan + one key-join; adding another dozen
+    * row-local constraints costs zero additional passes.
+    */
+  def q89_quality_constraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val orphan = li.join(Tables.part(s, dir),
+        li("l_partkey") === col("p_partkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_partkeys"))
+    val rowLocal = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey").isNull.cast("long")).as("null_orderkey"),
+      sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long"))
+        .as("qty_out_of_range"),
+      sum((col("l_extendedprice") <= 0).cast("long")).as("nonpos_price"),
+      sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))
+        .as("bad_returnflag"))
+    rowLocal.crossJoin(orphan) // 1×1: two verdict fragments
+      .withColumn("passed",
+        (col("null_orderkey") === 0 && col("qty_out_of_range") === 0 &&
+          col("nonpos_price") === 0 && col("bad_returnflag") === 0 &&
+          col("orphan_partkeys") === 0).cast("int"))
+  }
+
+  val q89Sql: String =
+    """WITH rl AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+      |    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+      |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag
+      |  FROM lineitem
+      |), o AS (
+      |  SELECT count(*) AS orphan_partkeys FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      |)
+      |SELECT n_rows, null_orderkey, qty_out_of_range, nonpos_price,
+      |  bad_returnflag, orphan_partkeys,
+      |  CAST(null_orderkey = 0 AND qty_out_of_range = 0 AND nonpos_price = 0
+      |    AND bad_returnflag = 0 AND orphan_partkeys = 0 AS INT) AS passed
+      |FROM rl, o""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+
+  /** q90: robust time-series outlier days via median/MAD (the
+    * 3-sigma-equivalent that a few bad days cannot poison, unlike
+    * mean/stddev): daily revenue totals in exact cents, the exact
+    * interpolated median of those totals, the median absolute deviation
+    * around it, and a flag for days beyond 3·MAD·1.4826 (the normal
+    * consistency constant). Shape: one shuffle to days (~30 rows at any
+    * corpus size — day count doesn't grow with data volume), then two
+    * 1-row median aggregates broadcast back over the tiny day frame.
+    * All the FP that crosses engines is the same IEEE ops on the same
+    * exact-long inputs (avg of two longs, abs, one multiply) — q08's
+    * pinned interpolated-median contract.
+    */
+  def q90_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = CacheScope.scoped(
+      Tables.events(s, dir)
+        .groupBy(expr(s"ts div $NsPerDay").as("day_idx"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("day_cents")))
+    val med = daily.agg(percentile(col("day_cents"), lit(0.5)).as("med"))
+    val withMed = daily.crossJoin(med) // med is 1 row
+    val mad = withMed
+      .agg(percentile(abs(col("day_cents") - col("med")), lit(0.5)).as("mad"))
+    withMed.crossJoin(mad) // 1 row again
+      .select(col("day_idx"), col("day_cents"), col("med"), col("mad"),
+        (abs(col("day_cents") - col("med")) > col("mad") * lit(3 * 1.4826))
+          .cast("int").as("is_outlier"))
+      .orderBy(col("day_idx"))
+  }
+
+  val q90Sql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+       |  FROM events GROUP BY 1
+       |), m AS (
+       |  SELECT quantile_cont(day_cents, 0.5) AS med FROM daily
+       |), d AS (
+       |  SELECT quantile_cont(abs(day_cents - med), 0.5) AS mad FROM daily, m
+       |)
+       |SELECT day_idx, day_cents, med, mad,
+       |  CAST(abs(day_cents - med) > mad * ${3 * 1.4826} AS INT) AS is_outlier
+       |FROM daily, m, d ORDER BY day_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q86_range_join" -> (q86_range_join _),
     "q87_weighted_sample" -> (q87_weighted_sample _),
-    "q88_table_checksum" -> (q88_table_checksum _)
+    "q88_table_checksum" -> (q88_table_checksum _),
+    "q89_quality_constraints" -> (q89_quality_constraints _),
+    "q90_mad_outliers" -> (q90_mad_outliers _)
   )
 
   val oracle: Map[String, String] = Map(
     "q86_range_join" -> q86Sql,
     "q87_weighted_sample" -> q87Sql,
-    "q88_table_checksum" -> q88Sql
+    "q88_table_checksum" -> q88Sql,
+    "q89_quality_constraints" -> q89Sql,
+    "q90_mad_outliers" -> q90Sql
   )
 }

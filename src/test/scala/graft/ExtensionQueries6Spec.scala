@@ -35,6 +35,31 @@ class ExtensionQueries6Spec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("q89: one-row verdict; clean synthetic data passes every constraint") {
+    val r = ExtensionQueries6.q89_quality_constraints(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
+    assert(row.getAs[Int]("passed") == 1,
+      s"driver testdata should satisfy all constraints: $row")
+  }
+
+  test("q90: outlier flags match a driver-side median/MAD recomputation") {
+    val rows = ExtensionQueries6.q90_mad_outliers(spark, sf).collect()
+    val cents = rows.map(_.getAs[Long]("day_cents").toDouble).sorted
+    def medOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    val med = medOf(cents)
+    val mad = medOf(rows.map(r => math.abs(r.getAs[Long]("day_cents") - med)).sorted)
+    for (r <- rows) {
+      val expect = if (math.abs(r.getAs[Long]("day_cents") - med) > mad * 3 * 1.4826) 1 else 0
+      assert(r.getAs[Int]("is_outlier") == expect,
+        s"day ${r.getAs[Long]("day_idx")}: flag ${r.getAs[Int]("is_outlier")} != $expect")
+    }
+  }
+
   test("q88: drift localizes to exactly the buckets containing perturbed keys") {
     val li = Tables.lineitem(spark, sf)
     val perturbedBuckets = li.filter(pmod(col("l_orderkey"), lit(1000)) === 0)
