@@ -263,12 +263,77 @@ object ExtensionQueries6 {
        |  CAST(abs(day_cents - med) > mad * ${3 * 1.4826} AS INT) AS is_outlier
        |FROM daily, m, d ORDER BY day_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+
+  /** q91: gap-free sequential row ids over the part table in md5-shuffle
+    * order (embedding-matrix row indices for a feature pipeline) via
+    * [[graft.ops.DenseIds.withDenseId]] — the two-phase
+    * range-partition + offset pattern, NEVER the single-reducer global
+    * window the oracle spells (`row_number() OVER (ORDER BY ...)`): the
+    * ids are identical because a row's position in the total order does
+    * not depend on where the range cuts fell. PlanShapeSpec pins that no
+    * partition-less Window appears in the plan.
+    */
+  def q91_dense_ids(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey"), md5(col("p_partkey").cast("string")).as("shuffle_key"))
+    graft.ops.DenseIds
+      .withDenseId(p, "dense_id", 16, col("shuffle_key"), col("p_partkey"))
+      .select(col("p_partkey"), col("shuffle_key"), col("dense_id"))
+      .orderBy(col("dense_id"))
+  }
+
+  val q91Sql: String =
+    """SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS shuffle_key,
+      |  row_number() OVER (ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey)
+      |    - 1 AS dense_id
+      |FROM part ORDER BY dense_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+
+  private val Q92CutoffDays = 20L // "history" = days 0..19, "delta" = the rest
+
+  /** q92: incremental rollup maintenance — the daily-batch contract at
+    * 100 TB: yesterday's per-user aggregate (rows, cents) plus TODAY'S
+    * DELTA ROWS produce today's aggregate by a full-outer merge of two
+    * aggregates, never a rescan of history. Every aggregate here is
+    * mergeable by construction (sums of longs), which is the property
+    * that makes the maintenance exact — the merged result is proven
+    * byte-identical to the full recompute, which is exactly what the
+    * oracle runs. History/delta are carved from the same events scan by
+    * a day cutoff; in production the history side is yesterday's stored
+    * 1-row-per-key parquet, so the daily cost is |delta| + |keys|.
+    */
+  def q92_incremental_rollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts div $NsPerDay").as("day_idx"),
+        round(col("value") * 100).cast("long").as("vc"))
+    def rollup(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("cents"))
+    val history = rollup(ev.filter(col("day_idx") < Q92CutoffDays))
+      .withColumnsRenamed(Map("n" -> "hn", "cents" -> "hc"))
+    val delta = rollup(ev.filter(col("day_idx") >= Q92CutoffDays))
+      .withColumnsRenamed(Map("n" -> "dn", "cents" -> "dc"))
+    history.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("hn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("hc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q92Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q86_range_join" -> (q86_range_join _),
     "q87_weighted_sample" -> (q87_weighted_sample _),
     "q88_table_checksum" -> (q88_table_checksum _),
     "q89_quality_constraints" -> (q89_quality_constraints _),
-    "q90_mad_outliers" -> (q90_mad_outliers _)
+    "q90_mad_outliers" -> (q90_mad_outliers _),
+    "q91_dense_ids" -> (q91_dense_ids _),
+    "q92_incremental_rollup" -> (q92_incremental_rollup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -276,6 +341,8 @@ object ExtensionQueries6 {
     "q87_weighted_sample" -> q87Sql,
     "q88_table_checksum" -> q88Sql,
     "q89_quality_constraints" -> q89Sql,
-    "q90_mad_outliers" -> q90Sql
+    "q90_mad_outliers" -> q90Sql,
+    "q91_dense_ids" -> q91Sql,
+    "q92_incremental_rollup" -> q92Sql
   )
 }

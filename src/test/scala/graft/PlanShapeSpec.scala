@@ -138,6 +138,16 @@ class PlanShapeSpec extends SparkSpecBase {
       p.contains("SortMergeJoin"), "bucket equi-join missing")
   }
 
+  test("q91: dense ids number within range partitions — never a partition-less global window") {
+    val p = plan("q91_dense_ids")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "the row_number window must be partitioned by the range-partition id")
+    // a global `row_number() OVER (ORDER BY ...)` would show an empty
+    // partition spec: windowspecdefinition(<order> ...) with no __pid
+    assert(!p.matches("(?s).*windowspecdefinition\\(shuffle_key.*"),
+      "found a window ordered globally without the partition key")
+  }
+
   test("q83: heavy-hitter aggregation is partial (summaries merge, keys never shuffle raw)") {
     val p = plan("q83_heavy_hitters")
     // typed-aggregator partial mode: an ObjectHashAggregate/SortAggregate pair
