@@ -33,6 +33,17 @@ object IvfIndex {
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L, maxTrain: Int = 10000, iters: Int = 10): Model = {
+    val pts = sampleVectors(emb, idCol, vecCol, maxTrain, seed, minNeeded = nlist)
+    Model(kmeansLocal(pts, nlist, iters))
+  }
+
+  /** The deterministic training draw, shared with [[PqIndex]]: hash-sampled
+    * (order- and partition-layout-independent, unlike `limit`), id-sorted so
+    * init and iteration order are reproducible anywhere, bounded by
+    * `maxTrain` exactly (deterministic id-sorted prefix).
+    */
+  private[ext] def sampleVectors(emb: DataFrame, idCol: String, vecCol: String,
+      maxTrain: Int, seed: Long, minNeeded: Int): Array[Array[Double]] = {
     val n = emb.count()
     def collectSample(step: Long): Array[(Long, Array[Double])] = {
       val sampled =
@@ -47,39 +58,47 @@ object IvfIndex {
     }
     val step = if (n <= maxTrain) 1L else (n + maxTrain - 1) / maxTrain
     var rows = collectSample(step)
-    // the hash draw is binomial around n/step: enforce the documented upper
-    // bound exactly (deterministic id-sorted prefix), and on a pathological
+    // the hash draw is binomial around n/step: on a pathological
     // undershoot retry once with a denser stride before giving up
-    if (rows.length < nlist && step > 1) rows = collectSample(math.max(1L, step / 8))
-    require(rows.length >= nlist, s"sample ${rows.length} smaller than nlist $nlist")
-    val pts = rows.take(maxTrain).map(_._2)
-    val dim = pts.head.length
+    if (rows.length < minNeeded && step > 1) rows = collectSample(math.max(1L, step / 8))
+    require(rows.length >= minNeeded, s"sample ${rows.length} smaller than $minNeeded")
+    rows.take(maxTrain).map(_._2)
+  }
 
+  /** Driver-local Lloyd's, fully deterministic (shared with [[PqIndex]]):
+    * init = evenly spaced rows of the id-sorted sample (ids are
+    * hash-spread, so this is an unbiased deterministic draw); strict-<
+    * argmin → lowest index wins ties; empty clusters restart at the
+    * points FARTHEST from their assigned centroids — each empty cluster
+    * takes the next point of the farthest-first order (distance desc,
+    * index asc), so simultaneous empties never collapse onto one
+    * duplicate centroid.
+    */
+  private[ext] def kmeansLocal(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
     def distSq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-
-    // init: evenly spaced rows of the id-sorted sample (ids are hash-spread,
-    // so this is an unbiased deterministic draw)
-    var centroids = Array.tabulate(nlist)(c => pts((c.toLong * pts.length / nlist).toInt).clone())
+    var centroids = Array.tabulate(k)(c => pts((c.toLong * pts.length / k).toInt).clone())
     val assign = new Array[Int](pts.length)
     var it = 0
     while (it < iters) {
       var p = 0
       while (p < pts.length) {
         var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < nlist) {
+        while (c < k) {
           val d = distSq(pts(p), centroids(c))
-          if (d < bestD) { bestD = d; best = c } // strict < → lowest index wins ties
+          if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         assign(p) = best
         p += 1
       }
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
       p = 0
       while (p < pts.length) {
         val c = assign(p); counts(c) += 1
@@ -87,19 +106,15 @@ object IvfIndex {
         while (i < dim) { sums(c)(i) += pts(p)(i); i += 1 }
         p += 1
       }
-      // empty lists restart at the points FARTHEST from their assigned
-      // centroids — each empty cluster takes the next point of the
-      // farthest-first order (deterministic: distance desc, index asc), so
-      // simultaneous empties never collapse onto one duplicate centroid
       lazy val farthestOrder: Iterator[Int] = pts.indices
         .sortBy(q => (-distSq(pts(q), centroids(assign(q))), q)).iterator
-      centroids = Array.tabulate(nlist) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) > 0) { val a = sums(c); var i = 0; while (i < dim) { a(i) /= counts(c); i += 1 }; a }
         else pts(farthestOrder.next()).clone()
       }
       it += 1
     }
-    Model(centroids)
+    centroids
   }
 
   /** Squared-L2 distance of a double-array column to a centroid literal.

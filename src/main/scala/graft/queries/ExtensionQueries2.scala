@@ -108,7 +108,7 @@ object ExtensionQueries2 {
     */
   def q38SqlFor(model: IvfIndex.Model): String = {
     val cents = model.centroids.zipWithIndex
-      .map { case (c, i) => s"($i, " + c.mkString("CAST([", ", ", "] AS DOUBLE[]))") }
+      .map { case (c, i) => s"($i, " + c.map(ExtensionQueries6.dLit).mkString("CAST([", ", ", "] AS DOUBLE[]))") }
       .mkString(",\n  ")
     def fold(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -186,7 +186,7 @@ object ExtensionQueries2 {
     */
   def q70SqlFor(model: IvfIndex.Model): String = {
     val cents = model.centroids.zipWithIndex
-      .map { case (c, i) => s"($i, " + c.mkString("CAST([", ", ", "] AS DOUBLE[]))") }
+      .map { case (c, i) => s"($i, " + c.map(ExtensionQueries6.dLit).mkString("CAST([", ", ", "] AS DOUBLE[]))") }
       .mkString(",\n  ")
     def fold(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +

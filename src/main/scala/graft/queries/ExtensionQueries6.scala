@@ -326,6 +326,126 @@ object ExtensionQueries6 {
       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+
+  /** Memoized models per sf dir (the ExtensionQueries2 pattern): one
+    * deterministic training run each; the q93 oracle mirror embeds
+    * exactly these literals, generated AFTER the query has trained
+    * (Verify dumps oracle_sql.json last).
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.IvfIndex.Model]()
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ext.PqIndex.Model]()
+
+  private def ivfModel(s: SparkSession, dir: String): graft.ext.IvfIndex.Model =
+    ivfCache.computeIfAbsent(dir, d =>
+      graft.ext.IvfIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16))
+
+  private def pqModel(s: SparkSession, dir: String): graft.ext.PqIndex.Model =
+    pqCache.computeIfAbsent(dir, d =>
+      graft.ext.PqIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", m = 16))
+
+  /** q93: IVF-PQ approximate top-k with exact rerank — the
+    * compressed-index completion of the ANN suite (q30 brute, q31 LSH,
+    * q38 IVF): IVF lists bound the candidate set, each candidate is
+    * priced by its 16 PQ codes via the probe's lookup tables instead of
+    * a 64-dim dot product, and the per-probe ADC shortlist is re-scored
+    * with exact L2 (FAISS IndexRefine) — raw vectors are fetched by id
+    * only for the 25-per-probe shortlist. Training is deterministic end
+    * to end, so the DuckDB mirror replays list assignment, per-subspace
+    * encoding, the ADC fold, and the rerank bit-exactly ([[q93SqlFor]]);
+    * recall quality (0.49 measured at sf0.01 vs brute-force L2) is
+    * pinned separately in SimilaritySpec.
+    */
+  def q93_ann_ivfpq(s: SparkSession, dir: String): DataFrame =
+    graft.ext.PqIndex.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, 5, ivfModel(s, dir), nprobe = 4, pqModel(s, dir))
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("l2_dist"))
+      .orderBy(col("probe_id"), col("rank"))
+
+  /** DuckDB mirror for the trained models: IVF centroids and PQ
+    * codebooks ride as literals; encoding = per-(cand, subspace) argmin
+    * (`row_number ORDER BY dist, ki` ≡ the sort-of-structs argmin); ADC
+    * = an ORDER-BY-mi pinned list fold, matching Spark's left-to-right
+    * subspace sum.
+    */
+  /** Double literal that DuckDB parses as DOUBLE, not DECIMAL: inside a
+    * list literal, bare decimals unify to a common DECIMAL whose max
+    * scale can push the scaled integer past 2^53 — the DECIMAL→DOUBLE
+    * conversion then lands 1 ulp off the correctly-rounded string parse
+    * (observed: `[-0.03899483997374773, …17-digit peers…]` shifts that
+    * component). An exponent suffix types the literal DOUBLE at the
+    * parser, where the conversion IS correctly rounded.
+    */
+  private[queries] def dLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  def q93SqlFor(ivf: graft.ext.IvfIndex.Model, pq: graft.ext.PqIndex.Model): String = {
+    val cents = ivf.centroids.zipWithIndex
+      .map { case (c, i) => s"($i, " + c.map(dLit).mkString("CAST([", ", ", "] AS DOUBLE[]))") }
+      .mkString(",\n  ")
+    val books = (for { mi <- 0 until pq.m; ki <- 0 until pq.ksub } yield
+      s"($mi, $ki, " + pq.codebooks(mi)(ki).map(dLit).mkString("CAST([", ", ", "] AS DOUBLE[]))"))
+      .mkString(",\n  ")
+    val sd = pq.subDim
+    def centDist(v: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($v)+1), dq_i -> ($v[dq_i] - cv[dq_i]) * ($v[dq_i] - cv[dq_i]))), " +
+        s"(dq_x, dq_y) -> dq_x + dq_y)"
+    def subDist(v: String, miExpr: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, $sd + 1), pq_j -> " +
+        s"($v[$miExpr * $sd + pq_j] - bv[pq_j]) * ($v[$miExpr * $sd + pq_j] - bv[pq_j]))), " +
+        s"(pq_x, pq_y) -> pq_x + pq_y)"
+    s"""WITH cent(ci, cv) AS (VALUES
+       |  $cents),
+       |book(mi, ki, bv) AS (VALUES
+       |  $books),
+       |c AS (SELECT vec_id AS cand_id, list_transform(range(1, len(embedding)+1),
+       |  cv_i -> CAST(embedding[cv_i] AS DOUBLE)) AS cvec FROM embeddings),
+       |ca AS (SELECT cand_id, ci AS list FROM (
+       |  SELECT cand_id, ci,
+       |    row_number() OVER (PARTITION BY cand_id ORDER BY ${centDist("cvec")}, ci) AS rn
+       |  FROM c CROSS JOIN cent) WHERE rn = 1),
+       |codes AS (SELECT cand_id, mi, ki AS code FROM (
+       |  SELECT cand_id, b.mi, b.ki,
+       |    row_number() OVER (PARTITION BY cand_id, b.mi
+       |      ORDER BY ${subDist("cvec", "b.mi")}, b.ki) AS rn
+       |  FROM c CROSS JOIN book b) WHERE rn = 1),
+       |p AS (SELECT cand_id AS probe_id, cvec AS pvec FROM c WHERE cand_id < 20),
+       |pl AS (SELECT probe_id, pvec, ci AS list FROM (
+       |  SELECT probe_id, pvec, ci,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY ${centDist("pvec")}, ci) AS rn
+       |  FROM p CROSS JOIN cent) WHERE rn <= 4),
+       |dm AS (SELECT probe_id, cand_id, cd.mi,
+       |    ${subDist("pvec", "cd.mi")} AS d
+       |  FROM pl JOIN ca USING (list)
+       |  JOIN codes cd USING (cand_id)
+       |  JOIN book b ON b.mi = cd.mi AND b.ki = cd.code
+       |  WHERE probe_id <> cand_id),
+       |s AS (SELECT probe_id, cand_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY mi)),
+       |      (pq_x, pq_y) -> pq_x + pq_y) AS adc_dist
+       |  FROM dm GROUP BY probe_id, cand_id),
+       |sl AS (SELECT probe_id, cand_id FROM (
+       |  SELECT probe_id, cand_id, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY adc_dist, cand_id) AS adc_rank FROM s) t
+       |  WHERE adc_rank <= 25),
+       |ex AS (SELECT sl.probe_id, sl.cand_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(pp.pvec)+1),
+       |        rr_i -> (pp.pvec[rr_i] - cc.cvec[rr_i]) * (pp.pvec[rr_i] - cc.cvec[rr_i]))),
+       |      (rr_x, rr_y) -> rr_x + rr_y) AS l2_dist
+       |  FROM sl JOIN p pp USING (probe_id) JOIN c cc USING (cand_id))
+       |SELECT probe_id, CAST(rank AS INT) AS rank, cand_id, l2_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY l2_dist, cand_id) AS rank FROM ex) t
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_range_join" -> (q86_range_join _),
     "q87_weighted_sample" -> (q87_weighted_sample _),
@@ -333,10 +453,11 @@ object ExtensionQueries6 {
     "q89_quality_constraints" -> (q89_quality_constraints _),
     "q90_mad_outliers" -> (q90_mad_outliers _),
     "q91_dense_ids" -> (q91_dense_ids _),
-    "q92_incremental_rollup" -> (q92_incremental_rollup _)
+    "q92_incremental_rollup" -> (q92_incremental_rollup _),
+    "q93_ann_ivfpq" -> (q93_ann_ivfpq _)
   )
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q86_range_join" -> q86Sql,
     "q87_weighted_sample" -> q87Sql,
     "q88_table_checksum" -> q88Sql,
@@ -345,4 +466,22 @@ object ExtensionQueries6 {
     "q91_dense_ids" -> q91Sql,
     "q92_incremental_rollup" -> q92Sql
   )
+
+  /** Mirrors resolved for a specific trained dir (the q38 pattern). */
+  def oracleFor(dir: String): Map[String, String] =
+    baseOracle ++ (for {
+      ivf <- Option(ivfCache.get(dir)); pq <- Option(pqCache.get(dir))
+    } yield "q93_ann_ivfpq" -> q93SqlFor(ivf, pq)).toList
+
+  /** Dir-less view: emits the generated mirror only when the JVM has
+    * trained exactly ONE dir — unambiguous; otherwise omitted.
+    */
+  def oracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    (ivfCache.asScala.toMap.toList, pqCache.asScala.toMap.toList) match {
+      case ((d, ivf) :: Nil, (d2, pq) :: Nil) if d == d2 =>
+        baseOracle + ("q93_ann_ivfpq" -> q93SqlFor(ivf, pq))
+      case _ => baseOracle
+    }
+  }
 }

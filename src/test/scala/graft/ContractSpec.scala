@@ -46,9 +46,11 @@ class ContractSpec extends SparkSpecBase {
     // exist only after a query has trained the dir's model (Verify's order
     // guarantees that in the driver gate). Everything else always carries
     // its DuckDB oracle.
-    assert(qs.diff(os).subsetOf(Set("q38_ann_ivf", "q70_semdedup") ++ sketchOnly),
+    assert(qs.diff(os).subsetOf(
+      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq") ++ sketchOnly),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
+    ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs -- sketchOnly,
       "generated oracles missing after training (Verify would dump an incomplete map)")
     assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs -- sketchOnly)

@@ -79,6 +79,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rIvf > 0.2, s"IVF nprobe-half recall collapsed: $rIvf")
   }
 
+  test("IVF-PQ with exact rerank: recall floor vs brute-force L2; reported distances exact") {
+    val emb = Tables0.embeddings(spark).cache()
+    val raw = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    // exact L2 top-5 per probe (tiny corpus: the brute pair join is the oracle here)
+    val a = raw.select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      .filter(col("probe_id") < 20)
+    val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d"), col("cand_id"))
+    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    val exactDist = exact.map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = graft.ext.IvfIndex.train(emb, "vec_id", "embedding", nlist = 8)
+    val pq = graft.ext.PqIndex.train(emb, "vec_id", "embedding", m = 16)
+    val got = graft.ext.PqIndex.ivfPqTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 20, 5, ivf, nprobe = 4, pq)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("l2_dist")))
+    val recall = (exactPairs & got.map(t => (t._1, t._2)).toSet).size.toDouble / exactPairs.size
+    info(s"IVF-PQ(m=16, rerank 25) recall@5 = $recall")
+    assert(recall > 0.25, s"IVF-PQ rerank recall collapsed: $recall")
+    // rerank contract: every REPORTED distance is the exact L2, not the ADC
+    // approximation — a hit's distance must equal the brute-force value
+    for ((p, c, d) <- got if exactPairs.contains((p, c)))
+      assert(d == exactDist((p, c)), s"($p,$c): reported $d != exact ${exactDist((p, c))}")
+  }
+
   test("semDedup drops exactly the larger-id member of each in-cluster near-dup pair") {
     val emb = Tables0.embeddings(spark).filter(col("vec_id") < 30)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
