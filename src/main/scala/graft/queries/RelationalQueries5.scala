@@ -223,12 +223,79 @@ object RelationalQueries5 {
       |  min(cents) AS min_cents, max(cents) AS max_cents
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94: explicit GROUPING SETS — the irregular-rollup member of the
+    * grouping family (q20 rollup, q60 cube): exactly the three levels a
+    * report wants — (flag, status), (flag), and grand total — with
+    * `grouping_id` disambiguating a real NULL key from a superaggregate
+    * row. One scan: Spark expands grouping sets in a single Expand +
+    * aggregate, same as rollup/cube.
+    */
+  def q94_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q94Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+
+  /** q95: 2D Pareto front (skyline) — "no other part is both cheaper AND
+    * larger": the classic dominance query, whose naive form is an O(n²)
+    * self-join and whose textbook form (sort + global running max) is a
+    * single-reducer window. [[graft.ops.Skyline.front2D]] runs the
+    * scalable spelling: range-partition by price, per-partition running
+    * maxima in parallel, and a ≤nPartitions driver prefix-fold carrying
+    * the best size across partitions — dominance is resolved per
+    * candidate against running aggregates, never a pair join and never a
+    * partition-less window. Exact integer cents/size keep the
+    * comparisons engine-identical; the oracle spells the same semantics
+    * with DuckDB's global RANGE window (fine single-node).
+    */
+  def q95_pareto_front(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    graft.ops.Skyline.front2D(p, col("price_cents"), col("size"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy(col("price_cents"), col("size").desc, col("p_partkey"))
+  }
+
+  val q95Sql: String =
+    """SELECT p_partkey, price_cents, size FROM (
+      |  SELECT p_partkey,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size,
+      |    max(CAST(p_size AS BIGINT)) OVER (
+      |      ORDER BY CAST(round(p_retailprice * 100) AS BIGINT)
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+      |  FROM part
+      |)
+      |WHERE best_cheaper IS NULL OR size > best_cheaper
+      |ORDER BY price_cents, size DESC, p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_collection_aggs" -> (q44_collection_aggs _),
     "q45_unpivot" -> (q45_unpivot _),
     "q51_decimal_money" -> (q51_decimal_money _),
     "q60_cube" -> (q60_cube _),
-    "q61_quantile_bins" -> (q61_quantile_bins _)
+    "q61_quantile_bins" -> (q61_quantile_bins _),
+    "q94_grouping_sets" -> (q94_grouping_sets _),
+    "q95_pareto_front" -> (q95_pareto_front _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +303,8 @@ object RelationalQueries5 {
     "q45_unpivot" -> q45Sql,
     "q51_decimal_money" -> q51Sql,
     "q60_cube" -> q60Sql,
-    "q61_quantile_bins" -> q61Sql
+    "q61_quantile_bins" -> q61Sql,
+    "q94_grouping_sets" -> q94Sql,
+    "q95_pareto_front" -> q95Sql
   )
 }

@@ -148,6 +148,12 @@ class PlanShapeSpec extends SparkSpecBase {
       "found a window ordered globally without the partition key")
   }
 
+  test("q95: skyline's running max is __pid-partitioned — never a global window") {
+    val p = plan("q95_pareto_front")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "skyline must run its running max within range partitions")
+  }
+
   test("q83: heavy-hitter aggregation is partial (summaries merge, keys never shuffle raw)") {
     val p = plan("q83_heavy_hitters")
     // typed-aggregator partial mode: an ObjectHashAggregate/SortAggregate pair
