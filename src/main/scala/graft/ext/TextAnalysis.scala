@@ -28,6 +28,21 @@ object TextAnalysis {
   def approxBpeCount(text: Column): Column =
     ((length(text) + 3) / lit(4)).cast("long")
 
+  /** GPT-2-style pre-tokenizer regex (the segmentation step every BPE
+    * runs BEFORE vocabulary merges): contraction suffixes, space-glued
+    * letter runs, digit runs, punctuation runs, residual whitespace.
+    * Both Java regex and RE2 (DuckDB) support this subset identically —
+    * `\p{L}`/`\p{N}` classes, alternation, non-capturing groups — so the
+    * segment count is cross-engine exact.
+    */
+  val BpeSplitPattern: String =
+    """'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeSplitPattern), lit(0))
+
+  def regexTokenCount(text: Column): Column = size(regexTokens(text))
+
   /** Count of tokens in a fixed marker list (duplicates counted). */
   def markerCount(text: Column, markers: Seq[String]): Column = {
     val arr = array(markers.map(lit): _*)

@@ -446,7 +446,41 @@ object ExtensionQueries6 {
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q96
+
+  /** q96: tokenizer comparison — the three token-count estimators a
+    * budget pipeline runs side by side: whitespace tokens, the GPT-2
+    * pre-tokenizer regex segments ([[graft.ext.TextAnalysis.regexTokens]]
+    * — the BPE segmentation step, exact in both regex engines), and the
+    * ceil(chars/4) heuristic; plus the regex/ws ratio in exact per-mille.
+    * Single projection over one scan; counts are the unit of every token
+    * budget (packing q54, chunking q73), so their cross-engine exactness
+    * is load-bearing.
+    */
+  def q96_regex_tokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_regex"),
+        TextAnalysis.approxBpeCount(col("text")).as("bpe_est"))
+      .withColumn("regex_per_mille", expr("(n_regex * 1000) div n_ws"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q96Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_regex,
+      |  CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est,
+      |  (CAST(len(regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) * 1000)
+      |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS regex_per_mille
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_regex_tokens" -> (q96_regex_tokens _),
     "q86_range_join" -> (q86_range_join _),
     "q87_weighted_sample" -> (q87_weighted_sample _),
     "q88_table_checksum" -> (q88_table_checksum _),
@@ -458,6 +492,7 @@ object ExtensionQueries6 {
   )
 
   private val baseOracle: Map[String, String] = Map(
+    "q96_regex_tokens" -> q96Sql,
     "q86_range_join" -> q86Sql,
     "q87_weighted_sample" -> q87Sql,
     "q88_table_checksum" -> q88Sql,
