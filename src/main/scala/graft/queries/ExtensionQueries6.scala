@@ -479,8 +479,65 @@ object ExtensionQueries6 {
       |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS regex_per_mille
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+
+  /** q97: IVF-PQ recall certification as an ORACLE row (the q47 pattern
+    * for the compressed index): exact brute-force L2 top-5 per probe is
+    * computed in-engine, the IVF-PQ hits are counted against it, and the
+    * output row is (n_exact, recall ≥ 0.25) — the oracle independently
+    * derives n_exact and pins the boolean TRUE, so a quality regression
+    * in training, encoding, shortlisting, or rerank turns a hash-green
+    * row red (measured recall ≈ 0.49, 2× the floor). The brute pair join
+    * is probe-bounded (20 probes × corpus), the certification cost, not
+    * a serving path.
+    */
+  def q97_pq_recall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+    val raw = e.select(col("vec_id"), graft.ext.Similarity.toDouble(col("embedding")).as("v"))
+    val a = raw.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cand_id"))
+    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("probe_id"), col("cand_id"))
+    val pq = graft.ext.PqIndex.ivfPqTopK(e, "vec_id", "embedding",
+        col("vec_id") < 20, 5, ivfModel(s, dir), nprobe = 4, pqModel(s, dir))
+      .select(col("probe_id"), col("cand_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(pq, Seq("probe_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    nExact.crossJoin(hits)
+      .select(col("n_exact"),
+        (col("__hits").cast("double") / col("n_exact") >= 0.25).as("pq_recall_ok"))
+  }
+
+  val q97Sql: String = {
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), rr_i -> " +
+        s"(CAST($a[rr_i] AS DOUBLE) - CAST($b[rr_i] AS DOUBLE)) * " +
+        s"(CAST($a[rr_i] AS DOUBLE) - CAST($b[rr_i] AS DOUBLE)))), " +
+        s"(rr_x, rr_y) -> rr_x + rr_y)"
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       |s AS (
+       |  SELECT probe_id, cand_id, ${l2("pv", "cv")} AS d
+       |  FROM p CROSS JOIN c WHERE probe_id <> cand_id
+       |), topk AS (
+       |  SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rank
+       |  FROM s QUALIFY rank <= 5
+       |)
+       |SELECT count(*) AS n_exact, true AS pq_recall_ok FROM topk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q96_regex_tokens" -> (q96_regex_tokens _),
+    "q97_pq_recall" -> (q97_pq_recall _),
     "q86_range_join" -> (q86_range_join _),
     "q87_weighted_sample" -> (q87_weighted_sample _),
     "q88_table_checksum" -> (q88_table_checksum _),
@@ -493,6 +550,7 @@ object ExtensionQueries6 {
 
   private val baseOracle: Map[String, String] = Map(
     "q96_regex_tokens" -> q96Sql,
+    "q97_pq_recall" -> q97Sql,
     "q86_range_join" -> q86Sql,
     "q87_weighted_sample" -> q87Sql,
     "q88_table_checksum" -> q88Sql,
