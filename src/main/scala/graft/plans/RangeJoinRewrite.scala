@@ -47,7 +47,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case None => plan
     case Some(w) =>
       plan.transformUp {
-        case j @ Join(left, right, Inner, Some(cond), hint) =>
+        // batch only: a stream-stream range join has its own state/
+        // watermark machinery, and inserting a Generate between the
+        // watermark and the join would break event-time propagation
+        case j @ Join(left, right, Inner, Some(cond), hint)
+            if !left.isStreaming && !right.isStreaming =>
           rewrite(j, left, right, cond, hint, w).getOrElse(j)
       }
   }
