@@ -11,9 +11,18 @@ import org.apache.spark.sql.functions._
   *    can shortcut to metadata for scan-only plans);
   *  - every query runs `n` times and reports the per-query MEDIAN (sub-2s
   *    queries swing ±2× run-to-run; a single sample made round-over-round
-  *    deltas unattributable). `total` is the sum of medians;
-  *  - cache cleared before every run, so persisted intermediates never
-  *    subsidize a later run or another query;
+  *    deltas unattributable). `total` is the sum of medians; the artifact
+  *    also carries per-query [min, median, max] under "spread" so host
+  *    noise separates from plan regressions without forensics;
+  *  - cache cleared AND all persisted RDD blocks released before every run:
+  *    `localCheckpoint` blocks (the PageRank / connected-components
+  *    fixpoints) are persisted RDDs the SQL cache doesn't track, and left
+  *    to the GC-driven ContextCleaner they accumulate across a ~100-query
+  *    session — the round-5 driver artifact measured q74 at 19.3 s in
+  *    session position vs 5.8 s clean for exactly this reason;
+  *  - the end-to-end pipeline measurement runs FIRST (before the query
+  *    loop), so the artifact's pipeline_1m number reflects a fresh session,
+  *    not 97 queries' worth of temp-shuffle and block-manager residue;
   *  - deterministic (sorted) execution order;
   *  - a skew-join harness (see [[skewBench]]) measures the explicit salting
   *    operator against the same join unsalted, reported under "skew".
@@ -40,23 +49,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Median of `Iters` timed runs, cache cleared before each. */
-    def medianOf(f: => Unit): Double = {
-      val ts = (1 to Iters).map { _ =>
-        spark.catalog.clearCache()
-        timed(f)
-      }
-      ts.sorted.apply(Iters / 2)
+    /** Release everything a prior run may have left resident: the SQL cache
+      * AND every persisted RDD block. The latter is the round-5 fix — each
+      * `localCheckpoint` in an iterative operator eagerly materializes a
+      * MEMORY_AND_DISK RDD that `clearCache()` never touches; safe to drop
+      * here because every measured run re-executes its plan from scratch.
+      */
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
 
-    def runToNoop(name: String): Double =
+    /** (min, median, max) of `Iters` timed runs, state released before each. */
+    def statsOf(f: => Unit): (Double, Double, Double) = {
+      val ts = (1 to Iters).map { _ =>
+        release()
+        timed(f)
+      }
+      val s = ts.sorted
+      (s.head, s(Iters / 2), s.last)
+    }
+
+    def medianOf(f: => Unit): Double = statsOf(f)._2
+
+    def runToNoop(name: String): (Double, Double, Double) =
       try {
         System.gc() // benchmark hygiene: don't charge query N with query N-1's garbage
-        medianOf {
+        statsOf {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         }
-      } catch { case _: Throwable => -1.0 }
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // Warmup: exercise codegen, shuffle machinery, and every table's footer.
     try {
@@ -67,16 +90,23 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => }
 
+    // Fresh-session position for the end-to-end pipeline (round-5 driver
+    // artifact measured it LAST at 105.8 s vs 9.8 s in r4 — session decay,
+    // not a plan change; the code path was refactor-only that round).
+    val pipeline = try pipelineBench(spark, statsOf)
+      catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    release()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runToNoop(name)
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
-    val pipeline = try pipelineBench(spark, medianOf)
-      catch { case _: Throwable => -1.0 }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(t: (Double, Double, Double)) = s"[${t._1},${t._2},${t._3}]"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val spreadAll = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
     // Two artifact tiers. The full per-query map is ~5 KB — twice it has
     // overflowed the harness's bounded stdout capture and left the round
     // artifact unparseable. So: a COMPACT line (same schema, `queries`
@@ -84,14 +114,18 @@ object Bench {
     // line — whichever end of the stream the capture window anchors to, a
     // complete parseable line lands inside it. bench_out.json keeps the
     // full map regardless.
-    val slow10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val slowest = results.filter(_._2._2 >= 0).sortBy(-_._2._2).take(10)
+    val slow10 = slowest.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val slow10Spread = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
-      s""""pipeline_1m_sec":$pipeline,"sf":"$sfDir"}"""
+      s""""pipeline_1m_sec":${pipeline._2},"pipeline_1m_spread":${fmt(pipeline)},"sf":"$sfDir"}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,""" +
-      s""""queries_total":${results.size},"queries":$slow10,""" + suffix
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" + suffix
+      s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
+      s""""spread":$spreadAll,""" + suffix
     println(compact)
     println(json)
     println(compact)
@@ -108,8 +142,8 @@ object Bench {
     * at ~50,000× that size (reported as "pipeline_1m_sec"). CSVs are
     * generated once per bench run into a temp dir, deterministically.
     */
-  def pipelineBench(spark: SparkSession, medianOf: (=> Unit) => Double,
-      n: Long = 1000000L): Double = {
+  def pipelineBench(spark: SparkSession, statsOf: (=> Unit) => (Double, Double, Double),
+      n: Long = 1000000L): (Double, Double, Double) = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe_bench").toString
     def url(i: org.apache.spark.sql.Column) =
@@ -141,7 +175,7 @@ object Bench {
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
-    try medianOf {
+    try statsOf {
       Pipeline.merged(spark, cfg).write.format("noop").mode("overwrite").save()
     } finally { // ~3×1M-row temp CSVs; don't leak them past the measurement
       import scala.jdk.CollectionConverters._

@@ -27,16 +27,18 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def medianOf(f: => Unit): Double = {
+    def statsOf(f: => Unit): (Double, Double, Double) = {
       val ts = (1 to 3).map { _ =>
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      ts.sorted.apply(1)
+      val s = ts.sorted
+      (s.head, s(1), s.last)
     }
     val times = sizes.map { n =>
       System.gc()
-      val t = Bench.pipelineBench(spark, medianOf, n)
+      val t = Bench.pipelineBench(spark, statsOf, n)._2
       println(f"pipeline rows=$n%d median=$t%.2f sec")
       n -> t
     }

@@ -18,26 +18,34 @@ object SpotBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def medianOf(f: => Unit): Double = {
-      val ts = (1 to 3).map { _ => spark.catalog.clearCache()
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      ts.sorted.apply(1)
+    // Same release discipline as Bench: localCheckpoint blocks from
+    // iterative queries (q74/q42) must not survive into the next sample.
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    def statsOf(f: => Unit): (Double, Double, Double) = {
+      val ts = (1 to 3).map { _ => release()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val s = ts.sorted
+      (s.head, s(1), s.last)
+    }
+    def medianOf(f: => Unit): Double = statsOf(f)._2
     if (args.head == "skew") {
       val (u, s, a) = Bench.skewBench(spark, sfDir, medianOf)
       println(f"skew unsalted=$u%.2f salted=$s%.2f aqe=$a%.2f ratio=${u / s}%.2f")
       spark.stop(); return
     }
     if (args.head == "pipeline") {
-      println(f"pipeline_1m=${Bench.pipelineBench(spark, medianOf)}%.2f sec")
+      println(f"pipeline_1m=${Bench.pipelineBench(spark, statsOf)._2}%.2f sec")
       spark.stop(); return
     }
     SparkEntry.queries(args.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warmup
-    spark.catalog.clearCache()
+    release()
     for (n <- args) {
       val ts = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
+        release()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
