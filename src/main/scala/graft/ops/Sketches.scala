@@ -47,16 +47,40 @@ object Sketches {
   private def flushed(s: QuantileSummaries): QuantileSummaries =
     if (s.compressed) s else s.compress()
 
+  /** Stored-sketch wire format, hand-rolled (version byte, eps, count,
+    * then the (value, g, delta) triples). Java-serializing the internal
+    * `QuantileSummaries` class would tie every STORED sketch to one
+    * Spark build — an InvalidClassException time bomb for the per-day /
+    * per-shard sketch archive this aggregator exists for. The triples
+    * ARE the sketch's mathematical content (Greenwald-Khanna samples),
+    * so this format survives any upgrade that keeps GK semantics.
+    */
   private[ops] def toBytes(s: QuantileSummaries): Array[Byte] = {
+    val f = flushed(s)
     val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    try { oos.writeObject(flushed(s)); oos.flush() } finally oos.close()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(1) // format version
+    out.writeDouble(f.relativeError)
+    out.writeLong(f.count)
+    out.writeInt(f.sampled.length)
+    f.sampled.foreach { st =>
+      out.writeDouble(st.value); out.writeLong(st.g); out.writeLong(st.delta)
+    }
+    out.flush()
     bos.toByteArray
   }
 
   private[ops] def fromBytes(b: Array[Byte]): QuantileSummaries = {
-    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-    try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val version = in.readByte()
+    require(version == 1, s"unknown sketch format version $version")
+    val eps = in.readDouble()
+    val count = in.readLong()
+    val n = in.readInt()
+    val sampled = Array.fill(n)(
+      QuantileSummaries.Stats(in.readDouble(), in.readLong(), in.readLong()))
+    new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, eps, sampled, count, true)
   }
 
   /** Query a (flushed) summary at each probability; empty input → NaNs so

@@ -1,37 +1,42 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
 import graft.ops.Sketches
 
-/** Approximate-sketch tier (round-4 verdict ask #7). These two queries are
-  * the ONLY members of the surface with no DuckDB oracle, by design: a
-  * sketch estimate can never hash-match a different engine's sketch, so
-  * the driver records rows-only checks here while SketchSpec pins the
-  * actual contract — relative/rank error bounds against the exact tier
-  * (q36 distinct counts, q08/q61 exact percentiles) at sf0.1.
+/** Approximate-sketch tier (round-4 verdict ask #7), CERTIFIED as oracle
+  * rows since round 6 (the q97 within-bound pattern, round-5 verdict ask
+  * #2): a sketch estimate can never hash-match another engine's sketch,
+  * so each query instead emits the EXACT answer (computed in-engine with
+  * cross-engine-deterministic arithmetic) plus estimate-within-bound
+  * BOOLEANS; DuckDB independently recomputes the exact columns and pins
+  * every boolean TRUE. A quality regression anywhere in a sketch
+  * (insert, partial-merge, serialization, estimator) flips a boolean and
+  * turns a hash-green row red. SketchSpec still pins the tighter
+  * numeric bounds on the raw estimates (the `*_estimates` /
+  * [[q83_summary]] internals) at sf0.1.
   *
-  * Both queries deliberately exercise MERGE, not just estimate: the global
-  * row is computed by unioning the per-group sketches, never by a second
-  * scan — the property that makes sketches the right tool at 100 TB
-  * (per-shard/per-day sketches fold into any rollup without re-reading
-  * history). The per-group sketch frame is scanned by both the group
-  * branch and the ALL branch of one union, so it is [[CacheScope.scoped]]
-  * — one corpus scan per query, released after the consuming action.
+  * Every sketch query deliberately exercises MERGE, not just estimate:
+  * global rows fold per-group sketches, never rescan — the property that
+  * makes sketches the right tool at 100 TB (per-shard/per-day sketches
+  * fold into any rollup without re-reading history). The exact tier each
+  * query carries is the CERTIFICATION cost (a second aggregate at
+  * verify-time scale), not the serving path — the q97 precedent.
   */
 object SketchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** q81: HLL distinct parts per returnflag + a merged ALL row. One scan
-    * builds the per-group sketches (DataSketches HLL, lgK=12 → ~1.6%
-    * relative standard error); the ALL row is `hll_union_agg` over the ≤3
-    * group sketch rows — a driver-sized second aggregate, zero rescans.
-    * HLL registers are max-merged, so estimates are order-independent and
-    * deterministic run to run.
+  // ---------------------------------------------------------------- q81
+
+  /** HLL estimates per returnflag + a merged ALL row (DataSketches HLL,
+    * lgK=12 → ~1.6% relative standard error); the ALL row is
+    * `hll_union_agg` over the ≤3 group sketch rows — a driver-sized
+    * second aggregate, zero rescans. Register-max merging makes the
+    * estimates order-independent and deterministic run to run.
     */
-  def q81_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q81_estimates(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val perGroup = CacheScope.scoped(
       li.groupBy(col("l_returnflag"))
@@ -44,17 +49,49 @@ object SketchQueries {
       .select(col("l_returnflag"),
         hll_sketch_estimate(col("sk")).as("n_parts_est"),
         col("n_rows"))
+  }
+
+  /** q81 oracle row: exact distinct parts per group (one distinct-pairs
+    * pass feeds both the group counts and the global count) joined to the
+    * HLL estimates; emits (exact, n_rows, estimate-within-5% boolean).
+    * 5% ≈ 3σ at lgK=12 — and the estimate is a pure function of the data,
+    * so a once-green margin cannot flap.
+    */
+  def q81_hll_distinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pairs = CacheScope.scoped(
+      li.select(col("l_returnflag"), col("l_partkey")).distinct())
+    val exG = pairs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_parts_exact"))
+    val exA = pairs.agg(countDistinct(col("l_partkey")).as("n_parts_exact"))
+      .select(lit("ALL").as("l_returnflag"), col("n_parts_exact"))
+    val exact = exG.unionByName(exA)
+    q81_estimates(s, dir).join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_parts_exact"), col("n_rows"),
+        (abs(col("n_parts_est") - col("n_parts_exact")).cast("double")
+          <= lit(0.05) * col("n_parts_exact").cast("double")).as("hll_ok"))
       .orderBy(col("l_returnflag"))
   }
 
-  /** q82: mergeable quantile sketch of extended price per returnflag + a
+  val q81Sql: String =
+    """SELECT l_returnflag, n_parts_exact, n_rows, true AS hll_ok FROM (
+      |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts_exact,
+      |    COUNT(*) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT 'ALL', COUNT(DISTINCT l_partkey), COUNT(*) FROM lineitem
+      |) ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+
+  /** Mergeable quantile sketches of extended price per returnflag + a
     * merged ALL row. Per-group GK sketches (eps=0.01) are emitted as
     * bytes once; querying a stored sketch is the merge aggregator over a
     * single row (group branch), and the ALL row folds the per-group
     * SKETCHES (rank error ≤ 2·eps·n after merge) — the stored-sketch
     * rollup path, not a rescan.
     */
-  def q82_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q82_estimates(s: SparkSession, dir: String): DataFrame = {
     val probs = Seq(0.5, 0.95, 0.99)
     val skAgg = udaf(new Sketches.QuantileSketchBytes(Sketches.DefaultEps))
     val mergeQ = udaf(new Sketches.QuantileSketchMergeQuery(Sketches.DefaultEps, probs))
@@ -73,46 +110,140 @@ object SketchQueries {
         col("qs").getItem(1).as("p95_est"),
         col("qs").getItem(2).as("p99_est"),
         col("n_rows"))
+  }
+
+  /** q82 oracle row: the GK rank-error bound as a certified boolean. Pass
+    * one collects the ≤4 estimate rows (the q13/q14 two-pass-scalar
+    * precedent — a driver-bounded collect); pass two computes each
+    * estimate's exact rank window [count(<v), count(<=v)] in a single
+    * conditional aggregation and checks the target rank q·n lands within
+    * ±(slack·eps·n + 1) of it — slack 1 for single sketches, 2 for the
+    * merged ALL row (GK merge bound), +1 absorbing the integer-rank
+    * definition gap. DuckDB recomputes the exact group counts and pins
+    * the three booleans TRUE.
+    */
+  def q82_quantile_sketch(s: SparkSession, dir: String): DataFrame = {
+    val ests = q82_estimates(s, dir).collect() // ≤4 rows, driver-bounded
+    val li = Tables.lineitem(s, dir)
+    val price = col("l_extendedprice")
+    val probs = Seq(0.5, 0.95, 0.99)
+
+    def okCol(group: String, n: Column, below: Column, atOrBelow: Column, q: Double): Column = {
+      val slackMult = if (group == "ALL") 2.0 else 1.0
+      val slack = lit(slackMult * Sketches.DefaultEps) * n.cast("double") + lit(1.0)
+      val target = lit(q) * n.cast("double")
+      (target >= below.cast("double") - slack) &&
+        (target <= atOrBelow.cast("double") + slack)
+    }
+
+    def checksFor(group: String, base: DataFrame): DataFrame = {
+      val r = ests.find(_.getString(0) == group).get
+      val vals = probs.indices.map(i => r.getDouble(1 + i))
+      val aggs = probs.indices.flatMap { i =>
+        Seq(sum(when(price < lit(vals(i)), 1L).otherwise(0L)).as(s"b$i"),
+          sum(when(price <= lit(vals(i)), 1L).otherwise(0L)).as(s"ab$i"))
+      } :+ count(lit(1)).as("n_rows")
+      val agged =
+        if (group == "ALL") base.agg(aggs.head, aggs.tail: _*)
+        else base.filter(col("l_returnflag") === group).agg(aggs.head, aggs.tail: _*)
+      agged.select(lit(group).as("l_returnflag") +: col("n_rows") +:
+        probs.zipWithIndex.map { case (q, i) =>
+          okCol(group, col("n_rows"), col(s"b$i"), col(s"ab$i"), q)
+            .as(s"p${(q * 100).toInt}_ok")
+        }: _*)
+    }
+
+    val groups = ests.map(_.getString(0)).sorted
+    groups.map(g => checksFor(g, li)).reduce(_ unionByName _)
       .orderBy(col("l_returnflag"))
   }
 
-  /** q83: hot-key detection via a mergeable Misra-Gries summary (k=64).
-    * The scale story is the whole point: the keys NEVER shuffle — each
-    * task folds its partition into a 64-entry summary and only summaries
-    * cross the wire (vs q50's full wordcount, which shuffles the entire
-    * key universe). Input is a synthesized referrer-domain stream over
-    * the lineitem scan (the q12 synthesize-from-scan precedent; the
-    * documents corpus has only 31 distinct tokens, so token heavy-hitters
-    * would degenerate to an exact 64-slot count): ~70% of rows hit 5 hot
-    * domains, the rest spread over a ~30k-domain tail. Output = survivors
-    * above the n/k noise floor — MG guarantees exactly the hot five
-    * (est ∈ [true − n/k, true], every key with true > n/k present; tail
-    * keys can never clear the floor), so the row set is stable even
-    * though sub-threshold summary residue is order-dependent. SketchSpec
-    * pins both bounds against exact counts of the same stream.
+  val q82Sql: String =
+    """SELECT l_returnflag, n_rows, true AS p50_ok, true AS p95_ok, true AS p99_ok
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT 'ALL', COUNT(*) FROM lineitem
+      |) ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+
+  /** The q83 fixture stream, shared with SketchSpec's exact recount:
+    * deterministic head/tail mixture — ~70% of rows hit 5 hot domains,
+    * the rest spread over a ~30k-domain tail. Keyed off md5 arithmetic
+    * (NOT xxhash64, which exists only in Spark) so the DuckDB oracle can
+    * synthesize the identical stream: both engines take the first 8 md5
+    * hex chars as a positive 32-bit integer.
     */
-  def q83_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def heavyHitterStream(s: SparkSession, dir: String): DataFrame = {
+    def h32(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    Tables.lineitem(s, dir).select(
+      when(pmod(h32(concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))), lit(10)) < 7,
+          concat(lit("hot-"), pmod(col("l_orderkey"), lit(5))))
+        .otherwise(concat(lit("tail-"),
+          pmod(h32(concat(col("l_partkey").cast("string"), lit("-"),
+            col("l_orderkey").cast("string"))), lit(30000))))
+        .as("domain"))
+  }
+
+  /** Raw Misra-Gries summary entries (domain, est) + total n — the
+    * sketch-side internals SketchSpec bounds directly.
+    */
+  private[graft] def q83_summary(s: SparkSession, dir: String): DataFrame = {
     val mg = udaf(new Sketches.MisraGries(64))
     heavyHitterStream(s, dir)
       .agg(mg(col("domain")).as("hh"), count(lit(1)).as("n"))
       .select(explode(col("hh")).as(Seq("domain", "est")), col("n"))
-      .filter(col("est") > col("n") / 64)
-      .orderBy(col("est").desc, col("domain"))
   }
 
-  /** The q83 fixture stream, shared with SketchSpec's exact recount:
-    * deterministic head/tail mixture keyed off the orderkey hash.
+  /** q83 oracle row: hot-key detection via a mergeable Misra-Gries
+    * summary (k=64), certified. The scale story is the whole point: the
+    * keys NEVER shuffle — each task folds its partition into a 64-entry
+    * summary and only summaries cross the wire. Certification: the exact
+    * recount (a full group-by — verify-scale cost) selects the true hot
+    * set (count·k > n, integer-exact in both engines); each hot key must
+    * appear in the MG summary with est ∈ [true − n/k − 1, true] (the
+    * deterministic MG bound, any merge tree; −1 absorbs the integer
+    * floor). A lost hot key null-joins → mg_ok false → red row.
     */
-  private[graft] def heavyHitterStream(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir).select(
-      when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 7,
-          concat(lit("hot-"), pmod(col("l_orderkey"), lit(5))))
-        .otherwise(concat(lit("tail-"), pmod(xxhash64(col("l_partkey"), col("l_orderkey")), lit(30000))))
-        .as("domain"))
+  def q83_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    val stream = CacheScope.scoped(heavyHitterStream(s, dir))
+    val mg = udaf(new Sketches.MisraGries(64))
+    val mgRow = CacheScope.scoped(
+      stream.agg(mg(col("domain")).as("hh"), count(lit(1)).as("n")))
+    val entries = mgRow.select(explode(col("hh")).as(Seq("domain", "est")))
+    val nRow = mgRow.select(col("n"))
+    val exact = stream.groupBy(col("domain")).agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(broadcast(nRow)) // 1-row scalar fan-out
+      .filter(col("n_exact") * 64 > col("n"))
+      .join(broadcast(entries), Seq("domain"), "left")
+      .select(col("domain"), col("n_exact"), col("n"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") + expr("n div 64") + lit(1) >= col("n_exact")).as("mg_ok"))
+      .orderBy(col("n_exact").desc, col("domain"))
+  }
 
-  /** q84: deterministic per-group bottom-k sample — the exact-tier member
-    * of this file (full DuckDB oracle): 10 lineitem rows per returnflag
-    * chosen by smallest md5 of the (orderkey, linenumber) pair. md5 is
+  val q83Sql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10 < 7
+      |    THEN 'hot-' || CAST(l_orderkey % 5 AS VARCHAR)
+      |    ELSE 'tail-' || CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '-' ||
+      |      CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 30000 AS VARCHAR)
+      |  END AS domain FROM lineitem),
+      |e AS (SELECT domain, COUNT(*) AS n_exact FROM s GROUP BY domain),
+      |t AS (SELECT COUNT(*) AS n FROM s)
+      |SELECT domain, n_exact, n, true AS mg_ok FROM e, t
+      |WHERE n_exact * 64 > n
+      |ORDER BY n_exact DESC, domain""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+
+  /** q84: deterministic per-group bottom-k sample — the fully-exact
+    * member of this file: 10 lineitem rows per returnflag chosen by
+    * smallest md5 of the (orderkey, linenumber) pair. md5 is
     * bit-identical across engines, so the "random" sample is a pure
     * function of the data — re-runs, retries, and other engines pick the
     * SAME rows (the property a reproducible training-data subsample
@@ -146,17 +277,21 @@ object SketchQueries {
       |) WHERE sample_rank <= 10
       |ORDER BY l_returnflag, sample_rank""".stripMargin
 
-  /** q85: set-overlap estimation from KMV sketches — "how many parts do
-    * the two supplier halves share?" answered from two 1024-hash
-    * sketches instead of a distinct-join of the full sets. Each side
-    * folds to its bottom-1024 xxhash64 set (no key shuffle, summaries
-    * only); union/intersection/Jaccard estimates are then pure ARRAY
-    * expressions over the two sketch rows (Beyer et al.: the union
-    * sketch is the bottom-k of the merged sketches; ρ = the fraction of
-    * it present in both sides). Deterministic — bottom-k of a hash set
-    * is order-free. SketchSpec bounds all five estimates against exact.
+  // ---------------------------------------------------------------- q85
+
+  /** KMV set-overlap estimates — "how many parts do the two supplier
+    * halves share?" answered from two 1024-hash sketches instead of a
+    * distinct-join of the full sets. Each side folds to its bottom-1024
+    * xxhash64 set (no key shuffle, summaries only); union/intersection/
+    * Jaccard estimates are then pure ARRAY expressions over the two
+    * sketch rows (Beyer et al.: the union sketch is the bottom-k of the
+    * merged sketches; ρ = the fraction of it present in both sides).
+    * Deterministic — bottom-k of a hash set is order-free. Sides with
+    * fewer than k distinct hashes fall back to the EXACT size (the
+    * sketch holds the whole set), matching the streaming estimator's
+    * below-k behavior.
     */
-  def q85_set_overlap_sketch(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q85_estimates(s: SparkSession, dir: String): DataFrame = {
     val k = 1024
     val kmv = udaf(new Sketches.KmvSketch(k))
     val li = Tables.lineitem(s, dir)
@@ -167,8 +302,9 @@ object SketchQueries {
     val a = sk.filter(col("side") === 0).select(col("sk").as("ska"))
     val b = sk.filter(col("side") === 1).select(col("sk").as("skb"))
     val two63 = lit(9.223372036854776e18)
-    def est(sketch: org.apache.spark.sql.Column) =
-      (lit(k - 1).cast("double") * two63) / element_at(sketch, k).cast("double")
+    def est(sketch: Column) =
+      when(size(sketch) < k, size(sketch).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * two63 / element_at(sketch, k).cast("double"))
     a.crossJoin(b) // 1×1: the two sketch rows
       .select(
         slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u"),
@@ -182,6 +318,52 @@ object SketchQueries {
       .withColumn("est_inter", col("jaccard_est") * col("est_union"))
   }
 
+  /** q85 oracle row: the four exact set sizes (one distinct-pairs pass,
+    * then a per-part membership fold — integer arithmetic both engines)
+    * plus within-bound booleans for the KMV estimates: 10% relative for
+    * the three cardinalities (RSE ≈ 1/√(k−2) ≈ 3.1% at k=1024, so 10% ≈
+    * 3σ — and deterministic, so a green margin cannot flap) and ±0.05
+    * absolute for Jaccard (binomial σ ≈ √(J(1−J)/k) ≈ 0.016).
+    */
+  def q85_set_overlap_sketch(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.select(
+        pmod(col("l_suppkey"), lit(2)).as("side"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey"))
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("ina"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("inb"))
+    val exact = perPart.agg(
+      sum(col("ina")).as("n_a_exact"),
+      sum(col("inb")).as("n_b_exact"),
+      count(lit(1)).as("n_union_exact"),
+      sum(col("ina") * col("inb")).as("n_inter_exact"))
+    def relOk(estC: Column, exC: Column): Column =
+      abs(estC - exC.cast("double")) <= lit(0.10) * exC.cast("double")
+    exact.crossJoin(q85_estimates(s, dir)) // 1×1
+      .select(
+        col("n_a_exact"), col("n_b_exact"),
+        col("n_union_exact"), col("n_inter_exact"),
+        relOk(col("est_a"), col("n_a_exact")).as("est_a_ok"),
+        relOk(col("est_b"), col("n_b_exact")).as("est_b_ok"),
+        relOk(col("est_union"), col("n_union_exact")).as("est_union_ok"),
+        (abs(col("jaccard_est") - col("n_inter_exact").cast("double")
+          / col("n_union_exact").cast("double")) <= lit(0.05)).as("jaccard_ok"))
+  }
+
+  val q85Sql: String =
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |    MAX(CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS ina,
+      |    MAX(CASE WHEN l_suppkey % 2 = 1 THEN 1 ELSE 0 END) AS inb
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(ina) AS BIGINT) AS n_a_exact,
+      |  CAST(SUM(inb) AS BIGINT) AS n_b_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_union_exact,
+      |  CAST(SUM(ina * inb) AS BIGINT) AS n_inter_exact,
+      |  true AS est_a_ok, true AS est_b_ok, true AS est_union_ok,
+      |  true AS jaccard_ok
+      |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q81_hll_distinct" -> (q81_hll_distinct _),
     "q82_quantile_sketch" -> (q82_quantile_sketch _),
@@ -191,6 +373,10 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "q84_bottomk_sample" -> q84Sql
+    "q81_hll_distinct" -> q81Sql,
+    "q82_quantile_sketch" -> q82Sql,
+    "q83_heavy_hitters" -> q83Sql,
+    "q84_bottomk_sample" -> q84Sql,
+    "q85_set_overlap_sketch" -> q85Sql
   )
 }

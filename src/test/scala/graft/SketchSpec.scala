@@ -5,11 +5,14 @@ import graft.core.Tables
 import graft.ops.Sketches
 import graft.queries.SketchQueries
 
-/** The sketch tier's correctness contract (round-4 verdict ask #7): no
-  * DuckDB oracle can hash-match another engine's sketch, so the bound IS
-  * the test — HLL relative error and GK rank error, asserted against the
-  * exact tier at sf0.1 (the scale the driver benches; the bounds are
-  * scale-free but the spec exercises real cardinalities, ~600k rows).
+/** The sketch tier's correctness contract (round-4 verdict ask #7): the
+  * raw-estimate bounds (HLL relative error, GK rank error, MG under-
+  * count, KMV relative error) asserted against the exact tier at sf0.1
+  * (the scale the driver benches; the bounds are scale-free but the spec
+  * exercises real cardinalities, ~600k rows). Since round 6 the queries
+  * themselves emit certified within-bound booleans for the DuckDB oracle
+  * (round-5 verdict ask #2); this spec pins the TIGHTER numeric bounds
+  * on the `*_estimates` / summary internals plus the certified outputs.
   */
 class SketchSpec extends SparkSpecBase {
 
@@ -19,7 +22,7 @@ class SketchSpec extends SparkSpecBase {
   private val HllTol = 0.05
 
   test("q81: per-group HLL estimates within 5% of exact distinct counts") {
-    val est = SketchQueries.q81_hll_distinct(spark, sf)
+    val est = SketchQueries.q81_estimates(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("d"))
@@ -34,9 +37,19 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("q81: certified output carries exact counts and all-true booleans") {
+    val rows = SketchQueries.q81_hll_distinct(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == rows.map(_.getString(0)).toSeq)
+    assert(rows.forall(_.getBoolean(3)), "hll_ok must be true for every group")
+    val exactAll = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(all.getLong(1) == exactAll, "n_parts_exact must be the true distinct count")
+  }
+
   test("q81: estimates are deterministic across runs (order-independent registers)") {
-    val a = SketchQueries.q81_hll_distinct(spark, sf).collect().toSeq
-    val b = SketchQueries.q81_hll_distinct(spark, sf).collect().toSeq
+    val a = SketchQueries.q81_estimates(spark, sf).collect().toSeq.sortBy(_.getString(0))
+    val b = SketchQueries.q81_estimates(spark, sf).collect().toSeq.sortBy(_.getString(0))
     assert(a == b)
   }
 
@@ -55,7 +68,7 @@ class SketchSpec extends SparkSpecBase {
 
   test("q82: per-group and merged quantiles honor the GK rank-error bound") {
     val li = Tables.lineitem(spark, sf)
-    val rows = SketchQueries.q82_quantile_sketch(spark, sf).collect()
+    val rows = SketchQueries.q82_estimates(spark, sf).collect()
     val probs = Seq(("p50_est", 0.5), ("p95_est", 0.95), ("p99_est", 0.99))
     for (r <- rows) {
       val g = r.getString(0)
@@ -70,25 +83,46 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
-  test("q83: Misra-Gries finds exactly the hot keys, within the n/k undercount bound") {
+  test("q82: certified output pins the rank-bound booleans true per group") {
+    val rows = SketchQueries.q82_quantile_sketch(spark, sf).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    for (r <- rows; i <- 2 to 4)
+      assert(r.getBoolean(i), s"${r.getString(0)}: ok column $i must be true")
+  }
+
+  test("q83: Misra-Gries summary honors the n/k undercount bound on every entry") {
     val exact = SketchQueries.heavyHitterStream(spark, sf)
       .groupBy(col("domain")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
     val floor = n / 64
     val hot = exact.filter(_._2 > floor).keySet
-    val out = SketchQueries.q83_heavy_hitters(spark, sf)
+    val entries = SketchQueries.q83_summary(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // every key with true > n/k must be reported above the floor...
-    assert(hot.subsetOf(out.keySet), s"missing hot keys: ${hot -- out.keySet}")
-    // ...anything else reported is sub-threshold residue the floor filter
-    // should have removed unless its TRUE count brushes the floor
-    for ((k, est) <- out) {
+    // every key with true > n/k must survive in the summary...
+    assert(hot.subsetOf(entries.keySet), s"missing hot keys: ${hot -- entries.keySet}")
+    // ...and every reported count sits in [true - n/k, true]
+    for ((k, est) <- entries) {
       val ex = exact(k)
       assert(est <= ex, s"$k: MG must never overcount (est $est > exact $ex)")
       assert(est >= ex - floor, s"$k: undercount beyond n/k (est $est, exact $ex, floor $floor)")
     }
     assert(hot.size == 5, s"fixture should have exactly 5 hot domains, got ${hot.size}")
+  }
+
+  test("q83: certified output is exactly the hot set with true booleans") {
+    val exact = SketchQueries.heavyHitterStream(spark, sf)
+      .groupBy(col("domain")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val hot = exact.filter { case (_, c) => c * 64 > n }
+    val rows = SketchQueries.q83_heavy_hitters(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == hot.keySet)
+    for (r <- rows) {
+      assert(r.getLong(1) == hot(r.getString(0)), s"${r.getString(0)}: exact recount mismatch")
+      assert(r.getLong(2) == n)
+      assert(r.getBoolean(3), s"${r.getString(0)}: mg_ok must be true")
+    }
   }
 
   test("q84: bottom-k sample is 10 rows per group and re-run identical") {
@@ -111,7 +145,7 @@ class SketchSpec extends SparkSpecBase {
     val exB = sides.filter(col("side") === 1).select("l_partkey").distinct().count()
     val exU = sides.select("l_partkey").distinct().count()
     val exI = exA + exB - exU
-    val r = SketchQueries.q85_set_overlap_sketch(spark, sf).head()
+    val r = SketchQueries.q85_estimates(spark, sf).head()
     def within(est: Double, exact: Long, tol: Double, what: String): Unit =
       assert(math.abs(est - exact) / exact <= tol,
         f"$what: est $est%.0f vs exact $exact (${math.abs(est - exact) / exact * 100}%.1f%%)")
@@ -120,6 +154,33 @@ class SketchSpec extends SparkSpecBase {
     within(r.getAs[Double]("est_union"), exU, 0.10, "union")
     // intersection compounds union + ratio noise: 15%
     within(r.getAs[Double]("est_inter"), exI, 0.15, "intersection")
+  }
+
+  test("q85: certified output matches exact set algebra and pins booleans") {
+    val li = Tables.lineitem(spark, sf)
+    val sides = li.select(pmod(col("l_suppkey"), lit(2)).as("side"), col("l_partkey"))
+    val exA = sides.filter(col("side") === 0).select("l_partkey").distinct().count()
+    val exB = sides.filter(col("side") === 1).select("l_partkey").distinct().count()
+    val exU = sides.select("l_partkey").distinct().count()
+    val r = SketchQueries.q85_set_overlap_sketch(spark, sf).head()
+    assert(r.getAs[Long]("n_a_exact") == exA)
+    assert(r.getAs[Long]("n_b_exact") == exB)
+    assert(r.getAs[Long]("n_union_exact") == exU)
+    assert(r.getAs[Long]("n_inter_exact") == exA + exB - exU)
+    for (c <- Seq("est_a_ok", "est_b_ok", "est_union_ok", "jaccard_ok"))
+      assert(r.getAs[Boolean](c), s"$c must be true")
+  }
+
+  test("KMV below-k inputs fall back to the exact size") {
+    // 200 distinct hashes < k=1024: the sketch IS the set, the estimator
+    // must report its exact size, not divide by a missing k-th element
+    val kmv = udaf(new Sketches.KmvSketch(1024))
+    val small = spark.range(200)
+      .select(xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue)).as("h"))
+    val sk = small.agg(kmv(col("h")).as("sk"))
+      .select(when(size(col("sk")) < 1024, size(col("sk")).cast("double"))
+        .otherwise(lit(-1.0)).as("est")).head()
+    assert(sk.getDouble(0) == 200.0)
   }
 
   test("quantile sketches merge across arbitrary shards without rescan") {
