@@ -178,7 +178,33 @@ object StreamingQueries {
       |FROM sid GROUP BY user_id, sess
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q98: the pure-interval stream-stream join's batch formulation —
+    * incident windows (every 200th event, 30 min) joined to every event
+    * inside them via the bucketed equi-key + exact BETWEEN
+    * ([[graft.streaming.StreamOps.incidentWindowJoin]]; watermarks no-op
+    * in batch). The streaming hop — symmetric hash join state expiring
+    * under both watermarks — is pinned in StreamingSpec; this row pins
+    * batch == DuckDB, where the oracle writes the bare interval join with
+    * no bucket artifacts (proving the bucketing is result-invisible).
+    */
+  def q98_stream_interval_join(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.incidentWindowJoin(Tables.events(s, dir))
+      .orderBy(col("window_id"), col("ev_id"))
+
+  val q98Sql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id, epoch_us(ts) AS w_us
+      |  FROM events WHERE event_id % 200 = 0
+      |)
+      |SELECT w.window_id, e.event_id AS ev_id, e.user_id,
+      |  CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+      |  w.w_us, epoch_us(e.ts) AS e_us
+      |FROM w JOIN events e
+      |  ON epoch_us(e.ts) >= w.w_us AND epoch_us(e.ts) <= w.w_us + 1800000000
+      |ORDER BY window_id, ev_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_stream_interval_join" -> (q98_stream_interval_join _),
     "q46_spend_milestones" -> (q46_spend_milestones _),
     "q52_stream_enrich" -> (q52_stream_enrich _),
     "q56_tumbling_watermark" -> (q56_tumbling_watermark _),
@@ -188,6 +214,7 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_stream_interval_join" -> q98Sql,
     "q46_spend_milestones" -> q46Sql,
     "q52_stream_enrich" -> q52Sql,
     "q56_tumbling_watermark" -> q56Sql,

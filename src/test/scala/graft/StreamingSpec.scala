@@ -245,6 +245,40 @@ class StreamingSpec extends SparkSpecBase {
       s"stream ${got.length} pairs vs batch ${expect.length}")
   }
 
+  test("pure-interval stream-stream join (bucketed equi-key): streaming == batch " +
+    "across micro-batches") {
+    // q98's streaming hop: an interval join with NO natural equality key,
+    // sharded through the symmetric hash join via time-bucket keys; one
+    // file per trigger so windows and their member events arrive in
+    // different micro-batches and the buffered state must pair them
+    val multi = Files.createTempDirectory("graft_iv_join")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count().toInt
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (part <- Seq(0, 1, 2)) {
+      val dir = multi.resolve(s"p$part")
+      e.offset(part * (n / 3)).limit(if (part < 2) n / 3 else n - 2 * (n / 3))
+        .write.parquet(dir.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.incidentWindowJoin(stream, everyN = 50, watermark = "365 days")
+      .writeStream.format("memory").queryName("ivjoin_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ivjoin_out").collect().map(_.toString).sorted
+    val expect = StreamOps.incidentWindowJoin(batchEvents, everyN = 50, watermark = "365 days")
+      .collect().map(_.toString).sorted
+    assert(i >= 3 && expect.nonEmpty && got.sameElements(expect),
+      s"stream ${got.length} pairs vs batch ${expect.length}")
+  }
+
   test("LEFT OUTER stream-stream join emits null-view rows after watermark expiry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
