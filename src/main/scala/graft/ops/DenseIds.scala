@@ -52,13 +52,17 @@ object DenseIds {
     // rebuild as pid -> rows-before-this-partition
     val offsetOf = offsets.sliding(2).collect {
       case Array((_, before), (pid, _)) => pid -> before
-    }.toMap
-    val offExpr = offsetOf.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    }.toSeq
+    // offsets return as a broadcast-joined (pid, offset) frame, NOT a
+    // folded when()-chain: a chain is O(nPartitions) deep, and at the
+    // thousands-of-range-partitions posture this targets it would stress
+    // codegen (64 KB method limit, slow constant folding) even though
+    // per-row cost is fine (round-5 ADVICE)
+    val spark = df.sparkSession
+    val offsetsDf = spark.createDataFrame(offsetOf).toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    sorted
-      .withColumn(idCol, offExpr + row_number().over(w).cast("long") - 1L)
-      .drop("__pid")
+    sorted.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(idCol, col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__pid", "__off")
   }
 }

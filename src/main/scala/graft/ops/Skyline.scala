@@ -31,8 +31,24 @@ object Skyline {
 
   def front2D(df: DataFrame, x: Column, y: Column,
       nPartitions: Int = 16): DataFrame = {
-    val sorted = df
-      .withColumn("__x", x).withColumn("__y", y.cast("long"))
+    // Integral x and y are a PRECONDITION, enforced here (round-5 ADVICE):
+    // strictness on x is implemented as RANGE ... -1 (i.e. "x ≤ cur − 1"),
+    // which with fractional x would exclude a row only 0.5 cheaper from
+    // the running max and let dominated rows survive; fractional y would
+    // silently truncate under the long cast. Fractional inputs should be
+    // scaled to integers first (cents, micros — the repo-wide contract).
+    val probe = df.withColumn("__x", x).withColumn("__y", y)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    for (c <- Seq("__x", "__y")) {
+      val dt = probe.schema(c).dataType
+      require(integral(dt),
+        s"front2D requires integral ${if (c == "__x") "x" else "y"} (got $dt): " +
+          "scale fractional dimensions to integers (e.g. cents) first")
+    }
+    val sorted = probe
+      .withColumn("__y", col("__y").cast("long"))
       .repartitionByRange(nPartitions, col("__x"))
       .sortWithinPartitions(col("__x"))
       .withColumn("__pid", spark_partition_id())
@@ -44,18 +60,22 @@ object Skyline {
     val prefix = maxima.scanLeft((0, Option.empty[Long])) {
       case ((_, acc), (pid, m)) => (pid, Some(acc.fold(m)(math.max(_, m))))
     }
+    // prefix maxima return as a broadcast-joined (pid, best) frame, not a
+    // folded when()-chain — the chain is O(nPartitions) deep and stresses
+    // codegen at thousands of range partitions (round-5 ADVICE; same fix
+    // as DenseIds). Left join: the first partition has no cheaper
+    // predecessor and keeps a null prefix.
     val prefixOf = prefix.sliding(2).collect {
-      case Array((_, before), (pid, _)) => pid -> before
-    }.toMap
-    val prefixExpr = prefixOf.foldLeft(lit(null).cast("long")) {
-      case (e, (pid, Some(v))) => when(col("__pid") === pid, lit(v)).otherwise(e)
-      case (e, (_, None)) => e
-    }
+      case Array((_, before), (pid, _)) if before.isDefined => pid -> before.get
+    }.toSeq
+    val spark = df.sparkSession
+    val prefixDf = spark.createDataFrame(prefixOf).toDF("__pid", "__pfx")
     val w = Window.partitionBy(col("__pid")).orderBy(col("__x"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    val best = greatest(max(col("__y")).over(w), prefixExpr)
-    sorted.withColumn("__best", best)
+    val best = greatest(max(col("__y")).over(w), col("__pfx"))
+    sorted.join(broadcast(prefixDf), Seq("__pid"), "left")
+      .withColumn("__best", best)
       .filter(col("__best").isNull || col("__y") > col("__best"))
-      .drop("__x", "__y", "__pid", "__best")
+      .drop("__x", "__y", "__pid", "__pfx", "__best")
   }
 }

@@ -82,9 +82,14 @@ object ExtensionQueries6 {
     val w = round(col("l_extendedprice") * 100).cast("long")
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
     // (the q13 note) — w_cents completes a total order up to fully
-    // identical rows, which are interchangeable under a cumsum
+    // identical rows. The frame is an explicit ROWS frame matching the
+    // oracle's: under Spark's default RANGE frame, order-by PEERS (fully
+    // duplicate rows) would share one cum value while DuckDB's ROWS frame
+    // assigns them consecutive ones — identical rows are interchangeable
+    // only per-row, not per-peer-group (round-5 ADVICE).
     val win = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("shuffle_key"), col("l_orderkey"), col("l_linenumber"), col("w_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         h.as("shuffle_key"), w.as("w_cents"))
       .withColumn("cum", sum(col("w_cents")).over(win))
