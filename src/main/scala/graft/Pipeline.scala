@@ -210,6 +210,27 @@ object Pipeline {
       .drop("__file_order", "__rn")
   }
 
+  /** Columns the reference holds as int64 unless a merge introduced NaN
+    * (`to_int` coercions and integer sums, etl_merge.py load/agg steps) —
+    * the CSV sink's dynamic-dtype hint for byte parity (SURVEY §2 A5).
+    */
+  val IntLineageColumns: Set[String] =
+    Set("clicks", "impressions", "users", "sessions", "engaged_sessions")
+
+  /** The reference's OUTPUT row order, as a joinable (url, __spine_ord)
+    * frame: pandas' left merges preserve the frog spine's file order
+    * (first occurrence per url — `etl_merge.py:760-762` dedup +
+    * left-merge chain), an order Spark's shuffling joins do not keep.
+    * The formatted CSV sink re-imposes it for byte parity with
+    * `merged_visibility.csv`. Same read-order surrogate as
+    * [[dedupSpine]].
+    */
+  def spineOrder(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    loadFrog(spark, cfg)
+      .filter(col("url").isNotNull && length(col("url")) > 0)
+      .withColumn("__spine_ord", monotonically_increasing_id())
+      .groupBy(col("url")).agg(min(col("__spine_ord")).as("__spine_ord"))
+
   /** Full merged frame (stages 5-11 of SURVEY §3.1). Stage row counts
     * (SURVEY §2 E8 — the reference logs len(df) per stage) ride along as
     * `observe` metrics: zero extra jobs, readable from the returned frame's

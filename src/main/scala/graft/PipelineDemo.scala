@@ -80,7 +80,11 @@ object PipelineDemo {
     val mergedRows = merged.count()
     if (yamlMode) { // the reference's canonical single formatted-CSV output
       val rel = graft.ingest.YamlConfig.mergedCsvPath(yamlText)
-      Outputs.writeCsvFormatted(merged, s"$outDir/$rel")
+      val ordered = merged.join(
+        Pipeline.spineOrder(spark, cfg), Seq("url"), "left")
+      Outputs.writeCsvFormatted(ordered, s"$outDir/$rel",
+        orderBy = Seq(org.apache.spark.sql.functions.col("__spine_ord")),
+        intLineage = Pipeline.IntLineageColumns)
       println(s"Merged data exported to $outDir/$rel")
     }
     if (runLogOn) {

@@ -27,19 +27,69 @@ object Outputs {
     if (s.exists(c => c == ',' || c == '"' || c == '\n'))
       "\"" + s.replace("\"", "\"\"") + "\"" else s
 
-  /** CSV sink with the reference's fixed float format (SURVEY §2 A5,
-    * `float_format="%.6f"` — no scientific notation): doubles render as
-    * 6-decimal strings, nulls stay empty cells.
+  /** CSV sink with the reference's exact output contract (SURVEY §2 A5,
+    * `to_csv(..., index=False, float_format="%.6f")`, etl_merge.py:901):
+    * doubles render as 6-decimal non-scientific strings, nulls stay empty
+    * cells, minimal quoting, and the result is ONE real CSV file at
+    * `path` (not a part-file directory) — byte-identical drop-in for the
+    * reference's `merged_visibility.csv` (pinned in GoldenDemoSpec).
+    * `orderBy` pins the row order (pandas' left merge preserves the frog
+    * spine's file order; Spark must impose it explicitly); helper `__`
+    * columns used only for ordering are excluded from the output.
     */
-  def writeCsvFormatted(df: DataFrame, path: String): Unit = {
-    val cols = df.schema.fields.map { f =>
-      if (f.dataType == DoubleType)
+  def writeCsvFormatted(df: DataFrame, path: String,
+      orderBy: Seq[org.apache.spark.sql.Column] = Nil,
+      intLineage: Set[String] = Set.empty): Unit = {
+    // pandas' DYNAMIC dtype, emulated for byte parity: a reference column
+    // whose lineage is integer (to_int coercions, sums of ints) stays
+    // int64 — printed bare — unless the left merge introduced a NaN, which
+    // silently promotes the WHOLE column to float64 and %.6f-formats every
+    // value. For the declared int-lineage columns held as doubles here,
+    // one bounded 1-row aggregate asks "any null? any fractional value?"
+    // and picks the rendering pandas would have picked.
+    val dblInt = df.schema.fields
+      .filter(f => f.dataType == DoubleType && intLineage(f.name)).map(_.name)
+    val bareInt: Set[String] =
+      if (dblInt.isEmpty) Set.empty
+      else {
+        val aggs = dblInt.flatMap { c =>
+          Seq(max(when(col(c).isNull, 1).otherwise(0)).as(s"__n_$c"),
+            max(when(col(c) =!= round(col(c)), 1).otherwise(0)).as(s"__f_$c"))
+        }
+        val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+        dblInt.filter { c =>
+          r.getAs[Any](s"__n_$c") == 0 && (r.getAs[Any](s"__f_$c") match {
+            case null => true; case 0 => true; case _ => false
+          })
+        }.toSet
+      }
+    val cols = df.schema.fields.filterNot(_.name.startsWith("__")).map { f =>
+      if (f.dataType == DoubleType && bareInt(f.name))
+        col(f.name).cast("long").as(f.name)
+      else if (f.dataType == DoubleType)
         when(col(f.name).isNotNull, format_string("%.6f", col(f.name)))
           .as(f.name)
       else col(f.name)
     }
-    df.select(cols.toIndexedSeq: _*).coalesce(1)
-      .write.mode("overwrite").option("header", "true").csv(path)
+    val one =
+      if (orderBy.nonEmpty) df.repartition(1).sortWithinPartitions(orderBy: _*)
+      else df.coalesce(1)
+    val tmp = path + "__tmp"
+    one.select(cols.toIndexedSeq: _*)
+      .write.mode("overwrite").option("header", "true")
+      .option("emptyValue", "").csv(tmp)
+    // promote the single part file to `path` like the reference's one-file
+    // to_csv, then drop the Spark output directory
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(Paths.get(tmp))
+    val entries = try listing.iterator().asScala.toList finally listing.close()
+    val part = entries.find(_.getFileName.toString.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    Files.move(part, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    entries.filterNot(_ == part).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(Paths.get(tmp))
   }
 
   /** Size-governed parquet sink — the 100 TB output-hygiene counterpart of

@@ -105,6 +105,28 @@ class GoldenDemoSpec extends SparkSpecBase {
     }
   }
 
+  test("formatted CSV sink reproduces the reference's merged_visibility.csv BYTE-identically") {
+    // the golden fixture is the literal file written by a pinned-clock run
+    // of the reference (`merged.to_csv(out_csv, index=False,
+    // float_format="%.6f")`, etl_merge.py:901) over data_demo — same
+    // RUN_ID/timestamp as this spec's cfg. Spine file order re-imposed
+    // (pandas left merges keep it; Spark joins don't) and the int-lineage
+    // dynamic-dtype hint picks pandas' bare-int rendering for the no-null
+    // sum columns.
+    val out = Files.createTempDirectory("graft_golden_csv")
+      .resolve("merged_visibility.csv").toString
+    val ordered = merged.join(
+      Pipeline.spineOrder(spark, cfg), Seq("url"), "left")
+    graft.sinks.Outputs.writeCsvFormatted(ordered, out,
+      orderBy = Seq(org.apache.spark.sql.functions.col("__spine_ord")),
+      intLineage = Pipeline.IntLineageColumns)
+    val got = Files.readAllBytes(Paths.get(out))
+    val expect = getClass.getResourceAsStream("/golden/merged_visibility_reference.csv")
+      .readAllBytes()
+    assert(java.util.Arrays.equals(got, expect),
+      s"CSV differs from the reference run (${got.length} vs ${expect.length} bytes)")
+  }
+
   test("ctr_debug slice carries all 20 candidates; schema_gaps flags all 20 blank-schema rows") {
     assert(Pipeline.ctrDebugSlice(merged, cfg).count() == 20) // candidates=20 in the reference log
     assert(Pipeline.schemaGaps(merged).count() == 20) // demo frog has no Schema/Structured-Data column
