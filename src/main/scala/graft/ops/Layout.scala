@@ -33,6 +33,53 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Spread a 16-bit value's bits to the even positions of a 32-bit
+    * value (the Morton magic-number sequence — five shift/mask steps,
+    * all codegen'd builtins, no UDF).
+    */
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var x = c.cast("long")
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Interleaved (Z-order) clustering over TWO predicate columns — the
+    * multi-dimensional counterpart of [[clusteredWrite]] (round-5 verdict
+    * ask #7). Linear clustering on (a, b) prunes a-predicates perfectly
+    * and b-predicates not at all; interleaving the bits of both columns
+    * into one Morton key and range-clustering on THAT gives every file a
+    * compact rectangle in (a, b) space, so a point or range predicate on
+    * EITHER column touches only the ~√nFiles files whose rectangles cross
+    * it — the standard two-predicate layout (Delta/Iceberg `ZORDER BY`).
+    *
+    * Each column is first normalized to 16-bit rank space with a bounded
+    * 1-row min/max aggregate (integer arithmetic; integral columns
+    * required, the repo-wide cents/micros contract). Min/max scaling
+    * keeps the write one extra scan; heavily skewed dimensions would
+    * want quantile-rank normalization instead — same key shape, pluggable
+    * here.
+    */
+  def zOrderedWrite(df: DataFrame, path: String, nFiles: Int,
+      colA: String, colB: String): Unit = {
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2), "z-order columns must be non-null")
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(hi - lo, 1L)
+      expr(s"(($c - ${lo}L) * 65535L) div ${span}L")
+    }
+    val z = spread16(norm(colA, r.getLong(0), r.getLong(1)))
+      .bitwiseOR(shiftleft(spread16(norm(colB, r.getLong(2), r.getLong(3))), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-file [min, max] of `c` over a written dataset — the evidence
     * that a layout prunes: disjoint ranges mean a point predicate can
     * touch only one file. Reads only the clustered column.

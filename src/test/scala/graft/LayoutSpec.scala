@@ -37,6 +37,35 @@ class LayoutSpec extends SparkSpecBase {
     assert(files <= 1, s"point predicate touched $files files")
   }
 
+  test("z-order: a point predicate on EITHER column touches ~sqrt of the files; " +
+    "linear clustering fails the second column") {
+    // 128×128 uniform grid, 16 files: ideal Morton tiling gives each file
+    // one 32×32 rectangle, so a point predicate on either axis crosses 4
+    // of 16 files (√n). Allow sampling fuzz up to 6. Linear clustering on
+    // x leaves every file spanning all of y — the second predicate
+    // touches everything.
+    val grid = spark.range(128L * 128)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val zdir = Files.createTempDirectory("graft_layout_z").toString + "/g"
+    Layout.zOrderedWrite(grid, zdir, 16, "x", "y")
+    def touched(dir: String, c: String, v: Long): Long =
+      Layout.fileRanges(spark, dir, c)
+        .filter(col("lo") <= v && col("hi") >= v).count()
+    val nz = Layout.fileRanges(spark, zdir, "x").count()
+    assert(nz == 16, s"expected 16 z-ordered files, got $nz")
+    for (v <- Seq(5L, 40L, 77L, 120L)) {
+      assert(touched(zdir, "x", v) <= 6, s"x=$v touched ${touched(zdir, "x", v)} files")
+      assert(touched(zdir, "y", v) <= 6, s"y=$v touched ${touched(zdir, "y", v)} files")
+    }
+    val ldir = Files.createTempDirectory("graft_layout_l").toString + "/g"
+    Layout.clusteredWrite(grid, ldir, 16, "x")
+    // x prunes perfectly under linear clustering...
+    assert(touched(ldir, "x", 40L) <= 2)
+    // ...but y cannot prune at all: every file spans the full y range
+    assert(touched(ldir, "y", 40L) >= 14,
+      "linear layout unexpectedly pruned the non-cluster column")
+  }
+
   test("multi-column clustering orders within files by the full key") {
     val dir = Files.createTempDirectory("graft_layout3").toString + "/li"
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
