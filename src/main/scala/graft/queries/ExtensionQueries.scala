@@ -18,7 +18,7 @@ object ExtensionQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** DuckDB polyhash mirror over an arbitrary string SQL expression. */
-  private def phSql(e: String): String =
+  private[queries] def phSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e)+1), ch_i -> CAST(ascii(substring($e, ch_i, 1)) AS BIGINT))), " +
       s"(ph_a, ph_b) -> (ph_a*31 + ph_b) % 1000000007)"

@@ -140,4 +140,34 @@ class DedupSpec extends SparkSpecBase {
       (12L, false, true, false),
       (13L, true, true, false)))
   }
+
+  test("incrementalMinhash: near-copies drop against index and earlier delta; " +
+    "fresh docs survive; corpus is never re-emitted") {
+    // distinct word streams so unrelated docs share no shingles; copies
+    // drop the last 2 of 12 tokens → high true jaccard
+    def doc(seed: Int) = (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+    def near(seed: Int) = (0 until 10).map(i => s"w${seed}_$i").mkString(" ")
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, near(1)),  // near-copy of indexed doc 1 → drop, dup_of = 1
+      (11L, doc(3)),   // genuinely new → keep
+      (12L, near(3)),  // near-copy of EARLIER delta 11 → drop, dup_of = 11
+      (13L, doc(4))    // new → keep
+    ).toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+      .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
+    val out = Dedup.incrementalMinhash(sigs(corpus), sigs(delta), "doc_id",
+        bands = 16, minEstJ = 0.4)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (10L, false, 1L),
+      (11L, true, -1L),
+      (12L, false, 11L),
+      (13L, true, -1L)))
+    // only delta rows come back — the indexed corpus is never re-emitted
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+  }
 }
