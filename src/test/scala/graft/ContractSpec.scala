@@ -22,14 +22,8 @@ class ContractSpec extends SparkSpecBase {
     "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet),
     "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet),
     "sketch" -> (SketchQueries.queries.keySet, SketchQueries.oracle.keySet),
-    "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet))
-
-  /** The sketch-tier queries whose ESTIMATES cannot hash-match another
-    * engine's sketch — rows-only by design, bounds pinned in SketchSpec.
-    */
-  private val sketchOnly =
-    Set("q81_hll_distinct", "q82_quantile_sketch", "q83_heavy_hitters",
-      "q85_set_overlap_sketch")
+    "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet),
+    "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -45,15 +39,16 @@ class ContractSpec extends SparkSpecBase {
     // the q38/q70 mirrors embed the trained centroids, so their entries
     // exist only after a query has trained the dir's model (Verify's order
     // guarantees that in the driver gate). Everything else always carries
-    // its DuckDB oracle.
+    // its DuckDB oracle — since round 6 that includes the sketch tier
+    // (certified exact-plus-boolean rows, round-5 verdict ask #2).
     assert(qs.diff(os).subsetOf(
-      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq") ++ sketchOnly),
+      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
-    assert(SparkEntry.oracleSql.keySet == qs -- sketchOnly,
+    assert(SparkEntry.oracleSql.keySet == qs,
       "generated oracles missing after training (Verify would dump an incomplete map)")
-    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs -- sketchOnly)
+    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
   }
 
   test("entry (driver smoke) returns rows at sf0.001") {
