@@ -80,6 +80,41 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** [[zOrderedWrite]] with QUANTILE-RANK normalization — the skew-robust
+    * variant. Min/max scaling collapses under outliers: one 10⁹ value
+    * squeezes every normal value into code ~0, and the interleaved key
+    * stops spreading that dimension at all (its per-file ranges all
+    * contain the hot codes → zero pruning). Here each column maps to its
+    * ~equi-depth bucket index instead: boundaries from a driver-bounded
+    * `approxQuantile` (256 buckets → 8 bits per dimension), the per-row
+    * code a codegen'd fold over the boundary literal array (256
+    * comparisons — the LSH-projection cost class, no when()-chain).
+    * Works for any numeric column, fractional included — ranks don't
+    * need the integral contract.
+    */
+  def zOrderedWriteByRank(df: DataFrame, path: String, nFiles: Int,
+      colA: String, colB: String): Unit = {
+    val nb = 256
+    def codeOf(c: String): org.apache.spark.sql.Column = {
+      val probs = (1 until nb).map(_.toDouble / nb).toArray
+      // duplicate boundaries are KEPT: a value holding k/nb of the mass
+      // spans k codes, so the code space stays dense 0..nb-1 (equi-depth)
+      // and the Morton tiles stay square even when the column has far
+      // fewer distinct values than buckets
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      val bArr = array(bounds.map(lit).toIndexedSeq: _*)
+      aggregate(bArr, lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    val z = spread16(codeOf(colA))
+      .bitwiseOR(shiftleft(spread16(codeOf(colB)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Per-file [min, max] of `c` over a written dataset — the evidence
     * that a layout prunes: disjoint ranges mean a point predicate can
     * touch only one file. Reads only the clustered column.

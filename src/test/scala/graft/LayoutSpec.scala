@@ -73,6 +73,35 @@ class LayoutSpec extends SparkSpecBase {
       "linear layout unexpectedly pruned the non-cluster column")
   }
 
+  test("rank-normalized z-order keeps pruning under an outlier that kills min/max scaling") {
+    // one 10^9 outlier in x: min/max normalization maps every normal x
+    // (0..127) to code 0, so every file's x-range covers every normal
+    // probe — pruning dead. Quantile-rank codes spread the normal values
+    // over the full 8-bit space regardless of the outlier.
+    val skewed = spark.range(128L * 128)
+      .select(when(col("id") === 0, 1000000000L).otherwise(col("id") % 128).as("x"),
+        (col("id") / 128).cast("long").as("y"))
+    def touched(dir: String, c: String, v: Long): Long =
+      Layout.fileRanges(spark, dir, c)
+        .filter(col("lo") <= v && col("hi") >= v).count()
+    val mmdir = Files.createTempDirectory("graft_layout_mm").toString + "/g"
+    Layout.zOrderedWrite(skewed, mmdir, 16, "x", "y")
+    val rkdir = Files.createTempDirectory("graft_layout_rk").toString + "/g"
+    Layout.zOrderedWriteByRank(skewed, rkdir, 16, "x", "y")
+    val probes = Seq(5L, 40L, 77L, 120L)
+    val mm = probes.map(v => touched(mmdir, "x", v))
+    val rk = probes.map(v => touched(rkdir, "x", v))
+    // the load-bearing contrast: min/max collapse reads ~everything,
+    // rank codes keep pruning (ideal 4; boundary jitter adds straddles)
+    assert(mm.forall(_ >= 12),
+      s"min/max scaling should have collapsed x under the outlier (touched $mm)")
+    rk.zip(probes).foreach { case (n, v) =>
+      assert(n <= 10, s"rank z-order: x=$v touched $n of 16 files") }
+    assert(rk.sum.toDouble / rk.size <= 7.5, s"rank z-order mean touched $rk")
+    // y stays prunable in the rank layout too
+    assert(touched(rkdir, "y", 40L) <= 10)
+  }
+
   test("multi-column clustering orders within files by the full key") {
     val dir = Files.createTempDirectory("graft_layout3").toString + "/li"
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")

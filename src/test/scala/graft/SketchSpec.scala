@@ -183,6 +183,27 @@ class SketchSpec extends SparkSpecBase {
     assert(sk.getDouble(0) == 200.0)
   }
 
+  test("stored sketch bytes survive a parquet round-trip and still merge (wire format)") {
+    // the per-day/per-shard archive story: write sketch BYTES to parquet,
+    // read them back (as any later session would), fold the stored rows.
+    // The hand-rolled (version, eps, count, triples) format — not Java
+    // serialization of Spark's internal class — is what makes the stored
+    // bytes durable across Spark upgrades (round-5 ADVICE).
+    val skAgg = udaf(new Sketches.QuantileSketchBytes(Sketches.DefaultEps))
+    val mergeQ = udaf(new Sketches.QuantileSketchMergeQuery(Sketches.DefaultEps, Seq(0.5)))
+    val li = Tables.lineitem(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_store").toString
+    li.groupBy(pmod(col("l_orderkey"), lit(4)).as("shard"))
+      .agg(skAgg(col("l_extendedprice")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    val stored = spark.read.parquet(s"$dir/sketches")
+    val p50 = stored.agg(mergeQ(col("sk")).as("qs"))
+      .select(col("qs").getItem(0)).head().getDouble(0)
+    val n = li.count()
+    assertRankWithin(li, "l_extendedprice", p50, 0.5, n,
+      2.0 * Sketches.DefaultEps * n, "stored+merged p50")
+  }
+
   test("quantile sketches merge across arbitrary shards without rescan") {
     // shard by orderkey (uncorrelated with price), store one sketch per
     // shard, fold the four stored sketches — never re-reading the rows
