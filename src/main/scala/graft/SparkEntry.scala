@@ -29,6 +29,7 @@ object SparkEntry {
     * never emits another dir's model.
     */
   def oracleSqlFor(dir: String): Map[String, String] =
-    (oracleSql - "q38_ann_ivf" - "q70_semdedup" - "q93_ann_ivfpq") ++
-      ExtensionQueries2.oracleFor(dir) ++ ExtensionQueries6.oracleFor(dir)
+    (oracleSql - "q38_ann_ivf" - "q70_semdedup" - "q93_ann_ivfpq" - "q100_pca_project") ++
+      ExtensionQueries2.oracleFor(dir) ++ ExtensionQueries6.oracleFor(dir) ++
+      ExtensionQueries7.oracleFor(dir)
 }

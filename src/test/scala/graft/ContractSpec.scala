@@ -42,10 +42,11 @@ class ContractSpec extends SparkSpecBase {
     // its DuckDB oracle — since round 6 that includes the sketch tier
     // (certified exact-plus-boolean rows, round-5 verdict ask #2).
     assert(qs.diff(os).subsetOf(
-      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq")),
+      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
+    ExtensionQueries7.q100_pca_project(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs,
       "generated oracles missing after training (Verify would dump an incomplete map)")
     assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)

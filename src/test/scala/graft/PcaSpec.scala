@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.PcaProject
+
+/** PcaProject's mathematical contract: the Jacobi eigensolver against
+  * known spectra, the trained components' orthonormality and variance
+  * ordering, and determinism (the property the generated q100 oracle
+  * mirror hangs on).
+  */
+class PcaSpec extends SparkSpecBase {
+
+  test("jacobiEigen recovers a known diagonal spectrum and eigenvectors") {
+    val m = Array(
+      Array(3.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 2.0))
+    val (vals, vecs) = PcaProject.jacobiEigen(m)
+    assert(vals.sorted.sameElements(Array(1.0, 2.0, 3.0)))
+    // eigenvectors of a diagonal matrix are the axes (up to sign)
+    for (c <- 0 until 3) {
+      val col = (0 until 3).map(i => math.abs(vecs(i)(c)))
+      assert(math.abs(col.max - 1.0) < 1e-12 && col.sum - col.max < 1e-12)
+    }
+  }
+
+  test("jacobiEigen solves a 2x2 with known closed-form eigenvalues") {
+    // [[2,1],[1,2]] → eigenvalues 1 and 3
+    val (vals, _) = PcaProject.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val s = vals.sorted
+    assert(math.abs(s(0) - 1.0) < 1e-12 && math.abs(s(1) - 3.0) < 1e-12)
+  }
+
+  test("trained components are orthonormal, variance-ordered, sign-pinned, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val a = PcaProject.train(emb, "vec_id", "embedding", k = 8)
+    val b = PcaProject.train(emb, "vec_id", "embedding", k = 8)
+    // determinism: identical model bit for bit
+    assert(a.mean.sameElements(b.mean))
+    assert(a.components.zip(b.components).forall { case (x, y) => x.sameElements(y) })
+    // orthonormality
+    for (i <- a.components.indices; j <- i until a.components.length) {
+      val d = a.components(i).zip(a.components(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"components ${i}x${j} dot = $d")
+    }
+    // sign convention: the largest-|x| coordinate is positive
+    for (c <- a.components) {
+      val pivot = c.indices.maxBy(i => (math.abs(c(i)), -i))
+      assert(c(pivot) > 0.0)
+    }
+    // projected variance is non-increasing across components (sorted spectrum)
+    val projs = PcaProject.projections(a, col("v"))
+    val rows = emb.select(graft.ext.Similarity.toDouble(col("embedding")).as("v"))
+      .select(projs: _*)
+      .agg(sum(col("p0") * col("p0")), sum(col("p1") * col("p1")),
+        sum(col("p2") * col("p2")), sum(col("p3") * col("p3")),
+        sum(col("p4") * col("p4")), sum(col("p5") * col("p5")),
+        sum(col("p6") * col("p6")), sum(col("p7") * col("p7")))
+      .head()
+    val ss = (0 until 8).map(rows.getDouble)
+    // sample-trained on the same data → SS follows the eigenvalue order;
+    // allow 2% slack for mean-offset between literal mean and exact mean
+    ss.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi >= lo * 0.98, s"variance order violated: $ss") }
+  }
+}
