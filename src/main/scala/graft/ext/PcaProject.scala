@@ -138,4 +138,45 @@ object PcaProject {
     aggregate(zip_with(vec, m, (x, mu) => (x - mu) * (x - mu)),
       lit(0.0), (acc, x) => acc + x)
   }
+
+  /** All k projections as ONE array column (the reduced vector). */
+  def projectAll(model: Model, vec: Column): Column =
+    array(model.components.indices.map(j => projectAt(model, vec, j)): _*)
+
+  /** PCA-shortlist ANN with exact rerank — what the projection is FOR:
+    * rank candidates by squared L2 in the k-dim projected space (k/dim of
+    * the full-distance cost per pair; projections are orthonormal, so
+    * projected L2 lower-bounds full L2), keep `shortlist` per probe, then
+    * rerank the shortlist by exact full-dimension L2 and keep `k`. The
+    * same two-stage shape as [[PqIndex]]'s ADC+rerank with the projection
+    * replacing the codebook. Ties break on candidate id at both stages —
+    * fully deterministic, mirrorable.
+    */
+  def pcaTopK(emb: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      isProbe: Column, k: Int, model: Model,
+      shortlist: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("pv", projectAll(model, col("v")))
+      .transform(graft.core.CacheScope.scoped)
+    val probes = base.filter(isProbe)
+      .select(col("id").as("probe_id"), col("v").as("qv"), col("pv").as("qp"))
+    val cands = base
+      .select(col("id").as("cand_id"), col("v").as("cv"), col("pv").as("cp"))
+    val wShort = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pd"), col("cand_id"))
+    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("qv"), col("cv"),
+        graft.functions.VectorOps.l2sq(col("qp"), col("cp")).as("pd"))
+      .withColumn("prank", row_number().over(wShort))
+      .filter(col("prank") <= shortlist)
+    val wFinal = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d"), col("cand_id"))
+    short.select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorOps.l2sq(col("qv"), col("cv")).as("d"))
+      .withColumn("rank", row_number().over(wFinal).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"), col("d"))
+  }
 }

@@ -197,13 +197,81 @@ object ExtensionQueries7 {
        |FROM p, s ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+
+  /** Recall floor for the PCA-shortlist path. Calibrated like q47/q97:
+    * random 25-of-499 shortlisting would land 25/499 ≈ 0.05 of the exact
+    * top-5 in the shortlist; measured recall is 0.370 at sf0.01 and
+    * 0.150 at sf0.1 (2000 candidates for the same 25-slot shortlist —
+    * random baseline 0.0125 there). 0.10 is the regression alarm: 2-8×
+    * the random baselines, below the measured value at either scale.
+    */
+  private val PcaRecallFloor = 0.10
+
+  /** q101: PCA-shortlist ANN recall certification (the q97 pattern for
+    * the projected index): exact brute-force L2 top-5 per probe is
+    * computed in-engine, the [[graft.ext.PcaProject.pcaTopK]] hits are
+    * counted against it, and the output row is (n_exact, recall ≥ floor)
+    * — DuckDB independently derives n_exact and pins the boolean TRUE,
+    * so a regression in training, projection, shortlisting, or rerank
+    * turns a hash-green row red. Probe-bounded (20 probes), the
+    * certification cost, not a serving path.
+    */
+  def q101_pca_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = pcaModel(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val raw = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val a = raw.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cand_id"))
+    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("probe_id"), col("cand_id"))
+    val pca = PcaProject.pcaTopK(e, "vec_id", "embedding",
+        col("id") < 20, 5, model, shortlist = 25)
+      .select(col("probe_id"), col("cand_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(pca, Seq("probe_id", "cand_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    nExact.crossJoin(hits)
+      .select(col("n_exact"),
+        (col("__hits").cast("double") / col("n_exact") >= PcaRecallFloor)
+          .as("pca_recall_ok"))
+  }
+
+  val q101Sql: String = {
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), rr_i -> " +
+        s"(CAST($a[rr_i] AS DOUBLE) - CAST($b[rr_i] AS DOUBLE)) * " +
+        s"(CAST($a[rr_i] AS DOUBLE) - CAST($b[rr_i] AS DOUBLE)))), " +
+        s"(rr_x, rr_y) -> rr_x + rr_y)"
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       |s AS (
+       |  SELECT probe_id, cand_id, ${l2("pv", "cv")} AS d
+       |  FROM p CROSS JOIN c WHERE probe_id <> cand_id
+       |), topk AS (
+       |  SELECT probe_id, cand_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) AS rank
+       |  FROM s QUALIFY rank <= 5
+       |)
+       |SELECT count(*) AS n_exact, true AS pca_recall_ok FROM topk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q99_incremental_minhash" -> (q99_incremental_minhash _),
-    "q100_pca_project" -> (q100_pca_project _)
+    "q100_pca_project" -> (q100_pca_project _),
+    "q101_pca_ann_recall" -> (q101_pca_ann_recall _)
   )
 
   private val baseOracle: Map[String, String] = Map(
-    "q99_incremental_minhash" -> q99Sql
+    "q99_incremental_minhash" -> q99Sql,
+    "q101_pca_ann_recall" -> q101Sql
   )
 
   /** Mirror resolved for a specific trained dir (the q38 pattern). */

@@ -64,4 +64,36 @@ class PcaSpec extends SparkSpecBase {
     ss.sliding(2).foreach { case Seq(hi, lo) =>
       assert(hi >= lo * 0.98, s"variance order violated: $ss") }
   }
+
+  test("pcaTopK recall clears the q101 floor with margin over random shortlisting") {
+    // measured 0.370 / 0.150; spec floors sit below (deterministic data,
+    // but leave headroom so a benign re-train tweak doesn't flap the spec)
+    for ((sf, floor) <- Seq("/root/testdata/sf0.01" -> 0.30, "/root/testdata/sf0.1" -> 0.12))
+      checkRecall(sf, floor)
+  }
+
+  private def checkRecall(sf: String, specFloor: Double): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val model = PcaProject.train(emb, "vec_id", "embedding", k = 8)
+    val raw = emb.select(col("vec_id"), graft.ext.Similarity.toDouble(col("embedding")).as("v"))
+    val a = raw.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cand_id"))
+    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select("probe_id", "cand_id")
+    val pca = PcaProject.pcaTopK(emb, "vec_id", "embedding",
+        col("id") < 20, 5, model, shortlist = 25)
+      .select("probe_id", "cand_id")
+    val nExact = exact.count()
+    val hits = exact.join(pca, Seq("probe_id", "cand_id"), "left_semi").count()
+    val recall = hits.toDouble / nExact
+    info(f"$sf: pca-shortlist recall@5 = $recall%.3f ($hits/$nExact)")
+    // random shortlists land at 25/n_cands (0.05 / 0.0125); oracle floor 0.10
+    assert(recall >= specFloor, f"$sf: recall $recall%.3f too close to the q101 floor")
+  }
 }
