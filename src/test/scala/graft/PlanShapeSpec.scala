@@ -154,6 +154,33 @@ class PlanShapeSpec extends SparkSpecBase {
       "skyline must run its running max within range partitions")
   }
 
+  test("q98: the streaming-composable interval join is a hash equi-join on bucket keys") {
+    val p = plan("q98_stream_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the bucketed interval join must never degrade to BNLJ/cartesian")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "bucket equi-join missing")
+  }
+
+  test("q99: incremental MinHash admission joins on band keys, never all-pairs") {
+    val p = plan("q99_incremental_minhash")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must go through the band-key equi-join")
+    // the probe/index join keys on (band, bk); the sig-verify joins key on ids
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "band-key equi-join missing")
+  }
+
+  test("q100: PCA projection stays scan-shaped — no joins beyond the 1-row stats fan-out") {
+    val p = plan("q100_pca_project")
+    // exactly one scalar fan-out: the explained-variance stats row
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian in the projection")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "projection must not shuffle a join — components are plan literals")
+    assert(!p.matches("(?s).*windowspecdefinition\\((?!.*__pid).*"),
+      "no window should appear in the projection path")
+  }
+
   test("q83: heavy-hitter aggregation is partial (summaries merge, keys never shuffle raw)") {
     val p = plan("q83_heavy_hitters")
     // typed-aggregator partial mode: an ObjectHashAggregate/SortAggregate pair

@@ -404,6 +404,69 @@ class StreamingSpec extends SparkSpecBase {
     assert(total == batchEvents.count() * 2) // each event in exactly 2 windows
   }
 
+  test("incremental MinHash admission as a foreachBatch loop over crawl drops == one-shot batch") {
+    import graft.ext.{Dedup, TextAnalysis}
+    // corpus index: docs 0-149's signatures; drops: fresh docs 150-199,
+    // then doctored near-copies of those fresh docs (ids +100000) — the
+    // copies arrive in a LATER micro-batch, so their drops must resolve
+    // against index entries accumulated from the EARLIER batch. Streaming
+    // admission is ARRIVAL-order (whatever is already in the index wins);
+    // it equals the one-shot greedy-by-id batch result exactly when drops
+    // arrive in id order, which the fixture pins via file mtimes (the
+    // file source processes oldest-first).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 8)
+      .select(col("doc_id"), col("text"))
+    def sigsOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+      .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
+    val corpus = docs.filter(col("doc_id") < 150)
+    val fresh = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+    val toks = TextAnalysis.tokens(col("text"))
+    val copies = fresh.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 5, lit(3)))).as("text"))
+    val drops = Files.createTempDirectory("graft_admit")
+    val src = drops.resolve("in"); Files.createDirectory(src)
+    fresh.coalesce(1).write.parquet(drops.resolve("a").toString)
+    copies.coalesce(1).write.parquet(drops.resolve("b").toString)
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    for ((d, i) <- Seq("a", "b").zipWithIndex;
+         f <- Files.list(drops.resolve(d)).iterator().asScala
+           .filter(_.toString.endsWith(".parquet"))) {
+      val dst = src.resolve(f"drop_$i%02d.parquet")
+      Files.copy(f, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(now - 600000L + i * 60000L))
+    }
+    val schema = docs.schema
+    // accumulated index rows (id, sig) — in production a parquet index
+    // table appended per drop; here a driver-held buffer
+    var index = sigsOf(corpus).collect().toSeq
+    val decisions = scala.collection.mutable.ArrayBuffer[(Long, Boolean, Any)]()
+    val sigSchema = sigsOf(corpus).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idxDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(index), sigSchema)
+        val sigs = sigsOf(batch)
+        decisions ++= Dedup.incrementalMinhash(idxDf, sigs, "doc_id", 16, 0.4)
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), r.get(2)))
+        index = index ++ sigs.collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val oneShot = Dedup.incrementalMinhash(
+        sigsOf(corpus), sigsOf(fresh.unionByName(copies)), "doc_id", 16, 0.4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.get(2))).toSet
+    assert(decisions.nonEmpty && decisions.toSet == oneShot,
+      s"streamed admission diverged: ${decisions.size} vs ${oneShot.size}")
+    // the later batch's copies actually dropped against the EARLIER batch
+    val copyDrops = decisions.filter(d => d._1 >= 100000L && !d._2)
+    assert(copyDrops.nonEmpty, "no cross-batch near-dup was dropped")
+  }
+
   test("visibility loop: two streamed GSC drops == one batch merge; replay is idempotent") {
     import graft.streaming.VisibilityLoop
     val demo = "/root/reference/data_demo"
