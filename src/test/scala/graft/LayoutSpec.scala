@@ -102,6 +102,54 @@ class LayoutSpec extends SparkSpecBase {
     assert(touched(rkdir, "y", 40L) <= 10)
   }
 
+  test("HilbertIndex: first-quadrant order and the always-adjacent invariant") {
+    import spark.implicits._
+    // bits=1 base case: the standard U-shaped visit order
+    val q = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(graft.functions.HilbertIndex.hilbert(col("x"), col("y"), 1).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q == Seq(0L, 1L, 2L, 3L), s"bits=1 order was $q")
+    // bits=4 (16×16): consecutive indexes must be ADJACENT cells — the
+    // property Morton lacks (its seams jump diagonally) and the reason
+    // Hilbert clustering prunes 2-D ranges better
+    val cells = spark.range(256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+      .select(col("x"), col("y"),
+        graft.functions.HilbertIndex.hilbert(col("x"), col("y"), 4).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L), "d must be a bijection")
+    cells.map(_._2).toSeq.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
+  test("hilbert clustering prunes point AND small-box predicates") {
+    val grid = spark.range(128L * 128)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val hdir = Files.createTempDirectory("graft_layout_h").toString + "/g"
+    Layout.hilbertOrderedWrite(grid, hdir, 16, "x", "y")
+    def ranges(c: String) = Layout.fileRanges(spark, hdir, c)
+    assert(ranges("x").count() == 16)
+    def touched(c: String, v: Long): Long =
+      ranges(c).filter(col("lo") <= v && col("hi") >= v).count()
+    val counts = for (v <- Seq(5L, 40L, 77L, 120L); c <- Seq("x", "y")) yield {
+      val n = touched(c, v)
+      assert(n <= 8, s"$c=$v touched $n of 16 files")
+      n
+    }
+    assert(counts.sum.toDouble / counts.size <= 6.0, s"mean touched $counts")
+    // a 16×16 box: ideal Hilbert tiling touches 1-2 files; allow straddles
+    val xr = ranges("x").withColumnRenamed("lo", "xlo").withColumnRenamed("hi", "xhi")
+      .select("file", "xlo", "xhi")
+    val yr = ranges("y").select(col("file"), col("lo").as("ylo"), col("hi").as("yhi"))
+    val boxFiles = xr.join(yr, "file")
+      .filter(col("xlo") <= 55 && col("xhi") >= 40 && col("ylo") <= 55 && col("yhi") >= 40)
+      .count()
+    assert(boxFiles <= 6, s"16x16 box touched $boxFiles of 16 files")
+  }
+
   test("multi-column clustering orders within files by the full key") {
     val dir = Files.createTempDirectory("graft_layout3").toString + "/li"
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
