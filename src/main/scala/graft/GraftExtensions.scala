@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e) => LangIdExpr(e)
         case other => throw new IllegalArgumentException(
           s"graft_lang_id takes 1 argument, got ${other.length}") }))
+    ext.injectFunction((FunctionIdentifier("graft_hilbert"),
+      info(classOf[HilbertIndex], "graft_hilbert"),
+      { case Seq(x, y, Literal(bits: Int, IntegerType)) => HilbertIndex(x, y, bits)
+        case other => throw new IllegalArgumentException(
+          "graft_hilbert takes (x, y, bits literal int), got " + other) }))
   }
 }

@@ -206,7 +206,8 @@ class ScaleSpec extends SparkSpecBase {
           |  graft_lang_id('the of and is') AS lang,
           |  size(graft_shingle_hashes('a b c d e', 3)) AS nsh,
           |  graft_simhash48(graft_shingle_hashes('a b c d e', 3)) AS sh,
-          |  graft_nfc('café') AS nfc
+          |  graft_nfc('café') AS nfc,
+          |  graft_hilbert(1L, 1L, 1) AS hil
           |""".stripMargin).collect().head
       val expPh = ("abc".getBytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L))
       assert(r.getAs[Long]("ph") == expPh)
@@ -215,6 +216,7 @@ class ScaleSpec extends SparkSpecBase {
       assert(r.getAs[Int]("nsh") == 3)
       assert(r.getAs[Long]("sh") != 0L)
       assert(r.getAs[String]("nfc") == "caf\u00e9")
+      assert(r.getAs[Long]("hil") == 2L) // (1,1) is the 3rd cell of the U curve
     } finally {
       SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
       oldDefault.foreach(SparkSession.setDefaultSession)
