@@ -40,4 +40,29 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join — the two-sided generalization of
+    * [[bucketed]] (inclusive overlap: aStart ≤ bEnd AND bStart ≤ aEnd).
+    * Both sides explode to the buckets their span touches and hash-join
+    * on the bucket id; the subtlety two-sided bucketing adds is that an
+    * overlapping pair shares EVERY bucket their intersection touches, so
+    * a naive bucket join emits duplicates. Rather than a distinct (a
+    * full shuffle of the pair set), each pair is emitted only in its
+    * CANONICAL bucket — the bucket of max(aStart, bStart), the
+    * intersection's left edge, which both sides provably cover — so the
+    * output is exactly one row per overlapping pair with no dedup pass
+    * (the genomics-engine interval-join trick). Same width guidance and
+    * exact integer `div` contract as [[bucketed]]; column names must not
+    * collide across the frames.
+    */
+  def bucketedOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String, width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    def exploded(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
+      explode(sequence(expr(s"$s div ${width}L"), expr(s"$e div ${width}L"))))
+    exploded(a, aStart, aEnd).join(exploded(b, bStart, bEnd), Seq("__bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") === expr(s"greatest($aStart, $bStart) div ${width}L"))
+      .drop("__bucket")
+  }
 }

@@ -263,15 +263,62 @@ object ExtensionQueries7 {
        |SELECT count(*) AS n_exact, true AS pca_recall_ok FROM topk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q102
+
+  private val NsPerMin = 60L * 1000000000L
+
+  /** q102: interval-OVERLAP join ([[graft.ops.RangeJoin.bucketedOverlap]])
+    * — the two-sided generalization of q86's point-in-interval join:
+    * every 200th event opens a 30-minute maintenance window, every 300th
+    * a 20-minute incident window; emit one row per overlapping pair with
+    * the exact overlap length. The canonical-bucket trick makes the
+    * bucket join duplicate-free WITHOUT a distinct: a pair is emitted
+    * only in the bucket of max(start_a, start_b). Time math is exact
+    * integer ns both engines (the q77/q86 contract); the oracle is the
+    * bare overlap join.
+    */
+  def q102_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def windows(everyN: Int, lenMin: Int, idName: String, sName: String, eName: String) =
+      ev.filter(pmod(col("event_id"), lit(everyN.toLong)) === 0)
+        .select(col("event_id").as(idName),
+          col("ts").cast("long").as(sName),
+          (col("ts").cast("long") + lenMin * NsPerMin).as(eName))
+    val a = windows(200, 30, "a_id", "a_s", "a_e")
+    val b = windows(300, 20, "b_id", "b_s", "b_e")
+    graft.ops.RangeJoin.bucketedOverlap(a, "a_s", "a_e", b, "b_s", "b_e",
+        width = 30L * NsPerMin)
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_ns"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q102Sql: String =
+    s"""WITH a AS (
+       |  SELECT event_id AS a_id, epoch_us(ts) * 1000 AS a_s,
+       |    epoch_us(ts) * 1000 + ${30L * NsPerMin} AS a_e
+       |  FROM events WHERE event_id % 200 = 0
+       |), b AS (
+       |  SELECT event_id AS b_id, epoch_us(ts) * 1000 AS b_s,
+       |    epoch_us(ts) * 1000 + ${20L * NsPerMin} AS b_e
+       |  FROM events WHERE event_id % 300 = 0
+       |)
+       |SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_ns
+       |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q99_incremental_minhash" -> (q99_incremental_minhash _),
     "q100_pca_project" -> (q100_pca_project _),
-    "q101_pca_ann_recall" -> (q101_pca_ann_recall _)
+    "q101_pca_ann_recall" -> (q101_pca_ann_recall _),
+    "q102_interval_overlap" -> (q102_interval_overlap _)
   )
 
   private val baseOracle: Map[String, String] = Map(
     "q99_incremental_minhash" -> q99Sql,
-    "q101_pca_ann_recall" -> q101Sql
+    "q101_pca_ann_recall" -> q101Sql,
+    "q102_interval_overlap" -> q102Sql
   )
 
   /** Mirror resolved for a specific trained dir (the q38 pattern). */

@@ -162,6 +162,14 @@ class PlanShapeSpec extends SparkSpecBase {
       p.contains("SortMergeJoin"), "bucket equi-join missing")
   }
 
+  test("q102: the two-sided interval-overlap join stays a bucket equi-join") {
+    val p = plan("q102_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlap predicates must ride the canonical-bucket equi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "bucket equi-join missing")
+  }
+
   test("q99: incremental MinHash admission joins on band keys, never all-pairs") {
     val p = plan("q99_incremental_minhash")
     assert(!p.contains("CartesianProduct"),

@@ -43,6 +43,30 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(rows == 3L, "one output row per matching point, despite the 11-bucket explosion")
   }
 
+  test("bucketedOverlap == naive overlap join, duplicate-free, across widths") {
+    // deterministic pseudo-random interval sets with many multi-bucket
+    // spans and boundary touches; the canonical-bucket rule must emit
+    // each overlapping pair exactly once at ANY width
+    def mk(n: Int, seed: Long, sName: String, eName: String, idName: String) =
+      spark.range(n)
+        .select(col("id").as(idName),
+          pmod(xxhash64(col("id"), lit(seed)), lit(200)).as(sName))
+        .withColumn(eName,
+          col(sName) + pmod(xxhash64(col(idName), lit(seed + 1)), lit(35)))
+    val a = mk(60, 11L, "a_s", "a_e", "a_id")
+    val b = mk(80, 29L, "b_s", "b_e", "b_id")
+    val want = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .sorted.toSeq
+    assert(want.nonEmpty && want.distinct == want)
+    for (w <- Seq(7L, 10L, 64L, 1000L)) {
+      val got = RangeJoin.bucketedOverlap(a, "a_s", "a_e", b, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"width $w: ${got.length} pairs vs ${want.length} " +
+        s"(dups: ${got.diff(got.distinct).take(5)})")
+    }
+  }
+
   test("q86 matches the naive range join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)
