@@ -151,6 +151,41 @@ object StreamOps {
         unix_micros(col("w_ts")).as("w_us"), unix_micros(col("e_ts")).as("e_us"))
   }
 
+  /** Stream-stream interval-OVERLAP join — the two-sided generalization
+    * of [[incidentWindowJoin]] ([[graft.ops.RangeJoin.bucketedOverlap]]'s
+    * geometry over native watermark machinery): every `aEveryN`-th event
+    * opens an `aLenMin`-minute window on stream A, every `bEveryN`-th a
+    * `bLenMin`-minute window on stream B; emit one row per overlapping
+    * (A, B) pair. Both sides explode to their covered time buckets, the
+    * symmetric hash join keys on the bucket, the exact overlap predicate
+    * rides in the join condition (its two inequalities bound each side's
+    * event time against the other, so join state expires under the
+    * watermarks), and the canonical-bucket filter keeps the output
+    * duplicate-free with no post-dedup — stateless except the join
+    * buffers themselves.
+    */
+  def overlapWindowJoin(events: DataFrame, aEveryN: Int = 200, aLenMin: Int = 30,
+      bEveryN: Int = 300, bLenMin: Int = 20, watermark: String = "1 hour"): DataFrame = {
+    val bucketUs = 30L * 60L * 1000000L
+    def side(everyN: Int, lenMin: Int, tag: String) =
+      events.filter(pmod(col("event_id"), lit(everyN.toLong)) === 0)
+        .select(col("event_id").as(s"${tag}_id"), tsCol.as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", watermark)
+        .withColumn(s"${tag}_end",
+          col(s"${tag}_ts") + expr(s"INTERVAL $lenMin MINUTES"))
+        .withColumn(s"${tag}_b", explode(sequence(
+          expr(s"unix_micros(${tag}_ts) div $bucketUs"),
+          expr(s"unix_micros(${tag}_end) div $bucketUs"))))
+    val a = side(aEveryN, aLenMin, "a")
+    val b = side(bEveryN, bLenMin, "b")
+    a.join(b, col("a_b") === col("b_b")
+        && col("a_ts") <= col("b_end") && col("b_ts") <= col("a_end")
+        && col("a_b") === expr(s"unix_micros(greatest(a_ts, b_ts)) div $bucketUs"))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(least(col("a_end"), col("b_end")))
+          - unix_micros(greatest(col("a_ts"), col("b_ts")))).as("overlap_us"))
+  }
+
   /** Idempotent re-delivery dedup: first event per (user_id, event_type).
     * Streaming: withWatermark + dropDuplicates (bounded state). Batch
     * equivalent keeps earliest (ts, event_id) via row_number.

@@ -404,6 +404,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(total == batchEvents.count() * 2) // each event in exactly 2 windows
   }
 
+  test("stream-stream interval-OVERLAP join (two-sided, canonical bucket): streaming == batch") {
+    // the q102 geometry through the symmetric hash join: maintenance and
+    // incident windows from the same source stream, matched on overlap,
+    // duplicate-free via the canonical-bucket condition
+    val stream = StreamOps.runToMemory(spark, srcDir, "ovjoin_out",
+      df => StreamOps.overlapWindowJoin(df, aEveryN = 40, bEveryN = 60,
+        watermark = "365 days"), "append")
+      .collect().map(_.toString).sorted
+    val batch = StreamOps.overlapWindowJoin(batchEvents, aEveryN = 40, bEveryN = 60,
+        watermark = "365 days")
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && stream.sameElements(batch),
+      s"stream ${stream.length} pairs vs batch ${batch.length}")
+    // duplicate-freedom: (a_id, b_id) pairs are unique
+    assert(batch.toSeq.distinct.size == batch.length)
+  }
+
   test("incremental MinHash admission as a foreachBatch loop over crawl drops == one-shot batch") {
     import graft.ext.{Dedup, TextAnalysis}
     // corpus index: docs 0-149's signatures; drops: fresh docs 150-199,
