@@ -55,13 +55,41 @@ object CacheScope {
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val misses = new java.util.concurrent.atomic.AtomicInteger(0)
       private val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def maybe(qe: QueryExecution): Unit = {
         val matched = qe.analyzed.exists(_.sameResult(target))
         if ((matched && hits.incrementAndGet() >= actions) ||
-            (!matched && misses.incrementAndGet() > AbandonAfter)) {
-          p.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
+            (!matched && misses.incrementAndGet() > AbandonAfter)) release()
+      }
+      // Release is asynchronous relative to OTHER actions: the listener
+      // bus lags the actions themselves, so by the time the releasing
+      // event is processed a LATER action may already have been planned
+      // against the live cache and be mid-materialization. Unpersisting
+      // under its feet makes its InMemoryTableScan lazily REBUILD the
+      // buffer through the (now entry-less) CachedRDDBuilder — an
+      // orphan persisted RDD that no unpersist/clearCache can reach
+      // again. So: (1) wait for in-flight jobs to drain before
+      // unpersisting (bounded — a continuously-busy scheduler degrades
+      // to the old behavior, never a stuck thread); (2) after the
+      // unpersist, once jobs drain again, fire the captured builder
+      // kill-switch to clear any buffer an in-flight action rebuilt.
+      private def release(): Unit = if (released.compareAndSet(false, true)) {
+        spark.listenerManager.unregister(this)
+        val killer = org.apache.spark.sql.graft.CacheBridge.orphanKiller(p)
+        val sc = spark.sparkContext
+        def drain(maxNanos: Long): Unit = {
+          val deadline = System.nanoTime() + maxNanos
+          while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+              System.nanoTime() < deadline) Thread.sleep(20)
         }
+        val t = new Thread(() => {
+          drain(5e9.toLong)
+          p.unpersist(blocking = false)
+          drain(30e9.toLong)
+          killer.foreach(_.apply())
+        }, "graft-cache-scope-release")
+        t.setDaemon(true)
+        t.start()
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)
