@@ -23,7 +23,8 @@ class ContractSpec extends SparkSpecBase {
     "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet),
     "sketch" -> (SketchQueries.queries.keySet, SketchQueries.oracle.keySet),
     "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet),
-    "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet))
+    "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet),
+    "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
