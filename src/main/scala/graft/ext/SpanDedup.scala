@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   *     handles the hot-gram skew; a stop-gram frequency cap like q26's
   *     is unnecessary because the join is 1:N against a 1-row-per-gram
   *     side, never N:M);
-  *   - span→position coverage is a bounded `sequence(pos, pos+L-1)`
-  *     explode (fan-out exactly L), de-duplicated per (id, pos);
-  *   - reassembly is a `groupBy(id)` of (pos, tok) structs — the only
-  *     per-document materialization, bounded by document length.
+  *   - span→position coverage folds into ONE small per-document array
+  *     (`collect_list(sequence)` → flatten → distinct) — only documents
+  *     that actually contain duplicated spans reach this aggregate;
+  *   - reassembly is scan-local: the covered-position array joins back
+  *     to the document row (shuffle proportional to the DUPLICATED
+  *     subset, not the corpus) and an indexed `filter` drops covered
+  *     tokens in place — the corpus itself is never re-exploded or
+  *     re-shuffled for reassembly.
   *
   * Determinism: "earlier" is the total order on the numeric id — no
   * timestamps, no partition order. A span duplicated WITHIN one
@@ -66,23 +70,20 @@ object SpanDedup {
       .filter(col("__id") > col("__first"))
       .select(col("__id"), col("pos"))
 
-    val covered = dupSpans
-      .select(col("__id"), explode(sequence(col("pos"), col("pos") + (L - 1))).as("tpos"))
-      .distinct()
+    // One small array of covered token positions per affected document —
+    // rows only for documents that contain duplicated spans.
+    val covered = dupSpans.groupBy(col("__id"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + (L - 1))))).as("__cov"))
 
-    val tokens = base.select(col("__id"),
-      posexplode(col("__toks")).as(Seq("tpos", "tok")))
-
-    val kept = tokens.join(covered, Seq("__id", "tpos"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("__n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          x => x.getField("tok")), " ").as("__clean"))
-
-    base.select(col("__id"), size(col("__toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("__clean"), lit("")).as("clean_text"))
+    // Reassembly never re-shuffles the corpus: left-join the (small)
+    // covered arrays and drop covered positions with an indexed filter.
+    base.join(covered, Seq("__id"), "left")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_dropped"),
+        array_join(filter(col("__toks"),
+          (_, i) => not(array_contains(col("__cov"), i))), " ").as("clean_text"))
   }
 }
