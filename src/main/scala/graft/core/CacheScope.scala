@@ -38,6 +38,22 @@ object CacheScope {
     */
   private val AbandonAfter = 256
 
+  /** One shared daemon scheduler for post-release orphan sweeps (see
+    * release() below) — bounded at a single idle thread however many
+    * scoped frames a session builds.
+    */
+  private lazy val sweeper: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-cache-scope-sweeper")
+        t.setDaemon(true)
+        t
+      })
+    ex.setKeepAliveTime(30, java.util.concurrent.TimeUnit.SECONDS)
+    ex.allowCoreThreadTimeOut(true)
+    ex
+  }
+
   def scoped(df: DataFrame): DataFrame = scopedN(df, 1)
 
   /** [[scoped]] generalized to a builder that KNOWS its returned/consumed
@@ -67,29 +83,21 @@ object CacheScope {
       // against the live cache and be mid-materialization. Unpersisting
       // under its feet makes its InMemoryTableScan lazily REBUILD the
       // buffer through the (now entry-less) CachedRDDBuilder — an
-      // orphan persisted RDD that no unpersist/clearCache can reach
-      // again. So: (1) wait for in-flight jobs to drain before
-      // unpersisting (bounded — a continuously-busy scheduler degrades
-      // to the old behavior, never a stuck thread); (2) after the
-      // unpersist, once jobs drain again, fire the captured builder
-      // kill-switch to clear any buffer an in-flight action rebuilt.
+      // orphan persisted RDD that neither a second unpersist nor
+      // catalog.clearCache can ever reach. The unpersist itself stays
+      // immediate (performance-proven); the fix is the follow-up: the
+      // builder kill-switch captured BEFORE the entry is removed fires
+      // twice from the shared sweeper, clearing any buffer an in-flight
+      // action rebuilt. Idempotent, no polling, one daemon thread total.
       private def release(): Unit = if (released.compareAndSet(false, true)) {
         spark.listenerManager.unregister(this)
         val killer = org.apache.spark.sql.graft.CacheBridge.orphanKiller(p)
-        val sc = spark.sparkContext
-        def drain(maxNanos: Long): Unit = {
-          val deadline = System.nanoTime() + maxNanos
-          while (sc.statusTracker.getActiveJobIds().nonEmpty &&
-              System.nanoTime() < deadline) Thread.sleep(20)
+        p.unpersist(blocking = false)
+        killer.foreach { k =>
+          val shot = new Runnable { def run(): Unit = k() }
+          sweeper.schedule(shot, 10, java.util.concurrent.TimeUnit.SECONDS)
+          sweeper.schedule(shot, 25, java.util.concurrent.TimeUnit.SECONDS)
         }
-        val t = new Thread(() => {
-          drain(5e9.toLong)
-          p.unpersist(blocking = false)
-          drain(30e9.toLong)
-          killer.foreach(_.apply())
-        }, "graft-cache-scope-release")
-        t.setDaemon(true)
-        t.start()
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)

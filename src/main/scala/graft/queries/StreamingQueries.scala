@@ -203,8 +203,74 @@ object StreamingQueries {
       |  ON epoch_us(e.ts) >= w.w_us AND epoch_us(e.ts) <= w.w_us + 1800000000
       |ORDER BY window_id, ev_id""".stripMargin
 
+  /** q108: windowed count-min frequency sketch as a streaming stateful
+    * aggregation ([[graft.streaming.StreamOps.windowedCountMin]]) — one
+    * 4×64 cell grid per 6-hour tumbling window (state bounded at d·w
+    * counters per live window; the watermark retires whole windows), here
+    * in its batch form: per (window, probe key ≤ 50) the exact count,
+    * the sketch estimate, and the certified never-undercount boolean.
+    * The streaming hop — the SAME transform fed file-by-file micro-
+    * batches yielding identical cells — is pinned in StreamingSpec.
+    */
+  def q108_stream_count_min(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.streaming.StreamOps.windowedCountMin(
+      Tables.events(s, dir), "6 hours", "30 minutes", 4, 64)
+    val keys = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50).select(col("c_custkey"))
+    val probes = cells.select(col("window_start")).distinct()
+      .crossJoin(broadcast(keys))
+      .withColumn("row", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("bucket", graft.ops.CountMin.bucket(col("c_custkey"), col("row"), 64))
+    val est = probes.join(cells, Seq("window_start", "row", "bucket"), "left")
+      .groupBy(col("window_start"), col("c_custkey"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    val tru = Tables.events(s, dir)
+      .filter(col("user_id") <= 50)
+      .groupBy(window(graft.streaming.StreamOps.tsCol, "6 hours")
+          .getField("start").as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("true_cnt"))
+    est.join(tru, est("window_start") === tru("window_start") &&
+        col("c_custkey") === col("user_id"), "left")
+      .select(est("window_start"), col("c_custkey"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"), col("cms_est"),
+        (col("cms_est") >= coalesce(col("true_cnt"), lit(0L))).as("never_under"))
+      .orderBy(est("window_start"), col("c_custkey"))
+  }
+
+  val q108Sql: String = {
+    def bucket(key: String): String =
+      s"((((2 * j + 1) * 2654435761) % 1000000007) * $key + (40503 * j + 7)) " +
+        "% 1000000007 % 64"
+    s"""WITH js AS (SELECT unnest(range(0, 4)) AS j),
+       |e AS (
+       |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ws,
+       |    user_id
+       |  FROM events
+       |), cells AS (
+       |  SELECT ws, j, ${bucket("user_id")} AS bucket, count(*) AS cnt
+       |  FROM e CROSS JOIN js GROUP BY 1, 2, 3
+       |), keys AS (SELECT c_custkey FROM customer WHERE c_custkey <= 50),
+       |probes AS (
+       |  SELECT ws, c_custkey, j, ${bucket("c_custkey")} AS bucket
+       |  FROM (SELECT DISTINCT ws FROM e) CROSS JOIN keys CROSS JOIN js
+       |), est AS (
+       |  SELECT ws, c_custkey, min(coalesce(cnt, 0)) AS cms_est
+       |  FROM probes LEFT JOIN cells USING (ws, j, bucket) GROUP BY 1, 2
+       |), tru AS (
+       |  SELECT ws, user_id, count(*) AS true_cnt
+       |  FROM e WHERE user_id <= 50 GROUP BY 1, 2
+       |)
+       |SELECT es.ws AS window_start, es.c_custkey,
+       |  coalesce(t.true_cnt, 0) AS true_cnt, es.cms_est,
+       |  (es.cms_est >= coalesce(t.true_cnt, 0)) AS never_under
+       |FROM est es LEFT JOIN tru t ON es.ws = t.ws AND es.c_custkey = t.user_id
+       |ORDER BY window_start, c_custkey""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_stream_interval_join" -> (q98_stream_interval_join _),
+    "q108_stream_count_min" -> (q108_stream_count_min _),
     "q46_spend_milestones" -> (q46_spend_milestones _),
     "q52_stream_enrich" -> (q52_stream_enrich _),
     "q56_tumbling_watermark" -> (q56_tumbling_watermark _),
@@ -215,6 +281,7 @@ object StreamingQueries {
 
   val oracle: Map[String, String] = Map(
     "q98_stream_interval_join" -> q98Sql,
+    "q108_stream_count_min" -> q108Sql,
     "q46_spend_milestones" -> q46Sql,
     "q52_stream_enrich" -> q52Sql,
     "q56_tumbling_watermark" -> q56Sql,

@@ -271,6 +271,26 @@ object StreamOps {
       }
   }
 
+  /** Windowed count-min sketch cells as a STANDARD streaming stateful
+    * aggregation — the point of [[graft.ops.CountMin]]'s design: the
+    * d×w cell grid is just a groupBy, so in streaming mode the state
+    * store holds ≤ d·w counters per window regardless of stream length
+    * (the watermark retires whole windows). No custom state, no
+    * flatMapGroupsWithState — the engine's own incremental aggregation
+    * IS the sketch merge. Works identically on batch frames (watermark
+    * no-ops, the q56 two-hop certification shape).
+    */
+  def windowedCountMin(events: DataFrame, width: String, late: String,
+      depth: Int, wBuckets: Int): DataFrame =
+    events.withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", late)
+      .select(col("event_ts"), col("user_id"))
+      .withColumn("row", explode(sequence(lit(0L), lit(depth - 1L))))
+      .withColumn("bucket", graft.ops.CountMin.bucket(col("user_id"), col("row"), wBuckets))
+      .groupBy(window(col("event_ts"), width).as("w"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("row"), col("bucket"), col("cnt"))
+
   /** Run a streaming transform over a parquet directory to completion via
     * the memory sink; returns the materialized result table.
     */

@@ -24,7 +24,8 @@ class ContractSpec extends SparkSpecBase {
     "sketch" -> (SketchQueries.queries.keySet, SketchQueries.oracle.keySet),
     "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet),
     "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet),
-    "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet))
+    "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet),
+    "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
