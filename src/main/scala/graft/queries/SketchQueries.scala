@@ -364,12 +364,77 @@ object SketchQueries {
       |  true AS jaccard_ok
       |FROM p""".stripMargin
 
+  // --------------------------------------------------------------- q111
+
+  /** q111: join-cardinality estimation from count-min inner products —
+    * the classic CM application (Cormode & Muthukrishnan §4.3): for
+    * R ⋈ S on a key, |R ⋈ S| = Σ_k f_R(k)·f_S(k), and the row-wise
+    * inner product of the two sketches' counter grids over-estimates it
+    * (colliding keys only ADD cross terms); the min over the d rows is
+    * the estimate. The optimizer-statistics primitive at 100 TB: two
+    * ≤256-cell grids answer "how big is this join" without executing it
+    * or scanning either side twice. Exact size comes from the two
+    * frequency VECTORS (one groupBy each side — never the join itself);
+    * `never_under` pins the one-sided theorem, and every integer is
+    * deterministic, so DuckDB reproduces estimate AND exact bit-exactly.
+    */
+  def q111_join_size_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CountMin
+    val d = 4; val w = 16384
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+    val ps = Tables.part(s, dir)
+      .filter(col("p_retailprice") > 950.0).select(col("p_partkey"))
+    val skL = CountMin.sketch(li, "l_partkey", d, w)
+      .select(col("row"), col("bucket"), col("cnt").as("cl"))
+    val skP = CountMin.sketch(ps, "p_partkey", d, w)
+      .select(col("row"), col("bucket"), col("cnt").as("cp"))
+    val est = skL.join(skP, Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cl") * col("cp")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val fl = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("nl"))
+    val fp = ps.groupBy(col("p_partkey")).agg(count(lit(1)).as("np"))
+    val exact = fl.join(fp, col("l_partkey") === col("p_partkey"))
+      .agg(coalesce(sum(col("nl") * col("np")), lit(0L)).as("true_size"))
+    est.crossJoin(broadcast(exact)) // two 1-row frames
+      .select(col("true_size"), col("cms_est"),
+        (col("cms_est") >= col("true_size")).as("never_under"))
+  }
+
+  val q111Sql: String = {
+    def bucket(key: String): String =
+      s"((((2 * j + 1) * 2654435761) % 1000000007) * $key + (40503 * j + 7)) " +
+        "% 1000000007 % 16384"
+    s"""WITH js AS (SELECT unnest(range(0, 4)) AS j),
+       |ps AS (SELECT p_partkey FROM part WHERE p_retailprice > 950.0),
+       |cl AS (
+       |  SELECT j, ${bucket("l_partkey")} AS bucket, count(*) AS cl
+       |  FROM lineitem CROSS JOIN js GROUP BY 1, 2
+       |), cp AS (
+       |  SELECT j, ${bucket("p_partkey")} AS bucket, count(*) AS cp
+       |  FROM ps CROSS JOIN js GROUP BY 1, 2
+       |), est AS (
+       |  SELECT min(ip) AS cms_est FROM (
+       |    SELECT cl.j, CAST(sum(cl.cl * cp.cp) AS BIGINT) AS ip
+       |    FROM cl JOIN cp ON cl.j = cp.j AND cl.bucket = cp.bucket
+       |    GROUP BY cl.j)
+       |), ex AS (
+       |  SELECT CAST(coalesce(sum(fl.nl * fp.np), 0) AS BIGINT) AS true_size
+       |  FROM (SELECT l_partkey, count(*) AS nl FROM lineitem GROUP BY 1) fl
+       |  JOIN (SELECT p_partkey, count(*) AS np FROM ps GROUP BY 1) fp
+       |    ON fl.l_partkey = fp.p_partkey
+       |)
+       |SELECT ex.true_size, est.cms_est,
+       |  (est.cms_est >= ex.true_size) AS never_under
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_hll_distinct" -> (q81_hll_distinct _),
     "q82_quantile_sketch" -> (q82_quantile_sketch _),
     "q83_heavy_hitters" -> (q83_heavy_hitters _),
     "q84_bottomk_sample" -> (q84_bottomk_sample _),
-    "q85_set_overlap_sketch" -> (q85_set_overlap_sketch _)
+    "q85_set_overlap_sketch" -> (q85_set_overlap_sketch _),
+    "q111_join_size_sketch" -> (q111_join_size_sketch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -377,6 +442,7 @@ object SketchQueries {
     "q82_quantile_sketch" -> q82Sql,
     "q83_heavy_hitters" -> q83Sql,
     "q84_bottomk_sample" -> q84Sql,
-    "q85_set_overlap_sketch" -> q85Sql
+    "q85_set_overlap_sketch" -> q85Sql,
+    "q111_join_size_sketch" -> q111Sql
   )
 }

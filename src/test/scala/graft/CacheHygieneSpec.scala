@@ -14,10 +14,17 @@ class CacheHygieneSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
 
   private def awaitNoCachedRdds(): Unit = {
-    // the release listener runs on the async listener bus — poll briefly
+    // the release listener runs on the async listener bus — poll briefly.
+    // System.gc() each round lets the ContextCleaner reap UNREACHABLE
+    // checkpoint blocks from earlier suites' iterative operators
+    // (q74/q42/q107 localCheckpoints release via weak refs, by design) —
+    // a strongly-referenced leak (the orphan-rebuild class) still fails.
     val deadline = System.nanoTime() + 30e9.toLong
     while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-        System.nanoTime() < deadline) Thread.sleep(50)
+        System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+    }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
   }
@@ -53,5 +60,28 @@ class CacheHygieneSpec extends SparkSpecBase {
     val r2 = ScoringQueries.q11_anomaly_triage(spark, sf).count()
     assert(r1 == r2 && r1 > 0)
     awaitNoCachedRdds()
+  }
+
+  test("CacheBridge kill-switch reaches buffer blocks directly and is idempotent") {
+    // the orphan-sweep primitive: clearing through the captured BUILDER
+    // releases the persisted buffer even without going through the
+    // CacheManager entry (which is exactly what a rebuilt orphan lacks)
+    spark.catalog.clearCache()
+    val df = spark.range(100000L).toDF("x").persist()
+    try {
+      df.count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty, "cache must be live")
+      val k = org.apache.spark.sql.graft.CacheBridge.orphanKiller(df)
+      assert(k.isDefined, "a persisted plan must yield a kill-switch")
+      k.get.apply()
+      k.get.apply() // second shot (the +25s sweep) must be a no-op, not an error
+      awaitNoCachedRdds() // GC-aware: earlier suites' checkpoint blocks reap too
+      // the entry itself is still registered, so the plan re-materializes
+      // correctly on the next action (killer never poisons a live cache)
+      assert(df.count() == 100000L)
+    } finally df.unpersist(blocking = true)
+    // an un-cached frame yields no kill-switch
+    assert(org.apache.spark.sql.graft.CacheBridge
+      .orphanKiller(spark.range(5).toDF("y")).isEmpty)
   }
 }

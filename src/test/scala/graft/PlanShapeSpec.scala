@@ -197,4 +197,53 @@ class PlanShapeSpec extends SparkSpecBase {
       "MG aggregation should plan as a partial object aggregate")
     assert(!p.contains("CartesianProduct"))
   }
+
+  /** Distinct plan-node count in FORMATTED explain output (each node
+    * prints twice — tree and details — always as "(id) Name").
+    */
+  private def nodeCount(p: String, name: String): Int =
+    ("\\((\\d+)\\) " + name).r.findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("q103: only the gram self-join explodes — reassembly adds no corpus re-explode") {
+    val p = plan("q103_span_dedup")
+    // two Generate nodes = the gram table on both sides of the
+    // occurrence ⋈ first-owner join; a third would mean reassembly went
+    // back to exploding every token position
+    assert(nodeCount(p, "Generate") <= 2,
+      "span-dedup reassembly must filter tokens in place, not re-explode the corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q104/q105: sketch probe broadcasts; the only nested loop is the 1-row scalar") {
+    val p4 = plan("q104_count_min")
+    assert(p4.contains("BroadcastHashJoin"), "the <=256-cell sketch side must broadcast")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"))
+    val p5 = plan("q105_surprisal")
+    assert(nodeCount(p5, "BroadcastNestedLoopJoin") == 1,
+      "exactly the 1-row total fan-out may be a nested loop")
+    assert(!p5.contains("CartesianProduct"))
+  }
+
+  test("q106/q107: graph joins stay equi-joins; k-core's one nested loop is the 1-row flag") {
+    val p6 = plan("q106_triangles")
+    assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoopJoin"),
+      "triangle wedge join must never be a nested loop")
+    val p7 = plan("q107_kcore")
+    assert(!p7.contains("CartesianProduct"))
+    assert(nodeCount(p7, "BroadcastNestedLoopJoin") <= 1,
+      "only the 1-row converged-flag fan-out may be a nested loop")
+  }
+
+  test("q109: prefix join is an equi-join on the element key; windows are id-partitioned") {
+    val p = plan("q109_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "rank/size windows must partition by set id, never globally")
+  }
+
+  test("q110: chunk assembly windows partition by document, never globally") {
+    val p = plan("q110_cdc_chunks")
+    assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

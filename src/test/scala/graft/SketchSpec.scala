@@ -220,4 +220,13 @@ class SketchSpec extends SparkSpecBase {
     assertRankWithin(li, "l_extendedprice", merged.getDouble(0), 0.5, n, slack, "sharded p50")
     assertRankWithin(li, "l_extendedprice", merged.getDouble(1), 0.95, n, slack, "sharded p95")
   }
+
+  test("q111: join-size estimate never undercounts and stays near the exact size") {
+    val r = graft.queries.SketchQueries
+      .queries("q111_join_size_sketch")(spark, "/root/testdata/sf0.01").head()
+    val (tru, est) = (r.getAs[Long]("true_size"), r.getAs[Long]("cms_est"))
+    assert(r.getAs[Boolean]("never_under") && est >= tru)
+    // 4×16384 cells against ~2k keys: collision mass is a small fraction
+    assert(est <= tru * 2, s"estimate $est too loose for true size $tru")
+  }
 }
