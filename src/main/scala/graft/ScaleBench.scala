@@ -38,7 +38,7 @@ object ScaleBench {
     }
     val times = sizes.map { n =>
       System.gc()
-      val t = Bench.pipelineBench(spark, statsOf, n)._2
+      val t = Bench.pipelineBench(spark, statsOf, n).full._2
       println(f"pipeline rows=$n%d median=$t%.2f sec")
       n -> t
     }

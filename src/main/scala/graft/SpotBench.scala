@@ -37,7 +37,9 @@ object SpotBench {
       spark.stop(); return
     }
     if (args.head == "pipeline") {
-      println(f"pipeline_1m=${Bench.pipelineBench(spark, statsOf)._2}%.2f sec")
+      val p = Bench.pipelineBench(spark, statsOf)
+      println(f"pipeline_1m=${p.full._2}%.2f sec  csv_scan=${p.csvScan._2}%.2f  " +
+        f"merge_from_parquet=${p.mergeFromParquet._2}%.2f")
       spark.stop(); return
     }
     SparkEntry.queries(args.head)(spark, sfDir)
