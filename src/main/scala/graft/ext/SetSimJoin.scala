@@ -34,13 +34,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object SetSimJoin {
 
-  /** All set pairs with Jaccard ≥ tPpm/1e6 over an (id, element)
-    * multiset frame (duplicates tolerated — de-duplicated internally).
-    * Output: (id_a, id_b, inter, union_sz, jacc_ppm) with id_a < id_b,
-    * jacc_ppm the exact scaled rational.
+  /** Deduplicated (__id, tok) element table plus the positional-filtered
+    * candidate pair set (id_a, id_b, sa, sb) — the shared front half of
+    * both verification strategies.
+    *
+    * Candidate generation = prefix filter + length filter + POSITIONAL
+    * filter (PPJoin §3.2). The positional filter works per pair on its
+    * prefix-match summary: m = number of shared prefix elements, (pa, pb)
+    * = the ranks of the LAST shared prefix element in each set (both
+    * maxima land on the same element because within-set rank follows the
+    * one global order). Every shared element before that last match is
+    * itself a prefix-prefix match — if u < w and w sits at prefix rank
+    * pb in B, then u's rank in B is < pb ≤ prefix_len(B) — so m counts
+    * ALL shared elements up to the last match, and elements after it
+    * number at most min(sa − pa, sb − pb). Hence
+    *   |A∩B| ≤ m + min(sa − pa, sb − pb),
+    * and J ≥ t needs |A∩B| ≥ t·(sa+sb)/(1+t); pairs whose upper bound
+    * misses that floor are pruned BEFORE the expensive verification
+    * (integer cross-multiplied — no float, no ceil).
     */
-  def jaccardJoin(elements: DataFrame, idCol: String, elemCol: String,
-      tPpm: Long): DataFrame = {
+  private def candidates(elements: DataFrame, idCol: String, elemCol: String,
+      tPpm: Long): (DataFrame, DataFrame) = {
     require(tPpm > 0 && tPpm <= 1000000L, s"threshold ppm in (0, 1e6], got $tPpm")
     val tok = elements.select(col(idCol).as("__id"), col(elemCol).as("tok")).distinct()
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -54,19 +68,58 @@ object SetSimJoin {
     // silently shortens prefixes and loses candidates)
     val prefix = ranked
       .filter(col("rn") <= expr(s"s - ((s * ${tPpm}L + 999999L) div 1000000L) + 1"))
-      .select(col("tok"), col("__id"), col("s"))
+      .select(col("tok"), col("__id"), col("s"), col("rn"))
 
     // length filter rides the join condition: J ≥ t forces
     // t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so mismatched sizes never
     // become candidates (38% fewer pairs on the sf0.1 corpus)
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val matches = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id") &&
           greatest(col("a.s"), col("b.s")) * tPpm <=
             least(col("a.s"), col("b.s")) * 1000000L)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
-      .distinct()
+        col("a.s").as("sa"), col("b.s").as("sb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
 
+    // positional filter: the group-by doubles as the pair dedup the old
+    // `.distinct()` did, so the filter costs no extra shuffle
+    val cand = matches
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("m"), max(col("ra")).as("pa"), max(col("rb")).as("pb"))
+      .filter((col("m") + least(col("sa") - col("pa"), col("sb") - col("pb"))) *
+        (1000000L + tPpm) >= lit(tPpm) * (col("sa") + col("sb")))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+
+    (tok, cand)
+  }
+
+  /** Shared back half: exact integer Jaccard from the verified
+    * intersection size.
+    */
+  private def finish(inter: DataFrame, tPpm: Long): DataFrame =
+    inter
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(tPpm) * col("union_sz"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),
+        expr("inter * 1000000L div union_sz").as("jacc_ppm"))
+
+  /** All set pairs with Jaccard ≥ tPpm/1e6 over an (id, element)
+    * multiset frame (duplicates tolerated — de-duplicated internally).
+    * Output: (id_a, id_b, inter, union_sz, jacc_ppm) with id_a < id_b,
+    * jacc_ppm the exact scaled rational.
+    *
+    * SIZE BOUND: verification materializes ONE array row per set
+    * (collect_list per __id), so the largest set must fit comfortably in
+    * an executor row — fine for shingle/feature sets (thousands of
+    * elements, the corpora this targets), a row-size hazard for
+    * unbounded sets. For corpora where a single set can run to millions
+    * of elements, use [[jaccardJoinViaJoin]]: same candidates, same
+    * output, intersection counted by a candidate-scoped equi-join that
+    * never builds whole-set rows.
+    */
+  def jaccardJoin(elements: DataFrame, idCol: String, elemCol: String,
+      tPpm: Long): DataFrame = {
+    val (tok, cand) = candidates(elements, idCol, elemCol, tPpm)
     // verify against per-set element arrays — intersection CARDINALITY is
     // order-free, so the nondeterministic collect order never shows; this
     // joins the candidate set against one small array row per id instead
@@ -77,11 +130,25 @@ object SetSimJoin {
       .join(sets.select(col("__id").as("id_b"), col("__elems").as("__eb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"),
         size(array_intersect(col("__ea"), col("__eb"))).cast("long").as("inter"))
+    finish(inter, tPpm)
+  }
 
-    inter
-      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
-      .filter(col("inter") * 1000000L >= lit(tPpm) * col("union_sz"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),
-        expr("inter * 1000000L div union_sz").as("jacc_ppm"))
+  /** [[jaccardJoin]] with row-size-safe verification: intersection sizes
+    * come from equi-joining the candidate pairs back to the (id, element)
+    * table on both sides and counting matches — ~Σ|A| rows shuffled per
+    * candidate instead of one array row per set, trading shuffle volume
+    * for a hard bound on row size. Use when individual sets can be
+    * arbitrarily large; output is identical (SetSimJoinSpec pins
+    * equality).
+    */
+  def jaccardJoinViaJoin(elements: DataFrame, idCol: String, elemCol: String,
+      tPpm: Long): DataFrame = {
+    val (tok, cand) = candidates(elements, idCol, elemCol, tPpm)
+    val inter = cand
+      .join(tok.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(tok.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+    finish(inter, tPpm)
   }
 }

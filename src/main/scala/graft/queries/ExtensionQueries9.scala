@@ -23,14 +23,15 @@ object ExtensionQueries9 {
     * round of slack; the certified `converged` flag turns the row red if
     * a corpus ever needs more.
     */
-  private val CoreRounds = 12
+  val CoreRounds = 12
 
   /** q107: k-core decomposition ([[graft.ops.KCore]]) of the q80
     * co-purchase graph (support ≥ 2 edges) at k=3 — one row per node
     * with its original degree, peel round (0 = core member), final
     * in-core degree, and a `converged` certification that the fixpoint
-    * was reached inside the 8-round budget (the oracle unrolls the same
-    * 8 synchronous peeling rounds and pins the flag TRUE).
+    * was reached inside the [[CoreRounds]]-round budget (the oracle
+    * unrolls the same number of synchronous peeling rounds and pins the
+    * flag TRUE).
     */
   def q107_kcore(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(s, dir)
@@ -144,12 +145,20 @@ object ExtensionQueries9 {
        |    count(*) OVER (PARTITION BY t.id) AS s
        |  FROM tok t JOIN freq f USING (tok)
        |), pre AS (
-       |  SELECT id, tok, s FROM rk
+       |  SELECT id, tok, s, rn FROM rk
        |  WHERE rn <= s - ((s * $JaccPpm + 999999) // 1000000) + 1
        |), cand AS (
-       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-       |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
-       |    AND $JaccPpm * greatest(a.s, b.s) <= 1000000 * least(a.s, b.s)
+       |  -- group-by = pair dedup; m/pa/pb feed the PPJoin positional
+       |  -- filter (|A∩B| <= m + least(sa-pa, sb-pb), cross-multiplied
+       |  -- against the overlap floor t*(sa+sb)/(1+t))
+       |  SELECT id_a, id_b, sa, sb FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb,
+       |      count(*) AS m, max(a.rn) AS pa, max(b.rn) AS pb
+       |    FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id
+       |      AND $JaccPpm * greatest(a.s, b.s) <= 1000000 * least(a.s, b.s)
+       |    GROUP BY 1, 2, 3, 4)
+       |  WHERE (m + least(sa - pa, sb - pb)) * (1000000 + $JaccPpm)
+       |    >= $JaccPpm * (sa + sb)
        |), sets AS (
        |  SELECT id, list(tok) AS elems FROM tok GROUP BY id
        |), it AS (

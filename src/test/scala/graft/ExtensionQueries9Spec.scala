@@ -36,7 +36,8 @@ class ExtensionQueries9Spec extends SparkSpecBase {
     val r = ExtensionQueries9.q107_kcore(spark, sf)
     val rows = r.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Boolean]("converged")), "8 rounds must reach the fixpoint")
+    assert(rows.forall(_.getAs[Boolean]("converged")),
+      s"${ExtensionQueries9.CoreRounds} rounds must reach the fixpoint")
     val core = rows.filter(_.getAs[Boolean]("in_core"))
     assert(core.nonEmpty, "sf0.01 co-purchase graph should have a 3-core")
     assert(core.forall(_.getAs[Long]("core_deg") >= 3L),
@@ -111,6 +112,10 @@ class ExtensionQueries9Spec extends SparkSpecBase {
         expr("inter * 1000000L div union_sz").as("jacc_ppm"))
       .orderBy("id_a", "id_b").collect().toSeq
     assert(pref == naive, s"prefix filter must lose no qualifying pair: ${pref.size} vs ${naive.size}")
+    // the row-size-safe verification path must produce the identical output
+    val viaJoin = SetSimJoin.jaccardJoinViaJoin(shingles, "doc_id", "sh", 600000L)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaJoin == naive, s"equi-join verification must match: ${viaJoin.size} vs ${naive.size}")
   }
 
   test("q109: prefix filter indexes strictly fewer elements than the full index") {
