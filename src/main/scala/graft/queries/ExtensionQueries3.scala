@@ -187,6 +187,11 @@ object ExtensionQueries3 {
     * PARTITIONED by bucket — state never crosses buckets, so the cumsum
     * parallelizes instead of becoming a global single-partition scan.
     * pack_id = floor(tokens-before / budget): concat-then-chunk semantics.
+    * Budgets count REAL BPE tokens (round 7): the corpus-trained merge
+    * table ([[ExtensionQueries10.bpeModel]]) replaces the ceil(chars/4)
+    * heuristic, so packs line up with what a tokenizer-faithful loader
+    * would see; the mirror is the generated
+    * [[ExtensionQueries10.q54SqlFor]].
     */
   def q54_token_packing(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -195,27 +200,12 @@ object ExtensionQueries3 {
     val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.select(col("doc_id"), bucket.as("bucket"),
-        TextAnalysis.approxBpeCount(col("text")).as("tokens"))
+        graft.ext.Bpe.tokenCount(col("text"),
+          ExtensionQueries10.bpeModel(s, dir)).as("tokens"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .withColumn("pack_id", expr("(cum_tokens - tokens) div 2000"))
       .orderBy(col("bucket"), col("doc_id"))
   }
-
-  val q54Sql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    ${phSql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
-       |    CAST((length(text) + 3) // 4 AS BIGINT) AS tokens
-       |  FROM documents
-       |), c AS (
-       |  SELECT doc_id, bucket, tokens,
-       |    CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM t
-       |)
-       |SELECT doc_id, bucket, tokens, cum_tokens,
-       |  (cum_tokens - tokens) // 2000 AS pack_id
-       |FROM c ORDER BY bucket, doc_id""".stripMargin
 
   /** q55: dataset card — the corpus-level summary a training-data pipeline
     * publishes alongside the data: per-language doc/token counts, exact-dup
@@ -286,7 +276,7 @@ object ExtensionQueries3 {
     "q48_decontaminate" -> q48Sql,
     "q49_repetition_quality" -> q49Sql,
     "q50_vocab" -> q50Sql,
-    "q53_split_shards" -> q53Sql,
-    "q54_token_packing" -> q54Sql
+    "q53_split_shards" -> q53Sql
+    // q54's mirror is generated per trained dir: ExtensionQueries10.q54SqlFor
   )
 }

@@ -25,7 +25,8 @@ class ContractSpec extends SparkSpecBase {
     "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet),
     "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet),
     "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet),
-    "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet))
+    "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet),
+    "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -44,11 +45,13 @@ class ContractSpec extends SparkSpecBase {
     // its DuckDB oracle — since round 6 that includes the sketch tier
     // (certified exact-plus-boolean rows, round-5 verdict ask #2).
     assert(qs.diff(os).subsetOf(
-      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project")),
+      Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project",
+        "q112_bpe_tokens", "q54_token_packing")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries7.q100_pca_project(spark, "/root/testdata/sf0.001").count()
+    ExtensionQueries10.q112_bpe_tokens(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs,
       "generated oracles missing after training (Verify would dump an incomplete map)")
     assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
