@@ -30,7 +30,7 @@ object SparkEntry {
     */
   def oracleSqlFor(dir: String): Map[String, String] =
     (oracleSql - "q38_ann_ivf" - "q70_semdedup" - "q93_ann_ivfpq" - "q100_pca_project" -
-      "q112_bpe_tokens" - "q54_token_packing") ++
+      "q112_bpe_tokens" - "q54_token_packing" - "q113_ann_filtered") ++
       ExtensionQueries2.oracleFor(dir) ++ ExtensionQueries6.oracleFor(dir) ++
       ExtensionQueries7.oracleFor(dir) ++ ExtensionQueries10.oracleFor(dir)
 }

@@ -146,9 +146,28 @@ object IvfIndex {
     * Recall vs. brute force pinned in SimilaritySpec.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      isProbe: Column, k: Int, model: Model, nprobe: Int): DataFrame = {
+      isProbe: Column, k: Int, model: Model, nprobe: Int): DataFrame =
+    ivfTopKFiltered(emb, idCol, vecCol, isProbe, k, model, nprobe, lit(true))
+
+  /** FILTERED IVF top-k — "nearest k among rows WHERE <pred>", the shape
+    * every production vector search takes (predicate + vector in one
+    * probe). `candPred` applies to the CANDIDATE side only (probes are
+    * queries; they need not satisfy it), and it applies BEFORE list
+    * assignment, norms, and the probe join — so disqualified rows never
+    * reach a distance computation, and a simple column predicate reaches
+    * the parquet scan as a pushed filter (PlanShapeSpec pins both).
+    * Same index serves every predicate (the FAISS IDSelector shape):
+    * filtering is probe-time, training/assignment never re-run.
+    *
+    * At low selectivity the nprobe lists may hold < k qualifying rows —
+    * the classical filtered-ANN recall cliff; raise `nprobe` as
+    * selectivity drops (q114 certifies the floor for the q113 config).
+    */
+  def ivfTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+      isProbe: Column, k: Int, model: Model, nprobe: Int,
+      candPred: Column): DataFrame = {
     import Similarity.{dot, norm, toDouble}
-    val cands = emb
+    val cands = emb.filter(candPred)
       .select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", norm(col("cvec")))
       .withColumn("list", listId(model, col("cvec")))

@@ -37,11 +37,20 @@ object Similarity {
     * the k nearest other vectors. Rank ties pinned by candidate id.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      isProbe: Column, k: Int): DataFrame = {
+      isProbe: Column, k: Int): DataFrame =
+    bruteForceTopKFiltered(emb, idCol, vecCol, isProbe, k, lit(true))
+
+  /** [[bruteForceTopK]] restricted to candidates satisfying `candPred`
+    * (probes exempt) — the exact ground truth for filtered ANN (q114's
+    * certification denominator).
+    */
+  def bruteForceTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+      isProbe: Column, k: Int, candPred: Column): DataFrame = {
     // Norms are precomputed per ROW before the pair join — O(n) folds
     // instead of O(n·probes); at scale this is the difference between one
     // pass over the corpus and |probes| passes.
-    val base = emb.select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
+    val base = emb.filter(candPred)
+      .select(col(idCol).as("cand_id"), toDouble(col(vecCol)).as("cvec"))
       .withColumn("cnorm", norm(col("cvec")))
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))

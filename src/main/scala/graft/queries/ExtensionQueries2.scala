@@ -78,7 +78,7 @@ object ExtensionQueries2 {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex.Model]()
 
-  private def ivfModel(s: SparkSession, dir: String): IvfIndex.Model =
+  private[queries] def ivfModel(s: SparkSession, dir: String): IvfIndex.Model =
     modelCache.computeIfAbsent(dir,
       d => IvfIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16))
 
@@ -106,7 +106,7 @@ object ExtensionQueries2 {
     * same left-to-right (x-c)² fold; probe lists = top-nprobe by
     * (distance, index); ranking = row_number over (cos DESC, cand_id).
     */
-  def q38SqlFor(model: IvfIndex.Model): String = {
+  def q38SqlFor(model: IvfIndex.Model, candWhere: String = "TRUE"): String = {
     val cents = model.centroids.zipWithIndex
       .map { case (c, i) => s"($i, " + c.map(ExtensionQueries6.dLit).mkString("CAST([", ", ", "] AS DOUBLE[]))") }
       .mkString(",\n  ")
@@ -120,12 +120,13 @@ object ExtensionQueries2 {
         s"(dq_x, dq_y) -> dq_x + dq_y)"
     s"""WITH cent(ci, cv) AS (VALUES
        |  $cents),
-       |c AS (SELECT vec_id AS cand_id, list_transform(range(1, len(embedding)+1),
+       |c AS (SELECT vec_id AS cand_id, label, list_transform(range(1, len(embedding)+1),
        |  cv_i -> CAST(embedding[cv_i] AS DOUBLE)) AS cvec FROM embeddings),
+       |cf AS (SELECT cand_id, cvec FROM c WHERE $candWhere),
        |ca AS (SELECT cand_id, cvec, ci AS list FROM (
        |  SELECT cand_id, cvec, ci,
        |    row_number() OVER (PARTITION BY cand_id ORDER BY ${dist("cvec")}, ci) AS rn
-       |  FROM c CROSS JOIN cent) WHERE rn = 1),
+       |  FROM cf CROSS JOIN cent) WHERE rn = 1),
        |p AS (SELECT cand_id AS probe_id, cvec AS pvec FROM c WHERE cand_id < 20),
        |pl AS (SELECT probe_id, pvec, ci AS list FROM (
        |  SELECT probe_id, pvec, ci,
@@ -382,6 +383,22 @@ object ExtensionQueries2 {
     * when the JVM has trained exactly ONE dir — unambiguous; with zero or
     * several trained dirs the keys are omitted rather than guessing.
     */
+  /** The dir's trained IVF model, if any — for round-7's filtered-ANN
+    * tier ([[ExtensionQueries10]]), which shares this index (one index
+    * serves every predicate; filtering is probe-time).
+    */
+  private[queries] def trainedIvf(dir: String): Option[IvfIndex.Model] =
+    Option(modelCache.get(dir))
+
+  /** Sole trained model across dirs (dir-less oracle view), if unambiguous. */
+  private[queries] def soleTrainedIvf: Option[IvfIndex.Model] = {
+    import scala.jdk.CollectionConverters._
+    modelCache.asScala.toMap.values.toList match {
+      case m :: Nil => Some(m)
+      case _ => None
+    }
+  }
+
   def oracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     modelCache.asScala.toMap.values.toList match {

@@ -46,7 +46,7 @@ class ContractSpec extends SparkSpecBase {
     // (certified exact-plus-boolean rows, round-5 verdict ask #2).
     assert(qs.diff(os).subsetOf(
       Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project",
-        "q112_bpe_tokens", "q54_token_packing")),
+        "q112_bpe_tokens", "q54_token_packing", "q113_ann_filtered")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()

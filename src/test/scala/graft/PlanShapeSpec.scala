@@ -246,4 +246,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q113: the ANN predicate is pushed to the candidate parquet scan, below all distance math") {
+    val p = plan("q113_ann_filtered")
+    // the filter must reach the scan — disqualified rows never get a list
+    // assignment, a norm, or a cosine (pre-filtering, not post-filtering)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(label,4\\)[^\\]]*\\].*"),
+      "label predicate not pushed to the embeddings scan")
+    // and the k-truncation stays map-side per group, as in q38
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      "rank<=k must prune per-group before the final exchange")
+  }
 }
