@@ -30,6 +30,18 @@ object ExtensionQueries7 {
     * DuckDB.
     */
   def q99_incremental_minhash(s: SparkSession, dir: String): DataFrame = {
+    val (corpusSigs, deltaSigs) = q99Fixture(s, dir)
+    Dedup.incrementalMinhash(corpusSigs, deltaSigs, "doc_id",
+        bands = 16, minEstJ = 0.4)
+      .orderBy(col("id"))
+  }
+
+  /** The q99 admission fixture as signature frames — (corpus index,
+    * delta), shared with q115 (the native stateful operator runs the
+    * SAME inputs, so the two rows certify the same semantics through two
+    * different execution paths).
+    */
+  private[graft] def q99Fixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.documents(s, dir)
       .filter(size(TextAnalysis.tokens(col("text"))) >= 8)
       .select(col("doc_id"), col("text"))
@@ -45,16 +57,20 @@ object ExtensionQueries7 {
     def sigs(df: DataFrame) = df
       .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
       .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
-    Dedup.incrementalMinhash(sigs(corpus), sigs(delta), "doc_id",
-        bands = 16, minEstJ = 0.4)
-      .orderBy(col("id"))
+    (sigs(corpus), sigs(delta))
   }
 
-  val q99Sql: String = {
+  /** The q99 admission pipeline's CTE chain (base … fd), shared with
+    * q115's mirror (the native-stateful-operator batch form — same
+    * fixture, same admission rule, extra window column). NOT stripped
+    * here: callers embed it in their own stripMargin templates (the
+    * [[ExtensionQueries10.bpeCtes]] double-strip note).
+    */
+  private[queries] def q99AdmissionCtes: String = {
     val toks = "string_split(text, ' ')"
     def doctor(expr: String) =
       s"array_to_string(list_slice($toks, 1, greatest(len($toks) - 5, 3)), ' ')"
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text FROM documents WHERE len($toks) >= 8
        |), corpus AS (
        |  SELECT doc_id, text FROM base WHERE doc_id < 150
@@ -94,12 +110,15 @@ object ExtensionQueries7 {
        |    eq_i -> CASE WHEN sa.sig[eq_i] = sb.sig[eq_i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 >= 0.4
        |), fd AS (
        |  SELECT id_d, min(id_p) AS dup_of FROM est GROUP BY id_d
-       |)
+       |)"""
+  }
+
+  val q99Sql: String =
+    s"""WITH $q99AdmissionCtes
        |SELECT a.doc_id AS id, (fd.dup_of IS NULL) AS keep, fd.dup_of
        |FROM allv a LEFT JOIN fd ON a.doc_id = fd.id_d
        |WHERE a.src = 1
        |ORDER BY id""".stripMargin
-  }
 
   // --------------------------------------------------------------- q100
 

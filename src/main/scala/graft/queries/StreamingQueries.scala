@@ -268,7 +268,34 @@ object StreamingQueries {
        |ORDER BY window_start, c_custkey""".stripMargin
   }
 
+  /** q115: the NATIVE stateful banded-LSH admission operator
+    * ([[graft.streaming.LshAdmit]], round 7 — q99's semantics as
+    * flatMapGroupsWithState keyed on band keys with the corpus index as
+    * initial state, verdicts folded by a watermarked windowed agg) run
+    * in batch mode on q99's exact fixture. Event time = 1 s per doc id,
+    * so the 10 s verdict windows are deterministic. The streaming hop —
+    * state accumulating across real micro-batches, bounded by the index
+    * size — is pinned in StreamingSpec; this row pins batch == DuckDB
+    * through the SAME operator code.
+    */
+  def q115_lsh_admission(s: SparkSession, dir: String): DataFrame = {
+    val (corpusSigs, deltaSigs) = ExtensionQueries7.q99Fixture(s, dir)
+    graft.streaming.LshAdmit.admitStream(
+        deltaSigs.withColumn("us", col("doc_id") * 1000000L), corpusSigs,
+        bands = 16, minEstJ = 0.4)
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    s"""WITH ${ExtensionQueries7.q99AdmissionCtes}
+       |SELECT make_timestamp(((a.doc_id * 1000000) // 10000000) * 10000000) AS window_start,
+       |  a.doc_id, (fd.dup_of IS NULL) AS keep, fd.dup_of
+       |FROM allv a LEFT JOIN fd ON a.doc_id = fd.id_d
+       |WHERE a.src = 1
+       |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q115_lsh_admission" -> (q115_lsh_admission _),
     "q98_stream_interval_join" -> (q98_stream_interval_join _),
     "q108_stream_count_min" -> (q108_stream_count_min _),
     "q46_spend_milestones" -> (q46_spend_milestones _),
@@ -280,6 +307,7 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_lsh_admission" -> q115Sql,
     "q98_stream_interval_join" -> q98Sql,
     "q108_stream_count_min" -> q108Sql,
     "q46_spend_milestones" -> q46Sql,

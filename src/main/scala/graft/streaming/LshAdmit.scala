@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming banded-LSH near-dup admission as NATIVE keyed state — the
+  * round-7 rung above q99's foreachBatch loop (reference behavior:
+  * `etl_merge.py`'s keep-first dedup generalized to near-dup; Broder
+  * resemblance + Indyk–Motwani LSH, as in `ext/Dedup.lshCandidates`).
+  * The stored corpus index IS the initial state: each (band, band-key)
+  * bucket starts holding its corpus members' signatures (the
+  * `initialState` overload of `flatMapGroupsWithState`), and every delta
+  * doc that streams in probes exactly the `bands` buckets its signature
+  * keys to — no corpus rescan, no driver-held index, no all-pairs.
+  *
+  * Semantics match [[graft.ext.Dedup.incrementalMinhash]] bit-for-bit
+  * when deltas arrive in id order (the q99 admission contract): a delta
+  * doc is dropped when any shared bucket holds a corpus member or an
+  * earlier-id delta member whose estimated Jaccard (fraction of equal
+  * signature components — the same fold as `Dedup.estJaccard`, and
+  * cnt/64 is a power-of-two division, so the doubles compare
+  * identically) clears `minEstJ`; `dup_of` = the smallest qualifying
+  * partner id. ALL processed deltas join the bucket state, kept or
+  * dropped — candidates, not survivors, exactly like the batch operator
+  * (near-dup is not transitive).
+  *
+  * Scale/state shape: keyed state holds one entry per OCCUPIED bucket,
+  * each bounded by its members — total state rows ≤ bands × (|corpus| +
+  * |processed deltas|), i.e. the stored index itself, never the raw
+  * event count (StreamingSpec asserts the bound from query progress).
+  * The verdict fold (min partner across a doc's `bands` bucket verdicts)
+  * runs as a downstream WATERMARKED windowed aggregation in append mode
+  * — chained stateful operators; the watermark retires each arrival
+  * window's aggregation state, so the second operator's state is bounded
+  * by the window, not the stream. Docs whose signature is all-null
+  * (empty shingle set) key no buckets and are absent from the output —
+  * callers gate on a minimum token count as q99's fixture does.
+  */
+object LshAdmit {
+
+  final case class BandRow(band: Int, bk: Long, doc_id: Long, us: Long,
+      sig: Array[Long])
+  final case class Member(id: Long, corpus: Boolean, sig: Array[Long])
+  /** partner = Long.MaxValue ⇒ no qualifying partner in this bucket. */
+  final case class Verdict(doc_id: Long, us: Long, partner: Long)
+
+  private def estJJvm(a: Array[Long], b: Array[Long]): Double = {
+    var cnt = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) cnt += 1; i += 1 }
+    cnt.toDouble / a.length
+  }
+
+  /** (band, bk, doc_id, us, sig) rows via the codegen'd band-key kernel —
+    * the SAME expression the batch operator and the q29/q99 DuckDB
+    * mirrors fold with, so bucket membership can never drift between the
+    * batch and streaming paths. Null band keys (all-null signatures)
+    * drop here, as they never equijoin-match in the batch form.
+    */
+  private def banded(df: DataFrame, bands: Int): Dataset[BandRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long").as("doc_id"),
+        col("us").cast("long").as("us"), col("sig"),
+        posexplode(graft.functions.BandKeys.bandKeys(col("sig"), bands)))
+      .filter(col("col").isNotNull)
+      .select(col("pos").cast("int").as("band"), col("col").as("bk"),
+        col("doc_id"), col("us"), col("sig"))
+      .as[BandRow]
+  }
+
+  /** Admission over a (possibly streaming) delta frame of
+    * (doc_id, us, sig) against a batch corpus index of (doc_id, sig).
+    * Returns (window_start, doc_id, keep, dup_of); on a batch delta the
+    * watermark no-ops and the result equals
+    * [[graft.ext.Dedup.incrementalMinhash]] on the same inputs (q115's
+    * oracle certifies the batch form; StreamingSpec pins
+    * multi-micro-batch ≡ batch).
+    */
+  def admitStream(deltaSigs: DataFrame, corpusSigs: DataFrame, bands: Int,
+      minEstJ: Double, window: String = "10 seconds",
+      late: String = "10 seconds"): DataFrame = {
+    val spark = deltaSigs.sparkSession
+    import spark.implicits._
+
+    val init = banded(corpusSigs.withColumn("us", lit(0L)), bands)
+      .groupByKey(r => (r.band, r.bk))
+      .mapGroups((k, rows) =>
+        (k, rows.map(r => Member(r.doc_id, corpus = true, r.sig)).toArray))
+      .groupByKey(_._1).mapValues(_._2)
+
+    val verdicts = banded(deltaSigs, bands)
+      .groupByKey(r => (r.band, r.bk))
+      .flatMapGroupsWithState[Array[Member], Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), init) {
+        (_, rows, state) =>
+          var members = state.getOption.getOrElse(Array.empty[Member])
+          // id order within the batch = the q99 admission contract;
+          // cross-batch order is arrival order (earlier batches are
+          // already in state), equal to id order when the source feeds
+          // drops oldest-first as the q99 foreachBatch fixture does
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            var best = Long.MaxValue
+            var i = 0
+            while (i < members.length) {
+              val m = members(i)
+              if ((m.corpus || m.id < r.doc_id) && m.id < best &&
+                estJJvm(m.sig, r.sig) >= minEstJ) best = m.id
+              i += 1
+            }
+            members = members :+ Member(r.doc_id, corpus = false, r.sig)
+            Verdict(r.doc_id, r.us, best)
+          }
+          state.update(members)
+          out.iterator
+      }
+
+    verdicts
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", late)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_ts"), window)
+        .as("w"), col("doc_id"))
+      .agg(min(col("partner")).as("__p"))
+      .select(col("w.start").as("window_start"), col("doc_id"),
+        (col("__p") === Long.MaxValue).as("keep"),
+        when(col("__p") =!= Long.MaxValue, col("__p")).as("dup_of"))
+  }
+}

@@ -524,4 +524,56 @@ class StreamingSpec extends SparkSpecBase {
     VisibilityLoop.processBatch(spark, cfg, stateDir)(replay, 0L)
     assert(snapshot() == batch, "replaying a delivered batch must not change the snapshot")
   }
+
+  test("native stateful LSH admission: 3 micro-batches == one-shot batch; " +
+      "state bounded by index size") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (corpusSigs, deltaSigs) = graft.queries.ExtensionQueries7
+      .q99Fixture(spark, "/root/testdata/sf0.001")
+    // event time 1 s per id; three drops in id order (the q99 admission
+    // contract: streaming arrival order == batch greedy id order)
+    val delta = deltaSigs.withColumn("us", col("doc_id") * 1000000L)
+      .select(col("doc_id"), col("us"), col("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    val nCorpus = corpusSigs.count()
+    val batches = Seq(delta.take(delta.length / 3),
+      delta.slice(delta.length / 3, 2 * delta.length / 3),
+      delta.drop(2 * delta.length / 3))
+    // sentinel: far-future event time to expire every real verdict
+    // window; its id is the largest, so it can never be anyone's partner
+    val sentinel = (9000000000L, 9000000000L * 1000000L,
+      Array.tabulate(64)(i => 7919L * (i + 1)))
+    val mem = MemoryStream[(Long, Long, Array[Long])]
+    val stream = mem.toDF.toDF("doc_id", "us", "sig")
+    val q = graft.streaming.LshAdmit
+      .admitStream(stream, corpusSigs, bands = 16, minEstJ = 0.4)
+      .writeStream.format("memory").queryName("lsh_admit_out")
+      .outputMode("append").start()
+    var maxStateRows = 0L
+    try {
+      for (b <- batches) { mem.addData(b.toSeq); q.processAllAvailable() }
+      mem.addData(sentinel); q.processAllAvailable()
+      maxStateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).max
+    } finally q.stop()
+    val streamed = spark.table("lsh_admit_out")
+      .filter(col("doc_id") < 9000000000L)
+      .select(col("window_start"), col("doc_id"), col("keep"), col("dup_of"))
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.streaming.LshAdmit
+      .admitStream(delta.toSeq.toDF("doc_id", "us", "sig"), corpusSigs,
+        bands = 16, minEstJ = 0.4)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "micro-batch admission must equal the one-shot batch run exactly")
+    // keyed state = occupied LSH buckets: bounded by bands × index size
+    // (corpus + processed deltas + sentinel), never the raw event count
+    assert(maxStateRows > 0 && maxStateRows <= 16L * (nCorpus + delta.length + 1),
+      s"state rows $maxStateRows exceed the banded index bound")
+  }
 }
