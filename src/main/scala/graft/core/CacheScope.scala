@@ -38,8 +38,8 @@ object CacheScope {
     */
   private val AbandonAfter = 256
 
-  /** One shared daemon scheduler for post-release orphan sweeps (see
-    * release() below) — bounded at a single idle thread however many
+  /** One shared daemon scheduler for the wall-clock BACKSTOP sweeps (see
+    * [[enrollOrphan]]) — bounded at a single idle thread however many
     * scoped frames a session builds.
     */
   private lazy val sweeper: java.util.concurrent.ScheduledThreadPoolExecutor = {
@@ -52,6 +52,61 @@ object CacheScope {
     ex.setKeepAliveTime(30, java.util.concurrent.TimeUnit.SECONDS)
     ex.allowCoreThreadTimeOut(true)
     ex
+  }
+
+  /** Released builders whose buffers an in-flight action might still
+    * rebuild. Entries retire themselves: [[org.apache.spark.sql.graft
+    * .CacheBridge.OrphanSweep.sweep]] returns true once no plan can
+    * reach the builder (weak ref cleared) — rebuild provably impossible.
+    */
+  private val orphans = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.sql.graft.CacheBridge.OrphanSweep]()
+
+  /** Hard bound on retained handles; beyond it the oldest get one final
+    * shot and are dropped (weak refs — they pin nothing either way).
+    */
+  private val MaxOrphans = 1024
+
+  private val sweepListenerArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  private def sweepOrphans(): Unit = {
+    val it = orphans.iterator()
+    while (it.hasNext) if (it.next().sweep()) it.remove()
+  }
+
+  /** Post-release sweeping, EVENT-ARMED (round-6 ADVICE: fixed +10s/+25s
+    * delays left a window for an action slower than the last shot). A
+    * rebuild can only come from an action planned while the cache was
+    * live, and every engine action completes through the listener bus —
+    * so sweeping on EVERY later query-end event catches the rebuild
+    * whenever the rebuilding action finishes, with no timing assumption.
+    * The wall-clock shots remain only as a BACKSTOP for a session that
+    * goes idle with the rebuilding action's event already drained (cheap:
+    * each sweep is a weak-ref deref + an idempotent no-op clear), with
+    * delays configurable via `-Dgraft.cache.orphanSweepDelaysSec=10,25`.
+    * Residual window: an action that hangs forever past every backstop
+    * and a session with no further query events — unreachable by any
+    * in-engine path.
+    */
+  private def enrollOrphan(spark: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.graft.CacheBridge.OrphanSweep): Unit = {
+    s.sweep() // clear the pre-release buffer immediately
+    orphans.add(s)
+    while (orphans.size() > MaxOrphans)
+      Option(orphans.poll()).foreach(_.sweep())
+    if (sweepListenerArmed.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = sweepOrphans()
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = sweepOrphans()
+      })
+    val delays = sys.props.get("graft.cache.orphanSweepDelaysSec")
+      .map(_.split(",").toSeq.map(_.trim.toLong)).getOrElse(Seq(10L, 25L))
+    delays.foreach(d => sweeper.schedule(
+      new Runnable { def run(): Unit = sweepOrphans() },
+      d, java.util.concurrent.TimeUnit.SECONDS))
   }
 
   def scoped(df: DataFrame): DataFrame = scopedN(df, 1)
@@ -85,19 +140,16 @@ object CacheScope {
       // buffer through the (now entry-less) CachedRDDBuilder — an
       // orphan persisted RDD that neither a second unpersist nor
       // catalog.clearCache can ever reach. The unpersist itself stays
-      // immediate (performance-proven); the fix is the follow-up: the
-      // builder kill-switch captured BEFORE the entry is removed fires
-      // twice from the shared sweeper, clearing any buffer an in-flight
-      // action rebuilt. Idempotent, no polling, one daemon thread total.
+      // immediate (performance-proven); the fix is the follow-up: a
+      // sweep handle captured BEFORE the entry is removed enrolls in the
+      // event-armed orphan registry (see enrollOrphan), which re-clears
+      // the builder after every later query event until no plan can
+      // reach it.
       private def release(): Unit = if (released.compareAndSet(false, true)) {
         spark.listenerManager.unregister(this)
-        val killer = org.apache.spark.sql.graft.CacheBridge.orphanKiller(p)
+        val sweep = org.apache.spark.sql.graft.CacheBridge.orphanSweep(p)
         p.unpersist(blocking = false)
-        killer.foreach { k =>
-          val shot = new Runnable { def run(): Unit = k() }
-          sweeper.schedule(shot, 10, java.util.concurrent.TimeUnit.SECONDS)
-          sweeper.schedule(shot, 25, java.util.concurrent.TimeUnit.SECONDS)
-        }
+        sweep.foreach(enrollOrphan(spark, _))
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)

@@ -36,4 +36,46 @@ object CacheBridge {
       () => builder.clearCache(false)
     }
   }
+
+  /** Event-armed sweep handle over a builder (round-7: replaces fixed
+    * wall-clock kill shots). Holds the builder WEAKLY: a rebuild is only
+    * possible while some compiled plan still references the builder, and
+    * any such plan keeps it strongly reachable — so once the weak ref
+    * clears, no further rebuild can exist and the handle retires itself.
+    * The weak hold also means a retained handle never pins plan/builder
+    * memory a session has otherwise let go of.
+    */
+  final class OrphanSweep private[graft] (
+      ref: java.lang.ref.WeakReference[
+        org.apache.spark.sql.execution.columnar.CachedRDDBuilder]) {
+    /** Clear whatever buffer the builder holds right now (idempotent,
+      * no-op when empty). Returns true when the handle is DEAD — the
+      * builder is unreachable from any plan, so nothing can rebuild
+      * through it again and the caller should drop the handle.
+      */
+    def sweep(): Boolean = {
+      val b = ref.get()
+      if (b == null) true
+      else { b.clearCache(false); false }
+    }
+
+    /** Is a materialized buffer currently held? (test observability) */
+    def loaded: Boolean = {
+      val b = ref.get()
+      b != null && b.isCachedColumnBuffersLoaded
+    }
+  }
+
+  /** Capture an [[OrphanSweep]] over the builder currently backing `df`'s
+    * persisted plan (None if not cached). Like [[orphanKiller]], the
+    * handle stays valid after the CacheManager entry is removed; unlike
+    * it, the handle reports when sweeping is provably finished.
+    */
+  def orphanSweep(df: ApiDataset[_]): Option[OrphanSweep] = {
+    val ds = df.asInstanceOf[Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).map { cd =>
+      new OrphanSweep(new java.lang.ref.WeakReference(
+        cd.cachedRepresentation.cacheBuilder))
+    }
+  }
 }

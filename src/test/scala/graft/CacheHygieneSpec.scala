@@ -84,4 +84,26 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(org.apache.spark.sql.graft.CacheBridge
       .orphanKiller(spark.range(5).toDF("y")).isEmpty)
   }
+
+  test("OrphanSweep clears rebuilt buffers on demand and retires once unreachable") {
+    spark.catalog.clearCache()
+    var df = spark.range(50000L).toDF("z").persist()
+    df.count()
+    val s = org.apache.spark.sql.graft.CacheBridge.orphanSweep(df)
+      .getOrElse(fail("persisted plan must yield a sweep handle"))
+    assert(s.loaded, "buffer must be live before the sweep")
+    // the orphan scenario: entry removed, then the builder re-materializes
+    df.unpersist(blocking = false)
+    assert(!s.sweep(), "handle must stay alive while the plan still references the builder")
+    assert(!s.loaded, "sweep must have cleared the buffer")
+    // every later sweep is an idempotent no-op
+    assert(!s.sweep())
+    // drop the last plan reference; once collected, the handle retires —
+    // rebuild is provably impossible with no plan holding the builder
+    df = null
+    val deadline = System.nanoTime() + 30e9.toLong
+    var dead = false
+    while (!dead && System.nanoTime() < deadline) { System.gc(); dead = s.sweep(); Thread.sleep(100) }
+    assert(dead, "handle must retire after the builder becomes unreachable")
+  }
 }

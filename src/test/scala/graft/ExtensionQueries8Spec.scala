@@ -87,6 +87,25 @@ class ExtensionQueries8Spec extends SparkSpecBase {
     assert(direct.exceptAll(merged).count() == 0 && merged.exceptAll(direct).count() == 0)
   }
 
+  test("count-min rejects out-of-range keys instead of silently mishashing") {
+    import spark.implicits._
+    // negative and too-large keys would overflow the affine product into
+    // negative buckets CONSISTENTLY in both engines — only a guard catches it
+    for (bad <- Seq(-1L, CountMin.MaxKey + 1)) {
+      val e = intercept[Exception] {
+        CountMin.sketch(Seq(bad).toDF("k"), "k", 2, 16).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("count-min key outside")),
+        s"wrong failure for key $bad: $e")
+    }
+    // boundary keys pass and null keys stay null-safe (no raise)
+    val ok = CountMin.sketch(Seq[java.lang.Long](0L, CountMin.MaxKey, null)
+      .toDF("k"), "k", 2, 16).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("q104: an absent key estimates only collision mass, far below heavy keys") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
