@@ -23,7 +23,8 @@ object ExplainAudit {
         "q50_vocab", "q54_token_packing", "q58_mixture_sample",
         "q59_tfidf_topk", "q61_quantile_bins", "q74_pagerank",
         "q83_heavy_hitters", "q84_bottomk_sample", "q86_range_join",
-        "q88_table_checksum")
+        "q88_table_checksum", "q112_bpe_tokens", "q113_ann_filtered",
+        "q115_lsh_admission")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     names.foreach { n =>
       println(s"\n========== $n ==========")
