@@ -151,4 +151,66 @@ object SetSimJoin {
       .agg(count(lit(1)).as("inter"))
     finish(inter, tPpm)
   }
+
+  /** All set pairs with ABSOLUTE overlap |A∩B| ≥ minOverlap — the
+    * T-occurrence / overlap-join member of the prefix-filter family
+    * (Chaudhuri, Ganti, Kaushik 2006; Xiao et al. 2008 §2), and the
+    * primitive behind CONTAINMENT detection (quotes, excerpt reuse,
+    * train/eval contamination): a ratio threshold |A∩B|/|A| has no
+    * symmetric prefix scheme (B may be arbitrarily large), but an
+    * absolute floor does, so the scale path is overlap-join first, exact
+    * containment ratios on the surviving pairs.
+    *
+    * Prefix theorem for the absolute form: under one global element
+    * order, let x be the EARLIEST element of A∩B. At least o − 1 shared
+    * elements follow x within each set, so x sits at rank
+    * ≤ |X| − (o − 1) in both — inside both prefixes of length
+    * |X| − o + 1. Candidate generation is therefore complete; the
+    * positional filter carries over with the constant floor o in place
+    * of Jaccard's t·(sa+sb)/(1+t).
+    *
+    * Output: (id_a, id_b, inter, sa, sb, cont_a_ppm, cont_b_ppm) with
+    * id_a < id_b; cont_x_ppm = ⌊|A∩B|·10⁶ / |X|⌋, the exact scaled
+    * containment of each side in the other. Same scale shape and SIZE
+    * BOUND as [[jaccardJoin]] (array-row verification; sets with
+    * millions of elements want the equi-join verification instead).
+    */
+  def overlapJoin(elements: DataFrame, idCol: String, elemCol: String,
+      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap >= 1, got $minOverlap")
+    val o = minOverlap.toLong
+    val tok = elements.select(col(idCol).as("__id"), col(elemCol).as("tok")).distinct()
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("__id"))
+    val ranked = tok.join(freq, "tok")
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("cnt"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(byDoc))
+    // prefix length |x| − o + 1: sets smaller than o get a non-positive
+    // bound and index nothing (correct — |A∩B| ≤ |A| < o)
+    val prefix = ranked.filter(col("rn") <= col("s") - o + 1L)
+      .select(col("tok"), col("__id"), col("s"), col("rn"))
+    // length filter: min(|A|,|B|) ≥ o already implied by the prefix
+    // bound; the join needs only the id order
+    val matches = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"),
+        col("a.rn").as("ra"), col("b.rn").as("rb"))
+    // positional filter, constant floor: |A∩B| ≤ m + min(sa−pa, sb−pb)
+    val cand = matches
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("m"), max(col("ra")).as("pa"), max(col("rb")).as("pb"))
+      .filter(col("m") + least(col("sa") - col("pa"), col("sb") - col("pb")) >= o)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+    val sets = tok.groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__elems").as("__ea")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__elems").as("__eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"),
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long").as("inter"))
+      .filter(col("inter") >= o)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
+        expr("inter * 1000000L div sa").as("cont_a_ppm"),
+        expr("inter * 1000000L div sb").as("cont_b_ppm"))
+  }
 }

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{SetSimJoin, SortedNeighborhood}
+import graft.ops.LinkPredict
+
+/** Round-7 second batch: the remaining classical candidate-generation
+  * schemes around the exact set join — absolute-overlap/containment
+  * (q116, the T-occurrence member of the prefix family), sorted-
+  * neighborhood blocking (q117, the sort-based scheme that needs no
+  * similarity structure), and common-neighbor link prediction (q118,
+  * wedge counting on the co-purchase graph, the graph tier's
+  * predictive member next to PageRank/triangles/k-core).
+  *
+  * Every oracle here is the BARE relational form (no prefix ranks, no
+  * blocking artifacts) — green rows prove each scheme's pruning is
+  * result-invisible, the same proof shape as q98/q109.
+  */
+object ExtensionQueries11 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 3-word shingles of the documents table — q109's element sets
+    * (duplicated here deliberately: each query file stays
+    * self-contained the way the oracle SQL is).
+    */
+  private def shingles3(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " "))).as("sh"))
+  }
+
+  private val tokCte: String = {
+    val toks = "string_split(text, ' ')"
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    unnest(list_transform(range(1, len($toks) - 1),
+       |      sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' '))) AS tok
+       |  FROM documents WHERE len($toks) >= 3
+       |)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q116
+
+  private val MinOverlap = 20
+
+  /** q116: absolute-overlap join ([[graft.ext.SetSimJoin.overlapJoin]])
+    * at |A∩B| ≥ 20 shared 3-shingles — the containment detector (quote /
+    * excerpt reuse, train-eval contamination): a RATIO containment
+    * threshold has no symmetric prefix scheme, an absolute floor does,
+    * so the scale path is overlap-first, exact containment ppm on the
+    * survivors. The oracle is the bare inverted-index join with a
+    * HAVING floor — prefix + positional pruning must be invisible.
+    */
+  def q116_overlap_join(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.overlapJoin(shingles3(s, dir), "doc_id", "sh", MinOverlap)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q116Sql: String =
+    s"""WITH $tokCte,
+       |sz AS (SELECT id, count(*) AS s FROM tok GROUP BY id),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinOverlap
+       |)
+       |SELECT id_a, id_b, inter, x.s AS sa, y.s AS sb,
+       |  inter * 1000000 // x.s AS cont_a_ppm,
+       |  inter * 1000000 // y.s AS cont_b_ppm
+       |FROM p JOIN sz x ON x.id = p.id_a JOIN sz y ON y.id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q117
+
+  private val SnmW = 8
+  private val SnmPrefixLen = 24
+  private val JaccPpm = 600000L
+
+  /** q117: two-pass sorted-neighborhood dedup
+    * ([[graft.ext.SortedNeighborhood]]) — candidates from rank windows
+    * of w=8 under two independent blocking orders ((lang, n_chars) and
+    * a 24-char text prefix; one pass alone catches 6/25 true pairs on
+    * this corpus, the union all 25 — the multi-pass remedy the SNM
+    * literature prescribes), verified by candidate-scoped exact Jaccard
+    * at t=0.6. Output = exactly q109's 25 pairs through a completely
+    * different candidate scheme: sort-based blocking vs prefix
+    * filtering, agreeing bit-for-bit.
+    */
+  def q117_snm_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val p1 = SortedNeighborhood.candidatePairs(d, "doc_id", SnmW, 32,
+      col("lang"), col("n_chars"), col("doc_id"))
+    val p2 = SortedNeighborhood.candidatePairs(d, "doc_id", SnmW, 32,
+      substring(col("text"), 1, SnmPrefixLen), col("doc_id"))
+    val cand = p1.union(p2)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    // candidate-scoped verification (the jaccardJoinViaJoin shape: no
+    // whole-set array rows; shuffle bounded by candidates × set size)
+    val tok = shingles3(s, dir)
+      .select(col("doc_id").as("__id"), col("sh").as("tok")).distinct()
+    val sz = tok.groupBy(col("__id")).agg(count(lit(1)).as("s"))
+    cand
+      .join(sz.select(col("__id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(sz.select(col("__id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .join(tok.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
+      .join(tok.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(JaccPpm) * col("union_sz"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),
+        expr("inter * 1000000L div union_sz").as("jacc_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q117Sql: String =
+    s"""WITH
+       |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rk
+       |       FROM documents),
+       |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY substring(text, 1, $SnmPrefixLen), doc_id) AS rk
+       |       FROM documents),
+       |c1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + $SnmW),
+       |c2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + $SnmW),
+       |cand AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+       |         FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+       |$tokCte,
+       |sz AS (SELECT id, count(*) AS s FROM tok GROUP BY id),
+       |it AS (
+       |  SELECT c.id_a, c.id_b, x.s AS sa, y.s AS sb, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tok a ON a.id = c.id_a
+       |  JOIN tok b ON b.id = c.id_b AND b.tok = a.tok
+       |  JOIN sz x ON x.id = c.id_a JOIN sz y ON y.id = c.id_b
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id_a, id_b, inter, sa + sb - inter AS union_sz,
+       |  inter * 1000000 // (sa + sb - inter) AS jacc_ppm
+       |FROM it WHERE inter * 1000000 >= $JaccPpm * (sa + sb - inter)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q118
+
+  private val MaxCenterDeg = 64
+  private val MinCommon = 2
+
+  /** q118: common-neighbor link prediction
+    * ([[graft.ops.LinkPredict.commonNeighbors]]) over the q106/q107
+    * support-≥2 co-purchase graph — for every part pair NOT already
+    * co-purchased, the number of shared co-purchase partners (≥ 2) and
+    * the preferential-attachment product: "customers who bought these
+    * also bought…" as exact integer wedge counting. The center-degree
+    * cap (64; max degree here is 13, so it never binds on this corpus —
+    * the cap's pruning is pinned on a hand graph in the spec) is part of
+    * the operator contract, applied identically in the oracle.
+    */
+  def q118_link_predict(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(col("part_a"), col("part_b"))
+    LinkPredict.commonNeighbors(edges, "part_a", "part_b", MaxCenterDeg, MinCommon)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q118Sql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lp a JOIN lp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |), adj AS (SELECT u AS ctr, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT ctr, count(*) AS deg FROM adj GROUP BY ctr),
+       |small AS (SELECT a.ctr, a.nb FROM adj a
+       |          JOIN deg d ON a.ctr = d.ctr AND d.deg <= $MaxCenterDeg),
+       |w AS (SELECT a.nb AS id_a, b.nb AS id_b
+       |      FROM small a JOIN small b ON a.ctr = b.ctr AND a.nb < b.nb),
+       |cn AS (SELECT id_a, id_b, count(*) AS n_common FROM w
+       |       GROUP BY 1, 2 HAVING count(*) >= $MinCommon),
+       |miss AS (SELECT cn.id_a, cn.id_b, cn.n_common FROM cn
+       |         LEFT JOIN e ON cn.id_a = e.u AND cn.id_b = e.v
+       |         WHERE e.u IS NULL)
+       |SELECT m.id_a, m.id_b, m.n_common, da.deg * db.deg AS pa_score
+       |FROM miss m
+       |JOIN deg da ON da.ctr = m.id_a JOIN deg db ON db.ctr = m.id_b
+       |ORDER BY m.id_a, m.id_b""".stripMargin
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q116_overlap_join" -> (q116_overlap_join _),
+    "q117_snm_dedup" -> (q117_snm_dedup _),
+    "q118_link_predict" -> (q118_link_predict _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q116_overlap_join" -> q116Sql,
+    "q117_snm_dedup" -> q117Sql,
+    "q118_link_predict" -> q118Sql
+  )
+}

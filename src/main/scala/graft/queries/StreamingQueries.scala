@@ -294,8 +294,35 @@ object StreamingQueries {
        |WHERE a.src = 1
        |ORDER BY a.doc_id""".stripMargin
 
+  /** q119: LEFT-OUTER stream-stream interval join's batch formulation
+    * ([[graft.streaming.StreamOps.eventWindowLeftJoin]]) — every event
+    * annotated with each incident window covering it, or NULL when none
+    * does (the coverage audit: 9599 of 10 000 sf0.01 events fall outside
+    * every window). The probe side maps to exactly ONE time bucket so an
+    * unmatched event emits exactly one NULL row; the window side explodes
+    * to its ≤2 covering buckets. The streaming hop — NULL rows surfacing
+    * only as the watermark expires join state — is pinned in
+    * StreamingSpec; this row pins batch == DuckDB, where the oracle is
+    * the bare left interval join with no bucket artifacts.
+    */
+  def q119_event_window_left(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.eventWindowLeftJoin(Tables.events(s, dir))
+      .orderBy(col("ev_id"), col("window_id"))
+
+  val q119Sql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id, epoch_us(ts) AS w_us
+      |  FROM events WHERE event_id % 200 = 0
+      |)
+      |SELECT e.event_id AS ev_id, e.user_id, w.window_id,
+      |  epoch_us(e.ts) AS e_us, w.w_us
+      |FROM events e LEFT JOIN w
+      |  ON epoch_us(e.ts) >= w.w_us AND epoch_us(e.ts) <= w.w_us + 1800000000
+      |ORDER BY ev_id, window_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_lsh_admission" -> (q115_lsh_admission _),
+    "q119_event_window_left" -> (q119_event_window_left _),
     "q98_stream_interval_join" -> (q98_stream_interval_join _),
     "q108_stream_count_min" -> (q108_stream_count_min _),
     "q46_spend_milestones" -> (q46_spend_milestones _),
@@ -308,6 +335,7 @@ object StreamingQueries {
 
   val oracle: Map[String, String] = Map(
     "q115_lsh_admission" -> q115Sql,
+    "q119_event_window_left" -> q119Sql,
     "q98_stream_interval_join" -> q98Sql,
     "q108_stream_count_min" -> q108Sql,
     "q46_spend_milestones" -> q46Sql,

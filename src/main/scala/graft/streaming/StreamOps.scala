@@ -186,6 +186,44 @@ object StreamOps {
           - unix_micros(greatest(col("a_ts"), col("b_ts")))).as("overlap_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — every event annotated
+    * with each incident window covering it, or NULL when none does (the
+    * coverage-audit dual of [[incidentWindowJoin]]: that query asks
+    * "what's inside each window", this one asks "which events are
+    * UNcovered"). Outer interval joins need the same two ingredients as
+    * the inner form — watermarks on both event-time columns and a join
+    * condition bounding each against the other — plus one extra
+    * geometric care: the LEFT side must map to exactly ONE bucket, or
+    * an unmatched row would emit one NULL row PER bucket copy. So here
+    * the probe (event) side is left — one bucket each, one NULL row
+    * each — and the window side is the one that explodes to its ≤2
+    * covering buckets; a window's copies live in distinct buckets, so a
+    * covered event still matches each covering window exactly once.
+    * NULL rows surface when the event's side of the join state expires
+    * under the watermark — in batch the watermark is a no-op and the
+    * result is the plain relational left interval join (q119's oracle).
+    */
+  def eventWindowLeftJoin(events: DataFrame, everyN: Int = 200,
+      windowMin: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val winUs = windowMin * 60L * 1000000L
+    val bucketUs = winUs
+    val w = events.filter(pmod(col("event_id"), lit(everyN.toLong)) === 0)
+      .select(col("event_id").as("window_id"), tsCol.as("w_ts"))
+      .withWatermark("w_ts", watermark)
+      .withColumn("wb", explode(array_distinct(array(
+        expr(s"unix_micros(w_ts) div $bucketUs"),
+        expr(s"(unix_micros(w_ts) + $winUs) div $bucketUs")))))
+    val e = events.select(col("event_id").as("ev_id"), col("user_id"), tsCol.as("e_ts"))
+      .withWatermark("e_ts", watermark)
+      .withColumn("eb", expr(s"unix_micros(e_ts) div $bucketUs"))
+    e.join(w, col("eb") === col("wb")
+        && col("e_ts") >= col("w_ts")
+        && col("e_ts") <= col("w_ts") + expr(s"INTERVAL $windowMin MINUTES"),
+        "left_outer")
+      .select(col("ev_id"), col("user_id"), col("window_id"),
+        unix_micros(col("e_ts")).as("e_us"), unix_micros(col("w_ts")).as("w_us"))
+  }
+
   /** Idempotent re-delivery dedup: first event per (user_id, event_type).
     * Streaming: withWatermark + dropDuplicates (bounded state). Batch
     * equivalent keeps earliest (ts, event_id) via row_number.

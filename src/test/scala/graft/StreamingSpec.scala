@@ -279,6 +279,60 @@ class StreamingSpec extends SparkSpecBase {
       s"stream ${got.length} pairs vs batch ${expect.length}")
   }
 
+  test("q119 left-outer interval join: streaming == batch on watermark-final events") {
+    // the outer side of a stream-stream interval join can only emit its
+    // NULL rows when the watermark proves no matching window can still
+    // arrive (w_ts <= e_ts forces wm past e_ts). Files arrive sorted by
+    // event time so nothing is late-dropped; watermark 0s makes every
+    // event below the final max timestamp FINAL — on that subset the
+    // streamed result must equal the batch left join row-for-row.
+    val multi = Files.createTempDirectory("graft_left_iv")
+    val e = batchEvents.orderBy("ts")
+    val n = e.count().toInt
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (part <- Seq(0, 1, 2)) {
+      val dir = multi.resolve(s"p$part")
+      e.offset(part * (n / 3)).limit(if (part < 2) n / 3 else n - 2 * (n / 3))
+        .coalesce(1).write.parquet(dir.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.eventWindowLeftJoin(stream, everyN = 50, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("left_iv_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the GLOBAL watermark is the min across both watermark operators,
+    // and the window side's sits after the %everyN filter — so it trails
+    // at the last WINDOW row's event time, not the last event's. NULL
+    // rows are final only below that (minus a window length of slack for
+    // the engine's conservative range bound).
+    val wmUs = batchEvents.filter(pmod(col("event_id"), lit(50L)) === 0)
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val finalUs = wmUs - 30L * 60L * 1000000L - 1L
+    def finalRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("e_us") < finalUs).collect().map(_.toString).sorted
+    val got = finalRows(spark.table("left_iv_out"))
+    val batchAll = StreamOps.eventWindowLeftJoin(batchEvents, everyN = 50,
+      watermark = "0 seconds")
+    val expect = finalRows(batchAll)
+    assert(i >= 3 && expect.nonEmpty && got.sameElements(expect),
+      s"stream ${got.length} rows vs batch ${expect.length}")
+    // and the FULL streamed output is a subset of the batch left join —
+    // nothing spurious, no duplicate emissions
+    val all = spark.table("left_iv_out").collect().map(_.toString)
+    val batchSet = batchAll.collect().map(_.toString).toSet
+    assert(all.length == all.distinct.length && all.forall(batchSet),
+      "streamed rows must be unique and drawn from the batch result")
+    val nulls = spark.table("left_iv_out").filter(col("window_id").isNull).count()
+    assert(nulls > 0, "uncovered events must surface as NULL rows once final")
+  }
+
   test("LEFT OUTER stream-stream join emits null-view rows after watermark expiry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
