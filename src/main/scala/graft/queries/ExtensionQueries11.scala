@@ -199,17 +199,170 @@ object ExtensionQueries11 {
        |JOIN deg da ON da.ctr = m.id_a JOIN deg db ON db.ctr = m.id_b
        |ORDER BY m.id_a, m.id_b""".stripMargin
 
+  // --------------------------------------------------------------- q120
+
+  /** LPA round budget: the self-voting run reaches its exact fixpoint by
+    * round 7 on the sf0.01 graph (measured); 10 leaves slack, and the
+    * `converged` flag certifies it in the artifact.
+    */
+  val LpaRounds = 10
+
+  private val copurchaseEdgesSql: String =
+    """lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |)""".stripMargin
+
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select(col("part_a"), col("part_b"))
+  }
+
+  /** q120: synchronous label-propagation communities
+    * ([[graft.ops.LabelProp]]) over the q106/q107/q118 co-purchase
+    * graph — 10 deterministic self-voting rounds, min-label tiebreak,
+    * convergence certified by the oracle (the DuckDB mirror unrolls all
+    * 10 rounds as MATERIALIZED CTEs, the q107 pattern, and pins
+    * `converged` TRUE by comparing rounds 9 and 10).
+    */
+  def q120_label_prop(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LabelProp.propagate(copurchaseEdges(s, dir), "part_a", "part_b", LpaRounds)
+      .orderBy(col("node"))
+
+  val q120Sql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT t.node, t.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY t.node
+         |        ORDER BY count(*) DESC, t.label ASC) AS rn
+         |    FROM (
+         |      SELECT a.node, l.label FROM adj a JOIN l${r - 1} l ON l.node = a.nb
+         |      UNION ALL
+         |      SELECT node, label FROM l${r - 1}
+         |    ) t
+         |    GROUP BY t.node, t.label
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $copurchaseEdgesSql,
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+       |$rounds,
+       |sizes AS (SELECT label, count(*) AS csize FROM l$LpaRounds GROUP BY label),
+       |chg AS (SELECT count(*) AS n FROM l$LpaRounds a
+       |        JOIN l${LpaRounds - 1} b ON a.node = b.node AND a.label <> b.label)
+       |SELECT l.node, l.label AS community, s.csize, chg.n = 0 AS converged
+       |FROM l$LpaRounds l JOIN sizes s USING (label) CROSS JOIN chg
+       |ORDER BY l.node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q121
+
+  /** q121: ordered 3-step funnel (view → click → purchase) — for each
+    * user the earliest chain timestamps: first view, first click
+    * STRICTLY AFTER that view, first purchase strictly after that
+    * click, and the stage reached. Extends q63's 2-step
+    * view→purchase/conversion-window form to the general k-step
+    * sequential-min chain: one conditional aggregate per stage, every
+    * aggregate and join keyed on user_id (one partitioning reused
+    * end-to-end — co-partitioned at any scale). Exact µs integer time
+    * math (the q77/q86 contract).
+    */
+  def q121_funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    ev.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"),
+        when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1).otherwise(0).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val q121Sql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.us) AS c_us FROM ev e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.us) AS p_us FROM ev e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1)
+      |SELECT u.user_id, v.v_us, c.c_us, p.p_us,
+      |  CASE WHEN p.p_us IS NOT NULL THEN 3 WHEN c.c_us IS NOT NULL THEN 2
+      |       WHEN v.v_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
+  // --------------------------------------------------------------- q122
+
+  /** q122: event-type transition matrix — per user, consecutive event
+    * pairs under the (ts, event_id) total order, counted globally: the
+    * Markov-chain view of the event log (and the path-analysis
+    * primitive behind "what happens after an error?"). One
+    * user-partitioned lead window (never a global sort) + one
+    * map-combined count.
+    */
+  def q122_transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q122Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events
+      |)
+      |SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |FROM seq WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q116_overlap_join" -> (q116_overlap_join _),
     "q117_snm_dedup" -> (q117_snm_dedup _),
-    "q118_link_predict" -> (q118_link_predict _)
+    "q118_link_predict" -> (q118_link_predict _),
+    "q120_label_prop" -> (q120_label_prop _),
+    "q121_funnel" -> (q121_funnel _),
+    "q122_transitions" -> (q122_transitions _)
   )
 
   val oracle: Map[String, String] = Map(
     "q116_overlap_join" -> q116Sql,
     "q117_snm_dedup" -> q117Sql,
-    "q118_link_predict" -> q118Sql
+    "q118_link_predict" -> q118Sql,
+    "q120_label_prop" -> q120Sql,
+    "q121_funnel" -> q121Sql,
+    "q122_transitions" -> q122Sql
   )
 }

@@ -26,7 +26,8 @@ class ContractSpec extends SparkSpecBase {
     "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet),
     "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet),
     "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet),
-    "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet))
+    "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet),
+    "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)

@@ -116,4 +116,58 @@ class ExtensionQueries11Spec extends SparkSpecBase {
     assert(LinkPredict.commonNeighbors(star, "u", "v", 5, 1).count() == 10L)
     assert(LinkPredict.commonNeighbors(star, "u", "v", 4, 1).count() == 0L)
   }
+
+  // ------------------------------------------- q120 label propagation
+
+  test("q120: hand graph — two triangles with a bridge settle into two communities") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("a", "b")
+    val r = graft.ops.LabelProp.propagate(edges, "a", "b", 6).orderBy("node").collect()
+    val by = r.map(x => x.getAs[Long]("node") -> x.getAs[Long]("community")).toMap
+    assert(Seq(1L, 2L, 3L).forall(by(_) == 1L), s"triangle A: $by")
+    assert(Seq(4L, 5L, 6L).forall(by(_) == 4L), s"triangle B: $by")
+    assert(r.forall(_.getAs[Boolean]("converged")))
+    val cs = r.map(x => x.getAs[Long]("community") -> x.getAs[Long]("csize"))
+    assert(cs.forall(_._2 == 3L))
+  }
+
+  test("q120: corpus run converges; csize is consistent with the label partition") {
+    val r = ExtensionQueries11.q120_label_prop(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("converged")),
+      s"${ExtensionQueries11.LpaRounds} self-voting rounds must reach the fixpoint")
+    val byLabel = rows.groupBy(_.getAs[Long]("community"))
+    assert(byLabel.forall { case (_, ms) => ms.forall(_.getAs[Long]("csize") == ms.length.toLong) },
+      "csize must equal the actual member count of each community")
+    assert(byLabel.size > 1 && byLabel.size < rows.length,
+      "LPA must coarsen singletons without collapsing the graph into one community")
+  }
+
+  // --------------------------------------------- q121/q122 event paths
+
+  test("q121: funnel stages are prefix-monotonic and strictly ordered in time") {
+    val rows = ExtensionQueries11.q121_funnel(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (Option(r.getAs[java.lang.Long]("v_us")),
+        Option(r.getAs[java.lang.Long]("c_us")), Option(r.getAs[java.lang.Long]("p_us")))
+      val stage = r.getAs[Int]("stage")
+      // a later stage implies every earlier one (no click without a view)
+      assert(!(c.isDefined && v.isEmpty) && !(p.isDefined && c.isEmpty))
+      assert(stage == Seq(v, c, p).takeWhile(_.isDefined).length)
+      // chain is strictly increasing in event time
+      for (Seq(x, y) <- Seq(v, c, p).flatten.map(_.toLong).sliding(2))
+        assert(x < y, s"funnel must advance strictly: $x !< $y")
+    }
+    assert(rows.exists(_.getAs[Int]("stage") == 3), "sf0.001 must complete some funnels")
+  }
+
+  test("q122: every event except each user's last contributes exactly one transition") {
+    val total = ExtensionQueries11.q122_transitions(spark, sfTiny)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val ev = graft.core.Tables.events(spark, sfTiny)
+    val expect = ev.count() - ev.select("user_id").distinct().count()
+    assert(total == expect, s"transition mass $total != events-minus-users $expect")
+  }
 }
