@@ -320,9 +320,35 @@ object StreamingQueries {
       |  ON epoch_us(e.ts) >= w.w_us AND epoch_us(e.ts) <= w.w_us + 1800000000
       |ORDER BY ev_id, window_id""".stripMargin
 
+  /** q123: the roles-swapped dual of q119
+    * ([[graft.streaming.StreamOps.windowCoverageLeftJoin]]) — every
+    * 5-minute incident window annotated with each event it covers
+    * BESIDES its own opener, or NULL when it covers none: the
+    * empty-window audit (18 of sf0.01's 50 windows see no other
+    * traffic). Probe side here is the WINDOW (one start bucket), so the
+    * event side explodes to the ≤2 buckets a covering window's start
+    * could occupy — the same single-bucket-left geometry, mirrored.
+    */
+  def q123_window_coverage(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.windowCoverageLeftJoin(
+        Tables.events(s, dir), windowMin = 5, excludeSelf = true)
+      .orderBy(col("window_id"), col("ev_id"))
+
+  val q123Sql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id, epoch_us(ts) AS w_us
+      |  FROM events WHERE event_id % 200 = 0
+      |)
+      |SELECT w.window_id, e.event_id AS ev_id, w.w_us, epoch_us(e.ts) AS e_us
+      |FROM w LEFT JOIN events e
+      |  ON epoch_us(e.ts) >= w.w_us AND epoch_us(e.ts) <= w.w_us + 300000000
+      |  AND e.event_id <> w.window_id
+      |ORDER BY window_id, ev_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_lsh_admission" -> (q115_lsh_admission _),
     "q119_event_window_left" -> (q119_event_window_left _),
+    "q123_window_coverage" -> (q123_window_coverage _),
     "q98_stream_interval_join" -> (q98_stream_interval_join _),
     "q108_stream_count_min" -> (q108_stream_count_min _),
     "q46_spend_milestones" -> (q46_spend_milestones _),
@@ -336,6 +362,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "q115_lsh_admission" -> q115Sql,
     "q119_event_window_left" -> q119Sql,
+    "q123_window_coverage" -> q123Sql,
     "q98_stream_interval_join" -> q98Sql,
     "q108_stream_count_min" -> q108Sql,
     "q46_spend_milestones" -> q46Sql,

@@ -224,6 +224,46 @@ object StreamOps {
         unix_micros(col("e_ts")).as("e_us"), unix_micros(col("w_ts")).as("w_us"))
   }
 
+  /** The roles-swapped dual of [[eventWindowLeftJoin]]: every WINDOW
+    * annotated with each event it covers, or NULL when it covers none —
+    * the empty-window audit ("which maintenance windows saw no
+    * traffic"). The bucket geometry mirrors exactly: the LEFT side must
+    * be single-bucket, and here that's the window (bucketed by its
+    * START; width = the window length), so the EVENT side explodes to
+    * the ≤2 buckets a covering window's start could live in
+    * (eb, eb − 1): an event at e matches windows with w_ts ∈
+    * [e − win, e], whose start bucket is one of those two. A window
+    * matches each covered event exactly once (the event's two copies
+    * live in distinct buckets and the window has one bucket).
+    */
+  def windowCoverageLeftJoin(events: DataFrame, everyN: Int = 200,
+      windowMin: Int = 30, watermark: String = "1 hour",
+      excludeSelf: Boolean = false): DataFrame = {
+    val winUs = windowMin * 60L * 1000000L
+    val bucketUs = winUs
+    val w = events.filter(pmod(col("event_id"), lit(everyN.toLong)) === 0)
+      .select(col("event_id").as("window_id"), tsCol.as("w_ts"))
+      .withWatermark("w_ts", watermark)
+      .withColumn("wb", expr(s"unix_micros(w_ts) div $bucketUs"))
+    val e = events.select(col("event_id").as("ev_id"), tsCol.as("e_ts"))
+      .withWatermark("e_ts", watermark)
+      // the two start-bucket candidates are always distinct (bucket
+      // width = window length), so no dedup is needed on the copies
+      .withColumn("eb", explode(array(
+        expr(s"unix_micros(e_ts) div $bucketUs"),
+        expr(s"unix_micros(e_ts) div $bucketUs - 1"))))
+    // excludeSelf must ride the JOIN condition, not a post-filter: a
+    // window whose ONLY covered event is its own opener must surface as
+    // an (empty) NULL row, which a filter after the join would destroy
+    val base = col("wb") === col("eb") &&
+      col("e_ts") >= col("w_ts") &&
+      col("e_ts") <= col("w_ts") + expr(s"INTERVAL $windowMin MINUTES")
+    val cond = if (excludeSelf) base && col("ev_id") =!= col("window_id") else base
+    w.join(e, cond, "left_outer")
+      .select(col("window_id"), col("ev_id"),
+        unix_micros(col("w_ts")).as("w_us"), unix_micros(col("e_ts")).as("e_us"))
+  }
+
   /** Idempotent re-delivery dedup: first event per (user_id, event_type).
     * Streaming: withWatermark + dropDuplicates (bounded state). Batch
     * equivalent keeps earliest (ts, event_id) via row_number.

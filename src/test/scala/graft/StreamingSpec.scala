@@ -333,6 +333,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(nulls > 0, "uncovered events must surface as NULL rows once final")
   }
 
+  test("q123 window-coverage left join: streaming == batch on watermark-final windows") {
+    // roles-swapped dual of the q119 test: the probe side is the WINDOW.
+    // A window's NULL verdict is final once no matching event can still
+    // arrive — events up to w_ts + windowMin qualify, so finality needs
+    // the watermark PAST the window end; both watermark operators see
+    // event streams whose max is the full stream's last event, minus the
+    // window length of conservative slack, minus the window again for
+    // the qualification bound.
+    val multi = Files.createTempDirectory("graft_wcov_iv")
+    val e = batchEvents.orderBy("ts")
+    val n = e.count().toInt
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (part <- Seq(0, 1, 2)) {
+      val dir = multi.resolve(s"p$part")
+      e.offset(part * (n / 3)).limit(if (part < 2) n / 3 else n - 2 * (n / 3))
+        .coalesce(1).write.parquet(dir.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.windowCoverageLeftJoin(stream, everyN = 50, windowMin = 5,
+        watermark = "0 seconds", excludeSelf = true)
+      .writeStream.format("memory").queryName("wcov_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the global watermark is the MIN across both watermark operators,
+    // and the window side's (post-%50-filter) trails at the last WINDOW
+    // row's time — same semantics the q119 test pins. Margin: window
+    // end (+win) + engine slack (+win) + bucket rounding (+win)
+    val wmUs = batchEvents.filter(pmod(col("event_id"), lit(50L)) === 0)
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val finalUs = wmUs - 3L * 5L * 60L * 1000000L - 1L
+    def finalRows(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("w_us") < finalUs).collect().map(_.toString).sorted
+    val batchAll = StreamOps.windowCoverageLeftJoin(batchEvents, everyN = 50,
+      windowMin = 5, watermark = "0 seconds", excludeSelf = true)
+    val got = finalRows(spark.table("wcov_out"))
+    val expect = finalRows(batchAll)
+    assert(i >= 3 && expect.nonEmpty && got.sameElements(expect),
+      s"stream ${got.length} rows vs batch ${expect.length}")
+    val all = spark.table("wcov_out").collect().map(_.toString)
+    val batchSet = batchAll.collect().map(_.toString).toSet
+    assert(all.length == all.distinct.length && all.forall(batchSet),
+      "streamed rows must be unique and drawn from the batch result")
+    assert(spark.table("wcov_out").filter(col("ev_id").isNull).count() > 0,
+      "empty windows must surface as NULL rows once final")
+  }
+
   test("LEFT OUTER stream-stream join emits null-view rows after watermark expiry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
