@@ -346,6 +346,81 @@ object ExtensionQueries11 {
       |FROM seq WHERE next_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q124
+
+  /** The fixed retrieval query (a rare discriminative term + two common
+    * ones — df('dup') = 25 of 500 docs at sf0.01 carries 4 idf bits
+    * while saturated common terms contribute 0).
+    */
+  val Bm25Query: Seq[String] = Seq("dup", "spark", "query")
+
+  /** q124: BM25-style retrieval scoring, integer-exact — the
+    * query-relevance primitive behind search-based corpus curation
+    * ("keep documents matching these probe queries"). Standard BM25
+    * with k1 = 1.2, b = 0.75 re-expressed as exact rationals:
+    *
+    *   term = idf_bits · (22·tf·S) div (10·tf·S + 3·S + 9·dl·N)
+    *
+    * (numerator and denominator of tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * multiplied through by 10·S, avgdl = S/N), with idf_bits =
+    * len(bin(N)) − len(bin(df)) ≈ log₂(N/df) — the q105 integer idf
+    * surrogate, since a float ln() would not cross-engine hash. Bound:
+    * idf_bits·22·tf·S·10⁶ must fit a long — S·tf·2.2×10⁸ < 2⁶³, fine
+    * to ~10¹⁰ total corpus tokens per shard.
+    *
+    * Scale shape: df and the (S, N) scalar are one map-combined
+    * aggregate each (1-row broadcast); tf filters to the query's terms
+    * BEFORE grouping (the scan prunes everything else); per-doc fold
+    * keys on doc_id; top-k is sort+limit (TakeOrderedAndProject, never
+    * a global window).
+    */
+  def q124_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sn = dl.agg(sum(col("dl")).as("s_tot"), count(lit(1)).as("n_docs"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = toks.filter(col("tok").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(sn)) // 1-row scalar fan-out
+      .withColumn("idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+      .select(col("doc_id"),
+        expr("idf_bits * (22L * tf * s_tot * 1000000L) div " +
+          "(10L * tf * s_tot + 3L * s_tot + 9L * dl * n_docs)").as("term_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_ppm")).as("score_ppm"), count(lit(1)).as("n_hit_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val q124Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |sn AS (SELECT sum(dl) AS s_tot, count(*) AS n_docs FROM dl),
+       |dfreq AS (
+       |  SELECT tok, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN $terms GROUP BY 1, 2
+       |), terms AS (
+       |  SELECT t.doc_id,
+       |    (CAST(len(bin(sn.n_docs)) - len(bin(f.df)) AS BIGINT) *
+       |     (22 * t.tf * sn.s_tot * 1000000)) //
+       |    (10 * t.tf * sn.s_tot + 3 * sn.s_tot + 9 * d.dl * sn.n_docs) AS term_ppm
+       |  FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN sn
+       |)
+       |SELECT doc_id, sum(term_ppm) AS score_ppm, count(*) AS n_hit_terms
+       |FROM terms GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -354,7 +429,8 @@ object ExtensionQueries11 {
     "q118_link_predict" -> (q118_link_predict _),
     "q120_label_prop" -> (q120_label_prop _),
     "q121_funnel" -> (q121_funnel _),
-    "q122_transitions" -> (q122_transitions _)
+    "q122_transitions" -> (q122_transitions _),
+    "q124_bm25_topk" -> (q124_bm25_topk _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,6 +439,7 @@ object ExtensionQueries11 {
     "q118_link_predict" -> q118Sql,
     "q120_label_prop" -> q120Sql,
     "q121_funnel" -> q121Sql,
-    "q122_transitions" -> q122Sql
+    "q122_transitions" -> q122Sql,
+    "q124_bm25_topk" -> q124Sql
   )
 }

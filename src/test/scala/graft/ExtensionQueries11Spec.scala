@@ -163,6 +163,29 @@ class ExtensionQueries11Spec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Int]("stage") == 3), "sf0.001 must complete some funnels")
   }
 
+  // ------------------------------------------------- q124 BM25 top-k
+
+  test("q124: scores rank rare-term hits first, non-increasing, hits only") {
+    val rows = ExtensionQueries11.q124_bm25_topk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Long]("score_ppm"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "top-k must be non-increasing in score")
+    // idf dominance: the rare term carries ~4 idf bits, common terms 0 —
+    // every doc containing 'dup' must outrank every doc without it
+    import spark.implicits._
+    val dupDocs = graft.core.Tables.documents(spark, sf)
+      .filter(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    val (withDup, without) = rows.partition(r => dupDocs(r.getAs[Long]("doc_id")))
+    assert(withDup.nonEmpty, "corpus plants 'dup' docs; top-k must surface them")
+    if (without.nonEmpty)
+      assert(withDup.map(_.getAs[Long]("score_ppm")).min >
+        without.map(_.getAs[Long]("score_ppm")).max,
+        "4 idf bits must dominate zero-idf common-term scores")
+    assert(rows.forall(_.getAs[Long]("n_hit_terms") >= 1L))
+  }
+
   test("q122: every event except each user's last contributes exactly one transition") {
     val total = ExtensionQueries11.q122_transitions(spark, sfTiny)
       .agg(sum("n")).collect()(0).getLong(0)
