@@ -174,6 +174,15 @@ object SetSimJoin {
     * containment of each side in the other. Same scale shape and SIZE
     * BOUND as [[jaccardJoin]] (array-row verification; sets with
     * millions of elements want the equi-join verification instead).
+    *
+    * REGIME BOUND (measured, PLANS.md round-7 exponent table): prefix
+    * pruning power is o/|set|. At floors well below typical set sizes
+    * the prefix keeps most postings and hot-element lists make the
+    * candidate join grow ~quadratically in corpus scale (k=1.28 at
+    * o=20 on 52-median shingle sets) — intrinsic to EXACT small-floor
+    * overlap joins. Use large floors (containment/quote detection,
+    * o=80: sublinear) here; screen low-floor overlap with the capped
+    * inverted index (q26) or MinHash-LSH (q29) instead.
     */
   def overlapJoin(elements: DataFrame, idCol: String, elemCol: String,
       minOverlap: Int): DataFrame = {

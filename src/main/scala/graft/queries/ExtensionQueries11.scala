@@ -75,6 +75,38 @@ object ExtensionQueries11 {
        |FROM p JOIN sz x ON x.id = p.id_a JOIN sz y ON y.id = p.id_b
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q125
+
+  private val ContainFloor = 80
+
+  /** q125: [[q116_overlap_join]]'s operator in its PREFIX-PRUNED regime
+    * — the containment floor o=80 against a median set size of 52
+    * shingles means most sets index NOTHING (s < o ⇒ |A∩B| < o
+    * structurally) and the rest index only `s − 79` rare shingles.
+    * Measured contrast at the sf0.1→sf1x rung: o=20 keeps `s − 19` of
+    * a 52-median set (~63%) indexed and pays a hot-shingle candidate
+    * blowup (k = 1.28); o=80's prefixes vanish for most sets and the
+    * same operator goes sublinear. The pair of rows documents the
+    * regime boundary the operator's scaladoc prescribes.
+    */
+  def q125_overlap_contain(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.overlapJoin(shingles3(s, dir), "doc_id", "sh", ContainFloor)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q125Sql: String =
+    s"""WITH $tokCte,
+       |sz AS (SELECT id, count(*) AS s FROM tok GROUP BY id),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2 HAVING count(*) >= $ContainFloor
+       |)
+       |SELECT id_a, id_b, inter, x.s AS sa, y.s AS sb,
+       |  inter * 1000000 // x.s AS cont_a_ppm,
+       |  inter * 1000000 // y.s AS cont_b_ppm
+       |FROM p JOIN sz x ON x.id = p.id_a JOIN sz y ON y.id = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------------------- q117
 
   private val SnmW = 8
@@ -430,7 +462,8 @@ object ExtensionQueries11 {
     "q120_label_prop" -> (q120_label_prop _),
     "q121_funnel" -> (q121_funnel _),
     "q122_transitions" -> (q122_transitions _),
-    "q124_bm25_topk" -> (q124_bm25_topk _)
+    "q124_bm25_topk" -> (q124_bm25_topk _),
+    "q125_overlap_contain" -> (q125_overlap_contain _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -440,6 +473,7 @@ object ExtensionQueries11 {
     "q120_label_prop" -> q120Sql,
     "q121_funnel" -> q121Sql,
     "q122_transitions" -> q122Sql,
-    "q124_bm25_topk" -> q124Sql
+    "q124_bm25_topk" -> q124Sql,
+    "q125_overlap_contain" -> q125Sql
   )
 }
