@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Similarity, Winnowing}
+
+/** Round-7 fourth batch: position-aware fingerprinting and hybrid
+  * retrieval — the two curation primitives that sit directly on top of
+  * operators already certified (q24's document hash, q124's BM25,
+  * q30's cosine ranking).
+  *
+  *  - q126: winnowing (SIGMOD 2003 / MOSS) — guaranteed-recall partial-
+  *    overlap fingerprints at 2/(w+1) density.
+  *  - q127: reciprocal-rank fusion (Cormack, Clarke, Büttcher, SIGIR
+  *    2009) of the BM25 lexical ranking with a cosine vector ranking —
+  *    the standard hybrid-search combiner, integer-exact.
+  */
+object ExtensionQueries12 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- q126
+
+  private val WinK = 8 // k-gram length (characters)
+  private val WinW = 4 // winnowing window (hashes)
+
+  /** q126: winnowed fingerprints of the documents table, rolled up per
+    * document to an integer-exact summary (count, min/max, mod-p
+    * checksum over hashes AND positions — the checksum pins every
+    * selected (hash, pos) pair without emitting ~2n/(w+1) rows each).
+    * The selection arithmetic (tie-break key, window minimum, decode)
+    * is mirrored literally in the oracle; see [[graft.ext.Winnowing]].
+    */
+  def q126_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
+    Winnowing.fingerprints(Tables.documents(s, dir), "doc_id", "text", WinK, WinW)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        expr("sum(fp) % 1000000007").as("fp_checksum"),
+        sum(col("pos")).as("pos_sum"))
+      .orderBy(col("doc_id"))
+
+  val q126Sql: String = {
+    val e = s"substring(text, pos, $WinK)"
+    val ph = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), ch_i -> CAST(ascii(substring($e, ch_i, 1)) AS BIGINT))), " +
+      s"(ph_a, ph_b) -> (ph_a*31 + ph_b) % 1000000007)"
+    val B = Winnowing.PosBase
+    s"""WITH g AS (
+       |  SELECT doc_id, length(text) - ${WinK - 1} AS ng,
+       |    unnest(range(1, length(text) - ${WinK - 2})) AS pos, text
+       |  FROM documents WHERE length(text) - ${WinK - 1} >= $WinW
+       |), k AS (
+       |  SELECT doc_id, ng, pos, ($ph + 1) * $B - pos AS key FROM g
+       |), m AS (
+       |  SELECT doc_id, ng, pos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS win_min
+       |  FROM k
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, win_min FROM m WHERE pos <= ng - ${WinW - 1}
+       |), fp AS (
+       |  SELECT doc_id, win_min // $B AS fp,
+       |    (win_min // $B + 1) * $B - win_min AS pos
+       |  FROM sel
+       |)
+       |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
+       |  sum(fp) % 1000000007 AS fp_checksum, sum(pos) AS pos_sum
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q127
+
+  private val RrfK = 60 // the SIGIR 2009 constant
+  private val ListK = 50 // depth of each input ranking
+  private val FusedK = 20
+
+  /** q127: reciprocal-rank fusion of two retrieval lists over the same
+    * corpus — q124's integer-exact BM25 top-50 (lexical) and the exact
+    * cosine top-50 around probe vector 0 (q30's machinery; doc_id and
+    * vec_id are the same key in the testdata). rrf_ppm =
+    * Σ 1000000 div (60 + rank) over the lists that retrieved the doc —
+    * exact integer arithmetic, so the fused ordering cross-engine
+    * hashes. Docs in one list only keep a NULL rank on the other side
+    * (full outer join), scoring 0 from it, per the original formula.
+    *
+    * Scale shape: both input rankings are bounded top-k artifacts
+    * (TakeOrderedAndProject / per-probe windows — computed distributed,
+    * ≤ k rows out), so the fusion itself joins two k-row frames: the
+    * lexical rank is a count-of-better-rows broadcast self-join (k²
+    * pairs on k = 50 — never a partition-less window), the fusion join
+    * broadcasts, and the final top-k is again sort+limit.
+    */
+  def q127_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = ExtensionQueries11.q124_bm25_topk(s, dir)
+      .select(col("doc_id"), col("score_ppm"))
+    // rank = 1 + |{rows strictly before this one in (score DESC, id)}|
+    val lexRanked = lex.as("a").join(
+        broadcast(lex.as("b")),
+        col("b.score_ppm") > col("a.score_ppm") ||
+          (col("b.score_ppm") === col("a.score_ppm") &&
+            col("b.doc_id") < col("a.doc_id")),
+        "left")
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg((count(col("b.doc_id")) + 1).as("rank_lex"))
+    val vecRanked = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") === 0, ListK)
+      .select(col("cand_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+    lexRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr(s"1000000L div ($RrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($RrfK + rank_vec)"), lit(0L))).as("rrf_ppm"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(FusedK)
+  }
+
+  val q127Sql: String = {
+    val terms = ExtensionQueries11.Bm25Query.map(t => s"'$t'").mkString(", ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, len($a)+1), dp_i -> CAST($a[dp_i] AS DOUBLE) * CAST($b[dp_i] AS DOUBLE))), " +
+        s"(dp_x, dp_y) -> dp_x + dp_y)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |sn AS (SELECT sum(dl) AS s_tot, count(*) AS n_docs FROM dl),
+       |dfreq AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok
+       |), bm AS (
+       |  SELECT t.doc_id, sum(
+       |    (CAST(length(bin(n_docs)) - length(bin(df)) AS BIGINT) *
+       |     (22 * tf * s_tot * 1000000)) //
+       |    (10 * tf * s_tot + 3 * s_tot + 9 * dl.dl * n_docs)
+       |  ) AS score_ppm
+       |  FROM tf t JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = t.doc_id
+       |  CROSS JOIN sn GROUP BY t.doc_id
+       |), bm_top AS (
+       |  SELECT doc_id, score_ppm FROM bm
+       |  ORDER BY score_ppm DESC, doc_id LIMIT $ListK
+       |), lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank_lex
+       |  FROM bm_top
+       |), p AS (
+       |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+       |), cos AS (
+       |  SELECT vec_id AS doc_id,
+       |    ${fold("pv", "embedding")} /
+       |      (sqrt(${fold("pv", "pv")}) * sqrt(${fold("embedding", "embedding")})) AS cos
+       |  FROM embeddings CROSS JOIN p WHERE vec_id <> 0
+       |), vec AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+       |  FROM cos ORDER BY cos DESC, doc_id LIMIT $ListK
+       |)
+       |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, rank_lex, rank_vec,
+       |  COALESCE(1000000 // ($RrfK + rank_lex), 0) +
+       |    COALESCE(1000000 // ($RrfK + rank_vec), 0) AS rrf_ppm
+       |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+       |ORDER BY rrf_ppm DESC, doc_id LIMIT $FusedK""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q126_winnow_fingerprints" -> (q126_winnow_fingerprints _),
+    "q127_rrf_fusion" -> (q127_rrf_fusion _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q126_winnow_fingerprints" -> q126Sql,
+    "q127_rrf_fusion" -> q127Sql
+  )
+}
