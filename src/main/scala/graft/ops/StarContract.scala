@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star
+  * contraction — Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond" (SoCC 2014). The
+  * scale-proof alternative to plain min-label propagation (q42's
+  * cluster decision, `ext/Dedup`): label propagation needs DIAMETER
+  * rounds, star contraction provably converges in O(log n) — on a
+  * 100 TB edge set the difference between a path-shaped component
+  * taking thousands of rounds and ~30.
+  *
+  *  - large-star(u): connect every neighbor v > u to m(u) =
+  *    min(Γ(u) ∪ {u}).
+  *  - small-star(u): connect every neighbor v < u, and u itself, to
+  *    m(u) = min(Γ<(u) ∪ {u}).
+  *
+  * Each half-round is ONE neighborhood-min aggregate plus ONE
+  * co-partitioned equi-join on the node key — no broadcasts of
+  * anything proportional to |V|, no windows. The edge frame is
+  * `localCheckpoint`ed once per round (the k-core/LPA economics:
+  * every round's frame feeds two consumers — the next round and the
+  * convergence diff — so lineage must truncate eagerly or the plan
+  * re-executes per branch).
+  *
+  * Output: (id, comp, converged) — comp is the component's minimum
+  * node id; `converged` is TRUE iff the last two rounds produced
+  * identical assignments (the caller-visible certificate that the
+  * round budget sufficed, same contract as `ops/KCore` / `ops/
+  * LabelProp`).
+  */
+object StarContract {
+
+  /** @param edges undirected edge list (src, dst), any orientation,
+    *              self-loops ignored
+    * @param nodes (id) — nodes absent from `edges` come out as
+    *              singleton components
+    * @param rounds large+small round pairs to run (O(log n) needed;
+    *               measured on the co-purchase graph: fixpoint by
+    *               round 3 at sf0.01 and sf0.1 — see PLANS.md)
+    */
+  def run(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val spark = edges.sparkSession
+    // canonical undirected edge set, smaller endpoint first
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    var e = canon(edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))).localCheckpoint(true)
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      prev = e
+      // large-star over the full (symmetric) neighborhood
+      val s = sym(e)
+      val mLarge = s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(
+        s.join(mLarge, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star over the strictly-smaller neighborhood (+ self)
+      val down = sym(large).filter(col("v") < col("u"))
+      val mSmall = down.groupBy("u").agg(min(col("v")).as("m"))
+      val small = canon(
+        down.join(mSmall, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mSmall.select(col("u"), col("m").as("v"))))
+      e = small.localCheckpoint(true)
+    }
+    // after contraction E is a star forest: every edge is (member, root)
+    val assign = assignment(nodes, e)
+    val prevAssign = assignment(nodes, prev)
+    val diffs = assign.as("a").join(prevAssign.as("b"), Seq("id"))
+      .filter(col("a.comp") =!= col("b.comp")).limit(1).count()
+    assign.withColumn("converged", lit(diffs == 0))
+  }
+
+  /** Canonical star edges are (root = min endpoint, member); roots and
+    * isolated nodes fall through the left join to themselves.
+    */
+  private def assignment(nodes: DataFrame, stars: DataFrame): DataFrame =
+    nodes.select(col("id").cast("long").as("id"))
+      .join(stars.select(col("v").as("id"), col("u").as("root")), Seq("id"), "left")
+      .groupBy("id").agg(min(col("root")).as("mr"))
+      .select(col("id"), coalesce(col("mr"), col("id")).as("comp"))
+}

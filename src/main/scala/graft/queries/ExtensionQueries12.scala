@@ -167,13 +167,68 @@ object ExtensionQueries12 {
        |ORDER BY rrf_ppm DESC, doc_id LIMIT $FusedK""".stripMargin
   }
 
+  // --------------------------------------------------------------- q128
+
+  /** Star-contraction round-pair budget: the co-purchase graph's
+    * assignment certificate turns TRUE at round 3 at sf0.1 (measured:
+    * rounds 2→3 stable, 1→2 not; one giant component) and within 4 at
+    * sf0.01 — see PLANS.md. 4 carries the O(log n) headroom the SoCC
+    * 2014 bound prescribes for the sf1 rung.
+    */
+  private val CcRounds = 4
+
+  /** q128: connected components of the co-purchase graph (same edge set
+    * as q74's PageRank) by alternating large-star/small-star
+    * contraction — the O(log n)-round CC next to q42's
+    * diameter-round min-label propagation. The oracle recomputes
+    * components EXACTLY via a recursive-CTE reachability closure and
+    * pins `converged` TRUE, certifying the round budget the same way
+    * q107/q120 certify theirs.
+    */
+  def q128_cc_stars(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
+    graft.ops.StarContract.run(edges, nodes, CcRounds)
+      .select(col("id").as("part_key"), col("comp"), col("converged"))
+      .orderBy(col("part_key"))
+  }
+
+  val q128Sql: String =
+    """WITH RECURSIVE lp AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lp a JOIN lp b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |), reach(a, b) AS (
+      |  SELECT u, v FROM e0
+      |  UNION
+      |  SELECT r.a, e.v FROM reach r JOIN e0 e ON e.u = r.b
+      |  WHERE e.v <> r.a
+      |), comp AS (
+      |  SELECT a, least(a, min(b)) AS comp FROM reach GROUP BY a
+      |)
+      |SELECT p.p_partkey AS part_key,
+      |  COALESCE(c.comp, p.p_partkey) AS comp,
+      |  TRUE AS converged
+      |FROM part p LEFT JOIN comp c ON c.a = p.p_partkey
+      |ORDER BY part_key""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q126_winnow_fingerprints" -> (q126_winnow_fingerprints _),
-    "q127_rrf_fusion" -> (q127_rrf_fusion _)
+    "q127_rrf_fusion" -> (q127_rrf_fusion _),
+    "q128_cc_stars" -> (q128_cc_stars _)
   )
 
   val oracle: Map[String, String] = Map(
     "q126_winnow_fingerprints" -> q126Sql,
-    "q127_rrf_fusion" -> q127Sql
+    "q127_rrf_fusion" -> q127Sql,
+    "q128_cc_stars" -> q128Sql
   )
 }

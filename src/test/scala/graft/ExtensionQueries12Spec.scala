@@ -60,6 +60,25 @@ class ExtensionQueries12Spec extends SparkSpecBase {
       s"equal hashes must resolve to the rightmost position per window: $out")
   }
 
+  // ----------------------------------------- q128 star contraction
+
+  test("star contraction: path + triangle + isolate resolve in O(log n) rounds") {
+    import spark.implicits._
+    // a 12-node path (diameter 11 — min-label propagation would need 11
+    // rounds), a triangle, and an isolated node
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (path ++ tri).toDF("src", "dst")
+    val nodes = ((1L to 12L) ++ (20L to 22L) ++ Seq(30L)).toDF("id")
+    val out = graft.ops.StarContract.run(edges, nodes, 6).collect()
+    val comp = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    (1L to 12L).foreach(i => assert(comp(i) == 1L, s"path node $i"))
+    (20L to 22L).foreach(i => assert(comp(i) == 20L, s"triangle node $i"))
+    assert(comp(30L) == 30L, "isolated node is its own component")
+    assert(out.forall(_.getAs[Boolean]("converged")),
+      "6 star round-pairs must certify the fixpoint on a diameter-11 path")
+  }
+
   // ------------------------------------------------------ q127 RRF
 
   test("q127: fused scores follow the RRF formula and ordering; both-list docs outrank") {
