@@ -248,8 +248,22 @@ object Pipeline {
     * listener/observation API after any action.
     */
   def merged(spark: SparkSession, cfg: PipelineConfig): DataFrame =
-    mergedFrom(spark, cfg, loadFrog(spark, cfg), loadGsc(spark, cfg),
-      loadGa4(spark, cfg))
+    mergedFrom(spark, cfg, loadFrogFrom(stagedRaw(spark, cfg.frogPath), cfg),
+      loadGscFrom(stagedRaw(spark, cfg.gscPath), cfg),
+      loadGa4From(stagedRaw(spark, cfg.ga4Path), cfg))
+
+  /** One robust-CSV parse per source, materialized eagerly into block
+    * storage (SURVEY §3.1 staging): the downstream plan has MULTIPLE
+    * independent consumers of each raw frame — the CTR-normalize decision
+    * aggregate (a broadcast subtree, its own job), the spine dedup, and
+    * each per-source rollup — and without staging every one of them
+    * re-parses the CSV from disk. `localCheckpoint` also truncates
+    * lineage, so a re-parse is impossible by construction afterwards. On a
+    * real cluster the same role is played by a parquet staging write (the
+    * streaming visibility loop does exactly that with its drop state).
+    */
+  private def stagedRaw(spark: SparkSession, path: String): DataFrame =
+    Sources.loadTable(spark, path).localCheckpoint(true)
 
   /** [[merged]] over already-loaded source frames — the reuse point for the
     * streaming visibility loop, which substitutes its accumulated GSC drop

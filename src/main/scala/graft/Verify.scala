@@ -15,8 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read as long nanos (queries do exact integer time math).
+      // events.ts parquet encodings vary by generator (NANOS vs MICROS);
+      // nanosAsLong keeps NANOS readable as LONG, and Tables.toLongNanos
+      // folds every encoding to canonical long nanos at the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

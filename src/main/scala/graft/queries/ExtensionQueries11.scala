@@ -448,7 +448,7 @@ object ExtensionQueries11 {
        |    (10 * t.tf * sn.s_tot + 3 * sn.s_tot + 9 * d.dl * sn.n_docs) AS term_ppm
        |  FROM tf t JOIN dfreq f USING (tok) JOIN dl d USING (doc_id) CROSS JOIN sn
        |)
-       |SELECT doc_id, sum(term_ppm) AS score_ppm, count(*) AS n_hit_terms
+       |SELECT doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm, count(*) AS n_hit_terms
        |FROM terms GROUP BY doc_id
        |ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin
   }

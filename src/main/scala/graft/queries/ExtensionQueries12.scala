@@ -68,7 +68,8 @@ object ExtensionQueries12 {
        |  FROM sel
        |)
        |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
-       |  sum(fp) % 1000000007 AS fp_checksum, sum(pos) AS pos_sum
+       |  CAST(sum(fp) % 1000000007 AS BIGINT) AS fp_checksum,
+       |  CAST(sum(pos) AS BIGINT) AS pos_sum
        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 

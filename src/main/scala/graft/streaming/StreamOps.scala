@@ -16,7 +16,12 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** The events schema as read under nanosAsLong (ts = long nanos). */
+  /** The canonical events schema (ts = long nanos — the form
+    * [[graft.core.Tables.toLongNanos]] normalizes every parquet encoding
+    * to). Engine/test-written event files use this layout; raw testdata
+    * may instead carry TIMESTAMP(MICROS), which [[runToMemory]] adapts at
+    * the streaming scan.
+    */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -374,7 +379,13 @@ object StreamOps {
     */
   def runToMemory(spark: SparkSession, srcDir: String, name: String,
       transform: DataFrame => DataFrame, mode: String): DataFrame = {
-    val stream = spark.readStream.schema(EventsSchema).parquet(srcDir)
+    // File streams need an explicit schema; take it from the files
+    // themselves (one driver-side footer read), then normalize ts to the
+    // canonical long nanos so transforms see one event-time encoding
+    // regardless of how the parquet was written.
+    val fileSchema = spark.read.parquet(srcDir).schema
+    val stream = graft.core.Tables.toLongNanos(
+      spark.readStream.schema(fileSchema).parquet(srcDir))
     val q = transform(stream).writeStream
       .format("memory").queryName(name).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()

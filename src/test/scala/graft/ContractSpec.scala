@@ -27,7 +27,8 @@ class ContractSpec extends SparkSpecBase {
     "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet),
     "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet),
     "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet),
-    "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet))
+    "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet),
+    "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)

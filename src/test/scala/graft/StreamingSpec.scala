@@ -12,9 +12,12 @@ import graft.streaming.StreamOps
 class StreamingSpec extends SparkSpecBase {
 
   private lazy val srcDir: String = {
+    // Stage the normalized (ts = long nanos) events once; downstream
+    // re-splits and EventsSchema streaming reads then see the canonical
+    // encoding whatever physical type the testdata generator used.
     val dir = Files.createTempDirectory("graft_stream_src")
-    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
     dir.toString
   }
   private lazy val batchEvents = spark.read.parquet(srcDir)
