@@ -28,7 +28,8 @@ class ContractSpec extends SparkSpecBase {
     "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet),
     "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet),
     "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet),
-    "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet))
+    "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet),
+    "extension13" -> (ExtensionQueries13.queries.keySet, ExtensionQueries13.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
