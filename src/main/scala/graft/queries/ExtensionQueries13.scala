@@ -145,22 +145,21 @@ object ExtensionQueries13 {
     *
     * Scale shape: one explode + one token-keyed aggregation (map-side
     * combined; both halves counted in the SAME pass via conditional
-    * sums), with lineage eagerly truncated at the vocab-sized count
-    * frame so its two consumers (the 1-row totals and the drift
-    * ranking) share a SINGLE tokenize pass — without the checkpoint,
-    * Catalyst plans the totals branch as a second full corpus
-    * scan+explode (exchange reuse does not fire across the differing
-    * aggregate heads; verified with .explain). The totals ride a 1-row
-    * broadcast, and the ranking is sort+limit (TakeOrderedAndProject),
-    * never a global window.
+    * sums), scope-cached at the vocab-sized count frame so its two
+    * consumers (the 1-row totals and the drift ranking) share a SINGLE
+    * tokenize pass — without the cache, Catalyst plans the totals
+    * branch as a second full corpus scan+explode (exchange reuse does
+    * not fire across the differing aggregate heads; verified with
+    * .explain). CacheScope releases the cache after the consuming
+    * action. The totals ride a 1-row broadcast, and the ranking is
+    * sort+limit (TakeOrderedAndProject), never a global window.
     */
   def q131_token_drift(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select((col("doc_id") % 2).as("snap"), explode(split(col("text"), " ")).as("tok"))
-    val cnt = toks.groupBy(col("tok")).agg(
+    val cnt = graft.core.CacheScope.scoped(toks.groupBy(col("tok")).agg(
       sum(when(col("snap") === 0, 1L).otherwise(0L)).as("cnt_a"),
-      sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cnt_b"))
-      .localCheckpoint() // vocab-sized; one corpus scan feeds both consumers
+      sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cnt_b")))
     val totals = cnt.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
     cnt.filter(col("cnt_a") + col("cnt_b") >= DriftMinCount)
       .crossJoin(broadcast(totals)) // 1-row scalar fan-out

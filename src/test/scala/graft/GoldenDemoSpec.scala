@@ -19,7 +19,7 @@ import graft.ingest.YamlConfig
   * → null), quoted/UTF-8 CSV fields, the fallback-median expected CTR with
   * the demo's bucket table, and the rounding suite (F12).
   */
-class GoldenDemoSpec extends SparkSpecBase {
+class GoldenDemoSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
 
   private val demo = "/root/reference/data_demo"
 
@@ -33,9 +33,22 @@ class GoldenDemoSpec extends SparkSpecBase {
     defaultsDir = demo,
     runTimestamp = 1786549663L)
 
-  private lazy val merged = Pipeline.merged(spark, cfg)
+  // var-backed, dropped in afterAll: ScalaTest retains completed suite
+  // instances, so a `lazy val` DataFrame would pin the pipeline's staged
+  // localCheckpoint RDDs (Pipeline.stagedRaw) for the JVM's life — which
+  // CacheHygieneSpec's session-clean invariant rightly rejects.
+  private var mergedRef: org.apache.spark.sql.DataFrame = _
+  private def merged: org.apache.spark.sql.DataFrame = {
+    if (mergedRef == null) mergedRef = Pipeline.merged(spark, cfg)
+    mergedRef
+  }
   private lazy val mergedRows: Map[String, Row] =
     merged.collect().map(r => r.getString(r.fieldIndex("url")) -> r).toMap
+
+  override protected def afterAll(): Unit = {
+    mergedRef = null // staged checkpoints become GC-reapable
+    super.afterAll()
+  }
 
   private def fixture(name: String): (Array[String], Seq[Array[String]]) = {
     val lines = scala.io.Source.fromInputStream(

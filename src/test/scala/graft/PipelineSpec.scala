@@ -10,7 +10,7 @@ import graft.ops.Scoring.{Bucket, ScoringConfig}
   * keep-first spine dedup, weighted aggregation with neutral weights,
   * null-division, scoring, rounding.
   */
-class PipelineSpec extends SparkSpecBase {
+class PipelineSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
 
   private def fx(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
@@ -27,7 +27,18 @@ class PipelineSpec extends SparkSpecBase {
       intentMultipliers = Map("transactional" -> 1.5, "informational" -> 0.8),
       urlIntentHints = Seq("/products/" -> "transactional")))
 
-  private lazy val merged = Pipeline.merged(spark, cfg).persist()
+  // var-backed + released in afterAll (see GoldenDemoSpec): a retained
+  // lazy val would pin the persist AND the staged checkpoints forever.
+  private var mergedDf: org.apache.spark.sql.DataFrame = _
+  private def merged: org.apache.spark.sql.DataFrame = {
+    if (mergedDf == null) mergedDf = Pipeline.merged(spark, cfg).persist()
+    mergedDf
+  }
+
+  override protected def afterAll(): Unit = {
+    if (mergedDf != null) { mergedDf.unpersist(blocking = false); mergedDf = null }
+    super.afterAll()
+  }
   private def rowFor(urlContains: String): Row =
     merged.collect().find(_.getAs[String]("url").contains(urlContains)).get
 
