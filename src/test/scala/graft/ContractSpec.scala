@@ -30,7 +30,8 @@ class ContractSpec extends SparkSpecBase {
     "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet),
     "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet),
     "extension13" -> (ExtensionQueries13.queries.keySet, ExtensionQueries13.oracle.keySet),
-    "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet))
+    "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet),
+    "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
