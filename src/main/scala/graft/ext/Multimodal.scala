@@ -119,4 +119,41 @@ object Multimodal {
       col("text").cast("binary").as("payload"))
       .as[MediaRecord]
   }
+
+  /** Perceptual average-hash of a media payload, banded for LSH joining.
+    * The STUB "decode to 8×8 grayscale" takes the first 64 payload bytes
+    * as pixels (a real codec would decode + downscale here; everything
+    * downstream is unchanged). aHash bit i = pixel_i > mean, computed in
+    * exact integer math (`px·64 > Σpx` — no FP mean), packed as 4 band
+    * keys of 16 bits each. Pigeonhole: two hashes within Hamming
+    * distance 3 MUST agree on at least one of the 4 bands, so a
+    * (band_idx, band_key) equi-join has guaranteed recall at d ≤ 3 —
+    * the SimHash banding argument applied to image hashes. Payloads
+    * under 64 bytes are dropped (no full pixel block).
+    */
+  final case class MediaHash(media_id: Long, n_bytes: Long, bands: Seq[Int])
+
+  def aHashBands(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.payload == null) Array.empty[Byte] else r.payload
+        if (bytes.length < 64) Iterator.empty
+        else {
+          val px = bytes.take(64).map(b => (b & 0xff).toLong)
+          val tot = px.sum
+          val bands = (0 until 4).map { b =>
+            var k = 0
+            var j = 0
+            while (j < 16) {
+              k = k * 2 + (if (px(b * 16 + j) * 64 > tot) 1 else 0)
+              j += 1
+            }
+            k
+          }
+          Iterator.single(MediaHash(r.media_id, bytes.length.toLong, bands))
+        }
+      }
+    }
+  }
 }

@@ -293,8 +293,12 @@ object ExtensionQueries2 {
     * (minimum id). Oracle: identical pair construction + a recursive-CTE
     * min-label closure in DuckDB.
     */
-  def q42_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
-    import graft.ext.{Dedup, TextAnalysis}
+  /** The q42 test corpus: filtered originals plus two doctored variants
+    * per document (last 3 / last 6 tokens dropped). Shared with q142's
+    * survivorship stage.
+    */
+  def q42Corpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
     val toks = TextAnalysis.tokens(col("text"))
     val d = Tables.documents(s, dir)
       .filter(col("doc_id") < 30 && size(toks) >= 9)
@@ -302,7 +306,12 @@ object ExtensionQueries2 {
     def variant(offset: Long, drop: Int) = d
       .select(col("doc_id"), concat_ws(" ", slice(toks, lit(1), size(toks) - drop)).as("text"))
       .select((col("doc_id") + offset).as("doc_id"), col("text"))
-    val all = d.union(variant(100000L, 3)).union(variant(200000L, 6))
+    d.union(variant(100000L, 3)).union(variant(200000L, 6))
+  }
+
+  def q42_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    val all = q42Corpus(s, dir)
     val pairs = Dedup.jaccardPairs(all, "doc_id", col("text"), 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("id_a"), col("id_b"))
@@ -311,7 +320,11 @@ object ExtensionQueries2 {
       .orderBy(col("id"))
   }
 
-  val q42Sql: String = {
+  /** The q42 CTE chain (corpus → shingles → pairs → min-label closure),
+    * WITHOUT a final SELECT — shared by the q42 mirror and q142's
+    * survivorship mirror, which both continue the WITH list.
+    */
+  val q42ClusterCtes: String = {
     val ph = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(range(1, length(sh_s)+1), ch_i -> CAST(ascii(substring(sh_s, ch_i, 1)) AS BIGINT))), " +
       "(ph_a, ph_b) -> (ph_a*31 + ph_b) % 1000000007)"
@@ -351,9 +364,12 @@ object ExtensionQueries2 {
        |    UNION
        |    SELECT e.dst, r.rep FROM r JOIN edges e ON e.src = r.id
        |  ) SELECT id, CAST(min(rep) AS BIGINT) AS rep FROM r GROUP BY id
-       |)
-       |SELECT id, rep FROM lbl ORDER BY id""".stripMargin
+       |)""".stripMargin
   }
+
+  val q42Sql: String =
+    s"""$q42ClusterCtes
+       |SELECT id, rep FROM lbl ORDER BY id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q37_embed_dedup" -> (q37_embed_dedup _),

@@ -31,7 +31,8 @@ class ContractSpec extends SparkSpecBase {
     "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet),
     "extension13" -> (ExtensionQueries13.queries.keySet, ExtensionQueries13.oracle.keySet),
     "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet),
-    "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet))
+    "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet),
+    "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
