@@ -345,6 +345,25 @@ object StreamingQueries {
       |  AND e.event_id <> w.window_id
       |ORDER BY window_id, ev_id""".stripMargin
 
+  /** q143: the streaming daily-active-users pipeline's batch formulation —
+    * per-(user, day) dedup feeding a tumbling daily count through the SAME
+    * chained stateful operators the stream runs (watermark no-ops in
+    * batch). The streaming hop — dedup state + window finalization across
+    * real micro-batches, late re-deliveries dropped — is pinned in
+    * StreamingSpec; this row pins batch == DuckDB.
+    */
+  def q143_stream_dau(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.dailyActiveUsers(Tables.events(s, dir), "1 hour")
+      .orderBy(col("window_start"))
+
+  val q143Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |)
+      |SELECT make_timestamp(day * 86400000000) AS window_start,
+      |  count(*) AS n_dau
+      |FROM ud GROUP BY day ORDER BY window_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_lsh_admission" -> (q115_lsh_admission _),
     "q119_event_window_left" -> (q119_event_window_left _),
@@ -356,7 +375,8 @@ object StreamingQueries {
     "q56_tumbling_watermark" -> (q56_tumbling_watermark _),
     "q62_purchase_attribution" -> (q62_purchase_attribution _),
     "q65_sliding" -> (q65_sliding _),
-    "q66_session_window" -> (q66_session_window _)
+    "q66_session_window" -> (q66_session_window _),
+    "q143_stream_dau" -> (q143_stream_dau _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,6 +390,7 @@ object StreamingQueries {
     "q56_tumbling_watermark" -> q56Sql,
     "q62_purchase_attribution" -> q62Sql,
     "q65_sliding" -> q65Sql,
-    "q66_session_window" -> q66Sql
+    "q66_session_window" -> q66Sql,
+    "q143_stream_dau" -> q143Sql
   )
 }

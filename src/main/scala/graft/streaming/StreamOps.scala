@@ -278,6 +278,22 @@ object StreamOps {
       .withWatermark("event_ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Daily active users as a streaming pipeline: per-(user, day) dedup
+    * (watermark-bounded dropDuplicates state) feeding a tumbling daily
+    * count — CHAINED stateful operators, the streaming form of the q134
+    * DAU term. Append mode emits each day once its watermark passes; the
+    * dedup state for a day ages out with the same watermark. In batch
+    * the watermark is a no-op and this is distinct(user, day) → count.
+    */
+  def dailyActiveUsers(events: DataFrame, late: String): DataFrame =
+    events.withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", late)
+      .withColumn("day_start", date_trunc("day", col("event_ts")))
+      .dropDuplicates("user_id", "day_start")
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_dau"))
+      .select(col("window.start").as("window_start"), col("n_dau"))
+
   final case class UserEvent(user_id: Long, event_id: Long, us: Long, vc: Long)
   final case class UserMilestone(user_id: Long, event_id: Long, total_cents: Long,
       milestone: Long)

@@ -686,4 +686,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(maxStateRows > 0 && maxStateRows <= 16L * (nCorpus + delta.length + 1),
       s"state rows $maxStateRows exceed the banded index bound")
   }
+
+  test("q143 streaming DAU: chained dedup→window agg across micro-batches; " +
+    "re-deliveries counted once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val DayNs = 86400000000000L
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.dailyActiveUsers(events, "1 hour")
+      .writeStream.format("memory").queryName("dau_out").outputMode("append").start()
+    try {
+      // day 0: users 1 and 2; user 1 twice (same day → counts once)
+      mem.addData((1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 2L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData((3L, 3000L, 1L, "click", 0.0)) // re-activity, same user+day
+      q.processAllAvailable()
+      // day 2 event advances the watermark past day 0 → day 0 finalizes
+      mem.addData((4L, 2 * DayNs + 1000L, 3L, "view", 0.0))
+      q.processAllAvailable()
+      // a LATE duplicate for day 0 (behind the watermark) must not re-emit
+      mem.addData((5L, 4000L, 9L, "view", 0.0))
+      q.processAllAvailable()
+      // flush day 2 by advancing further
+      mem.addData((6L, 4 * DayNs, 3L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("dau_out")
+        .select(unix_micros(col("window_start")).as("us"), col("n_dau"))
+        .collect().map(r => r.getLong(0) / 86400000000L -> r.getLong(1)).toMap
+      assert(rows(0L) == 2L, s"day 0 must count users {1,2} once each: $rows")
+      assert(rows(2L) == 1L, s"day 2 must count user 3: $rows")
+    } finally q.stop()
+    // batch formulation == plain distinct count (watermark no-op in batch)
+    val a = StreamOps.dailyActiveUsers(batchEvents, "1 hour")
+      .collect().map(_.toString).sorted.toSeq
+    val b = batchEvents.withColumn("event_ts", StreamOps.tsCol)
+      .select(col("user_id"), date_trunc("day", col("event_ts")).as("window_start"))
+      .distinct()
+      .groupBy(col("window_start")).agg(count(lit(1)).as("n_dau"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
