@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { case Seq(e) => LangIdExpr(e)
         case other => throw new IllegalArgumentException(
           s"graft_lang_id takes 1 argument, got ${other.length}") }))
+    ext.injectFunction((FunctionIdentifier("graft_hamming"),
+      info(classOf[HammingDistance], "graft_hamming"),
+      { case Seq(a, b) => HammingDistance(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_hamming takes 2 arguments, got ${other.length}") }))
     ext.injectFunction((FunctionIdentifier("graft_hilbert"),
       info(classOf[HilbertIndex], "graft_hilbert"),
       { case Seq(x, y, Literal(bits: Int, IntegerType)) => HilbertIndex(x, y, bits)

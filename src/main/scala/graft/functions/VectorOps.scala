@@ -99,9 +99,72 @@ case class L2DistSq(left: Expression, right: Expression) extends VectorFold {
       newRight: Expression): L2DistSq = copy(left = newLeft, right = newRight)
 }
 
+/** Hamming distance between two equal-length int-array bit signatures:
+  * Σ popcount(aᵢ xor bᵢ). The banded perceptual-hash verify (q141) runs
+  * this once per candidate pair; the combinator form
+  * `aggregate(zip_with(a, b, bit_count(_ ^ _)), 0, _+_)` costs two
+  * interpreted lambda calls + boxing per band and blocks whole-stage
+  * codegen of the verify stage. Identical semantics incl. null on length
+  * mismatch (zip_with's null-pad agreement, as in [[VectorFold]]).
+  */
+case class HammingDistance(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_hamming"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<int> arguments, got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    if (n != vb.numElements()) null
+    else {
+      var s = 0
+      var i = 0
+      while (i < n) {
+        s += Integer.bitCount(va.getInt(i) ^ vb.getInt(i))
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $s = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += Integer.bitCount($a.getInt($i) ^ $b.getInt($i));
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HammingDistance = copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def l2sq(a: Column, b: Column): Column =
     ColumnBridge.column(L2DistSq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -34,7 +34,11 @@ object ExtensionQueries16 {
     * legitimate mapPartitions — binary codec); the hash frame is
     * scope-cached (the self-join would otherwise decode twice); the join
     * shuffles only (band_idx, key)-bucketed rows, never all pairs; the
-    * verify is per-candidate integer codegen (`bit_count(x ^ y)`).
+    * verify is the codegen [[graft.functions.HammingDistance]] kernel —
+    * one tight popcount loop per candidate, inside whole-stage codegen
+    * (the `aggregate(zip_with(...))` combinator form it replaces
+    * interprets two lambdas per band; identical semantics, KernelSpec-
+    * pinned).
     */
   def q141_phash_neardup(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, dir))
@@ -49,8 +53,7 @@ object ExtensionQueries16 {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
         col("a.bands").as("ba"), col("b.bands").as("bb"))
       .distinct() // a pair may agree on several bands
-      .withColumn("hamming",
-        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .withColumn("hamming", graft.functions.VectorOps.hamming(col("ba"), col("bb")))
       .filter(col("hamming") <= 3)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
@@ -147,15 +150,96 @@ object ExtensionQueries16 {
        |FROM agg JOIN rk ON agg.rep = rk.rep AND rk.rn = 1
        |ORDER BY agg.rep""".stripMargin
 
+  // --------------------------------------------------------------- q144
+
+  /** q144: CDC upsert compaction — MERGE INTO semantics: apply a change
+    * batch (updates, deletes, inserts, multiple changes per key with
+    * sequence numbers) to a base snapshot, producing the next snapshot.
+    * Latest change per key wins; a delete tombstone drops the row. The
+    * change set is synthesized deterministically from the base (keys
+    * ≡0 mod 10 get TWO updates — seq 2 must win; ≡1 mod 10 a tombstone;
+    * ≡2 mod 10 spawn an insert under a new key) so the DuckDB mirror
+    * derives the identical batch.
+    *
+    * Scale shape — the Delta/Iceberg MERGE shape: the per-key argmax
+    * runs over the CHANGE SET ONLY (small; conditional struct max, the
+    * q136 pattern — SortAggregate on the small side is free), then ONE
+    * full-outer key join against the base. The base is never argmaxed,
+    * windowed, or shuffled more than once; the base frame is
+    * scope-cached because the synthetic change derivation reads it too
+    * (a real pipeline reads changes from a log, leaving a single base
+    * pass).
+    */
+  def q144_cdc_upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.CacheScope.scoped(
+      Tables.customer(s, dir).select(
+        col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("c_mktsegment").as("seg")))
+    def chg(filterMod: Int, seq: Int, op: Int, cents: org.apache.spark.sql.Column,
+        seg: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      base.filter(col("k") % 10 === filterMod)
+        .select(key.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+          cents.as("c_cents"), seg.as("c_seg"))
+    val changes =
+      chg(0, 1, 0, col("cents") + 10000, col("seg"), col("k"))
+        .union(chg(0, 2, 0, col("cents") + 20000, col("seg"), col("k")))
+        .union(chg(1, 1, 1, lit(0L), col("seg"), col("k")))
+        .union(chg(2, 1, 0, col("cents"), lit("NEWSEG"), col("k") + 1000000L))
+    val latest = changes.groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("c_cents"), col("c_seg"))).as("ch"))
+      .select(col("k"), col("ch.op").as("op"),
+        col("ch.c_cents").as("c_cents"), col("ch.c_seg").as("c_seg"))
+    base.join(latest, Seq("k"), "full_outer")
+      .filter(coalesce(col("op") =!= 1, lit(true))) // tombstones drop
+      .select(col("k").as("c_custkey"),
+        coalesce(col("c_cents"), col("cents")).as("acctbal_cents"),
+        coalesce(col("c_seg"), col("seg")).as("mktsegment"),
+        when(col("cents").isNull, "inserted")
+          .when(col("op").isNull, "kept").otherwise("updated").as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q144Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    c_mktsegment AS seg
+      |  FROM customer
+      |), changes AS (
+      |  SELECT k, 1 AS seq, 0 AS op, cents + 10000 AS c_cents, seg AS c_seg
+      |  FROM base WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k, 2, 0, cents + 20000, seg FROM base WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k, 1, 1, CAST(0 AS BIGINT), seg FROM base WHERE k % 10 = 1
+      |  UNION ALL
+      |  SELECT k + 1000000, 1, 0, cents, 'NEWSEG' FROM base WHERE k % 10 = 2
+      |), latest AS (
+      |  SELECT k, op, c_cents, c_seg FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM changes
+      |  ) WHERE rn = 1
+      |)
+      |SELECT coalesce(base.k, latest.k) AS c_custkey,
+      |  coalesce(c_cents, cents) AS acctbal_cents,
+      |  coalesce(c_seg, seg) AS mktsegment,
+      |  CASE WHEN cents IS NULL THEN 'inserted'
+      |       WHEN op IS NULL THEN 'kept' ELSE 'updated' END AS version
+      |FROM base FULL OUTER JOIN latest ON base.k = latest.k
+      |WHERE op IS NULL OR op <> 1
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q141_phash_neardup" -> (q141_phash_neardup _),
-    "q142_canonical_docs" -> (q142_canonical_docs _)
+    "q142_canonical_docs" -> (q142_canonical_docs _),
+    "q144_cdc_upsert" -> (q144_cdc_upsert _)
   )
 
   val oracle: Map[String, String] = Map(
     "q141_phash_neardup" -> q141Sql,
-    "q142_canonical_docs" -> q142Sql
+    "q142_canonical_docs" -> q142Sql,
+    "q144_cdc_upsert" -> q144Sql
   )
 }

@@ -68,6 +68,27 @@ class ExtensionQueries16Spec extends SparkSpecBase {
     assert(r.getAs[Long]("n_dropped") == 2L)
   }
 
+  test("q144: MERGE semantics — latest update wins, tombstones drop, inserts land") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // keys: 10 (two updates — seq 2 wins), 11 (tombstone), 12 (spawns an
+    // insert under 1000012), 13 (untouched)
+    Seq((10L, "a", 0, 1.00, "SEG"), (11L, "b", 0, 2.00, "SEG"),
+      (12L, "c", 0, 3.00, "SEG"), (13L, "d", 0, 4.00, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = ExtensionQueries16.q144_cdc_upsert(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_custkey") ->
+        (r.getAs[Long]("acctbal_cents"), r.getAs[String]("mktsegment"),
+          r.getAs[String]("version"))).toMap
+    assert(!rows.contains(11L), "tombstoned key must vanish")
+    assert(rows(10L) == ((100L + 20000L, "SEG", "updated"))) // seq 2 (+200.00) wins
+    assert(rows(12L) == ((300L, "SEG", "kept"))) // source of the insert, itself kept
+    assert(rows(1000012L) == ((300L, "NEWSEG", "inserted")))
+    assert(rows(13L) == ((400L, "SEG", "kept")))
+    assert(rows.size == 4)
+  }
+
   test("q142: every cluster's canonical is its max-token member (real corpus)") {
     val clusters = graft.queries.ExtensionQueries2.q42_dedup_clusters(spark, sfTiny)
     val toks = graft.queries.ExtensionQueries2.q42Corpus(spark, sfTiny)

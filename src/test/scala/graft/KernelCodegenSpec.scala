@@ -37,11 +37,15 @@ class KernelCodegenSpec extends SparkSpecBase {
         Similarity.lshBucketT(col("va"), 8, 1).as("bucket"),
         Dedup.minhashFromHashes(col("hashes"), 8).as("sig"),
         graft.functions.BandKeys.bandKeys(
-          Dedup.minhashFromHashes(col("hashes"), 8), 4).as("bands"))
+          Dedup.minhashFromHashes(col("hashes"), 8), 4).as("bands"),
+        graft.functions.VectorOps.hamming(
+          array(lit(0x0F0F), lit(0xFFFF)), array(lit(0x00FF), lit(0))).as("ham"))
         .collect()
       assert(out.length == 2)
       assert(out.head.getDouble(6) == 1.0 * 4 + 2 * 5 + 3 * 6) // dot sanity
       assert(out.head.getBoolean(0) && !out(1).getBoolean(0)) // bloom: no false negative on 1L
+      // hamming: popcount(0x0F0F^0x00FF) + popcount(0xFFFF^0) = 8 + 16
+      assert(out.head.getInt(11) == 24)
 
     } finally {
       saved match {
@@ -64,12 +68,26 @@ class KernelCodegenSpec extends SparkSpecBase {
       "empty-signature doc must emit null band keys")
   }
 
+  test("hamming kernel == the combinator form on random band arrays") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextInt(0x10000)), Seq.fill(4)(rnd.nextInt(0x10000))))
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.VectorOps.hamming(col("a"), col("b")).as("kernel"),
+        expr("aggregate(zip_with(a, b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+          .cast("int").as("combinator"))
+    assert(df.filter(col("kernel") =!= col("combinator")).count() == 0)
+  }
+
   test("vector kernels yield null on length mismatch (not a truncated value)") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b")).as("d"),
-        graft.functions.VectorOps.l2sq(col("a"), col("b")).as("l"))
+        graft.functions.VectorOps.l2sq(col("a"), col("b")).as("l"),
+        graft.functions.VectorOps.hamming(
+          array(lit(1), lit(2)), array(lit(1))).as("h"))
     val r = df.collect().head
-    assert(r.isNullAt(0) && r.isNullAt(1),
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
       "mixed-dimension vectors must not produce a finite plausible-but-wrong value")
   }
 }
