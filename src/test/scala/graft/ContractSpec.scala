@@ -32,7 +32,8 @@ class ContractSpec extends SparkSpecBase {
     "extension13" -> (ExtensionQueries13.queries.keySet, ExtensionQueries13.oracle.keySet),
     "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet),
     "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet),
-    "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet))
+    "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet),
+    "extension17" -> (ExtensionQueries17.queries.keySet, ExtensionQueries17.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
