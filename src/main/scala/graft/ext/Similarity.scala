@@ -55,7 +55,10 @@ object Similarity {
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("probe_id"), toDouble(col(vecCol)).as("pvec"))
       .withColumn("pnorm", norm(col("pvec")))
-    val scored = probes.join(base, col("probe_id") =!= col("cand_id"))
+    // the BOUNDED probe set is the build side — unhinted, Spark builds
+    // the right operand of the non-equi join, i.e. the WHOLE corpus; at
+    // scale that broadcast is the query. Probes broadcast, corpus streams.
+    val scored = base.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         (dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm"))).as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))

@@ -158,7 +158,9 @@ object ExtensionQueries17 {
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pvec"))
       .withColumn("pnorm", norm(col("pvec")))
-    val scored = probes.join(cands, col("probe_id") =!= col("cand_id"))
+    // the BOUNDED probe set broadcasts; the corpus streams (left
+    // unhinted, Spark builds the right side — i.e. the whole corpus)
+    val scored = cands.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         (dot(col("pvec"), col("cvec")) / (col("pnorm") * col("cnorm"))).as("cos"))
       .filter(col("cos") < PositiveBand) // negatives only
