@@ -33,7 +33,8 @@ class ContractSpec extends SparkSpecBase {
     "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet),
     "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet),
     "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet),
-    "extension17" -> (ExtensionQueries17.queries.keySet, ExtensionQueries17.oracle.keySet))
+    "extension17" -> (ExtensionQueries17.queries.keySet, ExtensionQueries17.oracle.keySet),
+    "extension18" -> (ExtensionQueries18.queries.keySet, ExtensionQueries18.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
