@@ -330,6 +330,59 @@ object StreamOps {
       }
   }
 
+  final case class ZEvent(event_type: String, event_id: Long, us: Long, cents: Long)
+  final case class ZAlert(event_id: Long, event_type: String, cents: Long, n_window: Long)
+
+  /** Rolling z-score anomaly alerts with BOUNDED keyed state: per key the
+    * state is the last ≤ `window` observed cents values (an O(window)
+    * array, never the history), and an event alerts when its value sits
+    * more than 3σ from the mean of those prior values — evaluated as the
+    * cross-multiplied INTEGER inequality `(n·x − S)² > 9·(n·SS − S²)`
+    * (σ² and μ never materialize as floats, so streaming and the batch
+    * window formulation agree bit-for-bit). Events sort by event time
+    * within each micro-batch's group iterator; running S/SS update
+    * incrementally on push/evict, so per-event cost is O(1).
+    *
+    * The group key is the DETECTOR SCOPE — here `event_type` (this
+    * table's only metric dimension, 5 keys); at fleet scale the scope is
+    * (tenant, metric) with key cardinality to match the cluster, and the
+    * state stays O(window) per key regardless of history length.
+    */
+  def rollingZscoreAlerts(events: DataFrame, window: Int = 100,
+      minN: Int = 30): Dataset[ZAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[ZEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Array[Long], ZAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ZEvent], state: GroupState[Array[Long]]) =>
+          var buf = scala.collection.immutable.Queue(
+            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+          var sv = buf.sum
+          var ss = buf.iterator.map(x => x * x).sum
+          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+            val n = buf.length.toLong
+            val d = n * e.cents - sv
+            val alert =
+              if (n >= minN && d * d > 9L * (n * ss - sv * sv))
+                Some(ZAlert(e.event_id, key, e.cents, n))
+              else None
+            buf = buf.enqueue(e.cents); sv += e.cents; ss += e.cents * e.cents
+            if (buf.length > window) {
+              val (old, rest) = buf.dequeue
+              buf = rest; sv -= old; ss -= old * old
+            }
+            alert
+          }
+          state.update(buf.toArray)
+          out.iterator
+      }
+  }
+
   final case class BucketDistinct(bucket: Long, est_users: Double, sketch_size: Int)
 
   /** Running distinct-count per key across micro-batches with BOUNDED

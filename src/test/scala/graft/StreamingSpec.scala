@@ -182,6 +182,61 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${stream.length} batch=${batch.length}")
   }
 
+  test("flatMapGroupsWithState rolling z-score: streaming == batch window formulation") {
+    val stream = StreamOps.runToMemory(spark, srcDir, "zscore_out",
+      df => StreamOps.rollingZscoreAlerts(df).toDF(), "append")
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(-100, -1)
+    val batch = batchEvents
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sv", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= 30 &&
+        (col("n") * col("cents") - col("sv")) * (col("n") * col("cents") - col("sv")) >
+          lit(9L) * (col("n") * col("ss") - col("sv") * col("sv")))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("n").as("n_window"))
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"stream=${stream.length} batch=${batch.length}")
+  }
+
+  test("rolling z-score DEQUE state carries across micro-batches (time-ordered 3-file source)") {
+    // events are time-ordered by event_id (pinned 0 inversions in the
+    // testdata), so a by-id split feeds the stream in event-time order and
+    // the ≤100-value deque must seamlessly span the batch boundaries
+    val multi = Files.createTempDirectory("graft_zscore_multi")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count()
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (off <- Seq(0, (n / 3).toInt, 2 * (n / 3).toInt)) {
+      val part = multi.resolve(s"p$i")
+      val lim = if (off == 2 * (n / 3).toInt) n.toInt else (n / 3).toInt
+      e.orderBy("event_id").offset(off).limit(lim)
+        .coalesce(1).write.parquet(part.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(part).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.rollingZscoreAlerts(stream).toDF().writeStream
+      .format("memory").queryName("zscore_multi").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("zscore_multi").collect().map(_.toString).sorted
+    val single = StreamOps.rollingZscoreAlerts(batchEvents).toDF()
+      .collect().map(_.toString).sorted
+    assert(single.nonEmpty && got.sameElements(single),
+      s"multi-batch=${got.length} single=${single.length}")
+  }
+
   test("state survives MULTIPLE micro-batches: 3-file source, one file per trigger") {
     // split events into 3 files so the stream runs 3 real micro-batches
     val multi = Files.createTempDirectory("graft_stream_multi")
