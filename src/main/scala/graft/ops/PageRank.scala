@@ -55,6 +55,52 @@ object PageRank {
           expr("(17 * coalesce(inmass, 0L)) div 20")).as("mass"))
   }
 
+  /** One synchronous WEIGHTED PageRank iteration: mass splits across out-
+    * edges proportionally to integer edge weights — `(mass·w) div wtot`
+    * instead of `mass div outdeg`. Identical co-partitioned shape as
+    * [[step]]; the weight product stays in 64 bits while
+    * mass · max-weight < 2⁶³ (at the 10¹² init-mass scale that allows
+    * million-fold edge weights).
+    *
+    * @param edges (src, dst, w, wtot) — per-edge weight and the source's
+    *              total out-weight, pre-joined like [[step]]'s outdeg
+    */
+  def stepWeighted(edges: DataFrame, nodes: DataFrame, mass: DataFrame,
+      teleportMass: Long): DataFrame = {
+    val contrib = edges.join(mass.hint("shuffle_hash"), col("src") === col("id"))
+      .select(col("dst"), expr("(mass * w) div wtot").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+    nodes.join(contrib.hint("shuffle_hash"), col("id") === col("dst"), "left")
+      .select(col("id"),
+        (lit(teleportMass) +
+          expr("(17 * coalesce(inmass, 0L)) div 20")).as("mass"))
+  }
+
+  /** Weighted full run over (src, dst, w) edges — same loop discipline as
+    * [[run]] (edges materialized once src-partitioned, eager per-round
+    * checkpoints, no |V| broadcasts).
+    *
+    * @return (id, wtot, mass) — vertices with no out-edges keep wtot 0
+    */
+  def runWeighted(weighted: DataFrame, nodes: DataFrame, iters: Int,
+      initMass: Long, teleportMass: Long): DataFrame = {
+    require(iters >= 1)
+    val pairs = weighted.select(col("src"), col("dst"), col("w")).persist()
+    val wt = pairs.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint(true)
+    val edges = pairs.join(wt, Seq("src"))
+      .repartition(col("src")).localCheckpoint(true)
+    pairs.unpersist()
+    val nodeSet = nodes.select(col("id")).repartition(col("id"))
+      .localCheckpoint(true)
+    var mass = nodeSet.select(col("id"), lit(initMass).as("mass"))
+    for (_ <- 1 to iters)
+      mass = stepWeighted(edges, nodeSet, mass, teleportMass).localCheckpoint(true)
+    mass.join(wt.hint("shuffle_hash"), col("id") === col("src"), "left")
+      .select(col("id"), coalesce(col("wtot"), lit(0L)).as("wtot"),
+        col("mass"))
+  }
+
   /** Full run: `iters` synchronous iterations from a uniform `initMass`.
     *
     * @param rawEdges (src, dst) distinct directed edges
