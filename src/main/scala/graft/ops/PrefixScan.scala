@@ -60,4 +60,54 @@ object PrefixScan {
       .withColumn(prefixCol, greatest(max(col("__v")).over(w), col("__prior")))
       .drop("__pid", "__prior", "__v")
   }
+
+  /** INCLUSIVE running sums of several LONG columns at once, in the total
+    * order given by `order` — same two-phase shape as
+    * [[prefixMaxExclusive]] (sums are associative, so per-partition
+    * running sums plus the broadcast exclusive prefix of per-partition
+    * totals reconstruct the global scan exactly). One checkpoint and one
+    * bounded collect cover ALL requested columns.
+    *
+    * @param values (column, outputName) pairs; each output is
+    *               `sum(column) OVER (ORDER BY order ROWS UNBOUNDED
+    *               PRECEDING TO CURRENT ROW)`
+    */
+  def prefixSumsInclusive(df: DataFrame, nPartitions: Int,
+      order: Seq[Column], values: Seq[(Column, String)]): DataFrame = {
+    require(order.nonEmpty && values.nonEmpty)
+    val names = values.map(_._2)
+    val sorted = values.zipWithIndex.foldLeft(
+        df.repartitionByRange(nPartitions, order: _*)
+          .sortWithinPartitions(order: _*)
+          .withColumn("__pid", spark_partition_id())) {
+        case (acc, ((v, _), i)) => acc.withColumn(s"__v$i", v)
+      }
+      .localCheckpoint()
+    val totals = sorted.groupBy(col("__pid"))
+      .agg(names.indices.map(i => sum(col(s"__v$i")).as(s"__t$i")).head,
+        names.indices.drop(1).map(i => sum(col(s"__v$i")).as(s"__t$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> names.indices.map(i =>
+        r.getLong(r.fieldIndex(s"__t$i"))))
+      .sortBy(_._1)
+    var running = names.indices.map(_ => 0L)
+    val prior = totals.map { case (pid, ts) =>
+      val out = (pid, running)
+      running = running.zip(ts).map { case (a, b) => a + b }
+      out
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val priorDf = prior.map { case (pid, ps) => (pid, ps.toArray) }
+      .toDF("__pid", "__priors")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val joined = sorted.join(broadcast(priorDf), Seq("__pid"))
+    val withSums = values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name,
+          sum(col(s"__v$i")).over(w) + element_at(col("__priors"), i + 1))
+    }
+    withSums.drop("__pid" +: "__priors" +: names.indices.map(i => s"__v$i"): _*)
+  }
 }

@@ -34,7 +34,12 @@ class ContractSpec extends SparkSpecBase {
     "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet),
     "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet),
     "extension17" -> (ExtensionQueries17.queries.keySet, ExtensionQueries17.oracle.keySet),
-    "extension18" -> (ExtensionQueries18.queries.keySet, ExtensionQueries18.oracle.keySet))
+    "extension18" -> (ExtensionQueries18.queries.keySet, ExtensionQueries18.oracle.keySet),
+    "extension19" -> (ExtensionQueries19.queries.keySet, ExtensionQueries19.oracle.keySet),
+    "extension20" -> (ExtensionQueries20.queries.keySet, ExtensionQueries20.oracle.keySet),
+    "extension21" -> (ExtensionQueries21.queries.keySet, ExtensionQueries21.oracle.keySet),
+    "extension22" -> (ExtensionQueries22.queries.keySet, ExtensionQueries22.oracle.keySet),
+    "extension23" -> (ExtensionQueries23.queries.keySet, ExtensionQueries23.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
