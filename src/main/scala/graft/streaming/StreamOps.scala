@@ -383,6 +383,73 @@ object StreamOps {
       }
   }
 
+  final case class ConvEvent(user_id: Long, event_type: String, us: Long,
+      event_ts: java.sql.Timestamp)
+  final case class ConvState(signup_us: Long, emitted: Boolean)
+  final case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,
+      latency_us: Long)
+
+  /** CEP-style ordered-pattern detection: FIRST signup followed by the
+    * FIRST purchase within `windowUs` — the 2-step conversion funnel as a
+    * per-user state machine (Spark has no MATCH_RECOGNIZE; keyed state is
+    * the engine's native spelling). State is one (signup_us, emitted)
+    * pair per user; under EventTimeTimeout each user's state arms a
+    * timeout at signup + window, so state for users who never convert is
+    * DROPPED once the watermark passes their window — the property that
+    * keeps a forever-running funnel's state bounded by the ACTIVE window
+    * population, not the all-time user count. (In batch execution
+    * timeouts never fire — Spark's documented batch semantics — and the
+    * single full iterator makes them unnecessary.)
+    */
+  def conversionFunnel(events: DataFrame,
+      windowUs: Long = 604800000000L): Dataset[Conversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // batch execution strips the watermark node, where arming a timeout
+    // throws — and batch runs the full iterator once, needing none
+    val isStreaming = events.isStreaming
+    val typed = events
+      .withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", "365 days")
+      // keep the watermarked column through the projection: the event-time
+      // timeout checker requires it in the stateful operator's child
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"),
+        col("event_ts"))
+      .as[ConvEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[ConvEvent], state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed signup + window with no conversion: done
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ConvState(-1L, emitted = false))
+            val out = rows.toSeq.sortBy(_.us).flatMap { e =>
+              if (e.event_type == "signup" && st.signup_us < 0L) {
+                st = ConvState(e.us, emitted = false)
+                None
+              } else if (e.event_type == "purchase" && st.signup_us >= 0L &&
+                !st.emitted && e.us >= st.signup_us &&
+                e.us <= st.signup_us + windowUs) {
+                st = st.copy(emitted = true)
+                Some(Conversion(user, st.signup_us, e.us, e.us - st.signup_us))
+              } else None
+            }
+            state.update(st)
+            if (isStreaming && st.signup_us >= 0L && !st.emitted) {
+              // clamp: a timeout at-or-before the current watermark throws;
+              // one tick past it preserves "expire as soon as possible"
+              state.setTimeoutTimestamp(math.max(
+                (st.signup_us + windowUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class BucketDistinct(bucket: Long, est_users: Double, sketch_size: Int)
 
   /** Running distinct-count per key across micro-batches with BOUNDED

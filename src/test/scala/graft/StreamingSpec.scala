@@ -237,6 +237,21 @@ class StreamingSpec extends SparkSpecBase {
       s"multi-batch=${got.length} single=${single.length}")
   }
 
+  test("conversionFunnel CEP state machine: streaming == batch == declarative form") {
+    val stream = StreamOps.runToMemory(spark, srcDir, "conv_out",
+      df => StreamOps.conversionFunnel(df).toDF(), "append")
+      .collect().map(_.toString).sorted
+    val batch = StreamOps.conversionFunnel(batchEvents).toDF()
+      .collect().map(_.toString).sorted
+    val declarative = graft.queries.ExtensionQueries25
+      .q171_conversion_window(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"stream=${stream.length} batch=${batch.length}")
+    assert(batch.sameElements(declarative),
+      s"declarative=${declarative.length} batch=${batch.length}")
+  }
+
   test("state survives MULTIPLE micro-batches: 3-file source, one file per trigger") {
     // split events into 3 files so the stream runs 3 real micro-batches
     val multi = Files.createTempDirectory("graft_stream_multi")
