@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bucketed equi-join (inert until spark.graft.rangeJoin.bucketWidth
     // is set — see RangeJoinRewrite's eligibility notes)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // tier-(c) physical rung: the backward as-of join as a first-class
+    // SparkPlan (AsofJoinPhysical.backward also self-registers at call
+    // time via experimental.extraStrategies for sessions without this
+    // extension class)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinPhysical.AsofJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_url_normalize"),
       info(classOf[UrlNormalize], "graft_url_normalize"),
       UrlNormalize.builder))

@@ -42,7 +42,8 @@ class ContractSpec extends SparkSpecBase {
     "extension23" -> (ExtensionQueries23.queries.keySet, ExtensionQueries23.oracle.keySet),
     "extension24" -> (ExtensionQueries24.queries.keySet, ExtensionQueries24.oracle.keySet),
     "extension25" -> (ExtensionQueries25.queries.keySet, ExtensionQueries25.oracle.keySet),
-    "extension26" -> (ExtensionQueries26.queries.keySet, ExtensionQueries26.oracle.keySet))
+    "extension26" -> (ExtensionQueries26.queries.keySet, ExtensionQueries26.oracle.keySet),
+    "extension27" -> (ExtensionQueries27.queries.keySet, ExtensionQueries27.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
