@@ -58,6 +58,31 @@ class AsofPhysicalSpec extends SparkSpecBase {
       s"phys=${phys.length} composed=${composed.length}")
   }
 
+  test("bucketed inputs elide BOTH exchanges (the shape the composed form can't reach)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    (1L to 200L).map(k => (k % 10, k, s"p$k")).toDF("k", "pt", "tag")
+      .write.mode("overwrite").option("path", s"$base/l")
+      .bucketBy(8, "k").saveAsTable("graft_asof_bkt_l")
+    (1L to 300L).map(k => (k % 10, k / 2, k)).toDF("rk", "rt", "rid")
+      .write.mode("overwrite").option("path", s"$base/r")
+      .bucketBy(8, "rk").saveAsTable("graft_asof_bkt_r")
+    try {
+      val df = AsofJoinPhysical.backward(
+        spark.table("graft_asof_bkt_l"), spark.table("graft_asof_bkt_r"),
+        "k", "rk", "pt", "rt", "rid")
+      assert(df.count() == 200L)
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("asofjoin"), plan)
+      // EnsureRequirements sees both children already hash-clustered on
+      // the key by the bucketed scan: no shuffle anywhere in the plan
+      assert(!plan.contains("exchange"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_asof_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_asof_bkt_r")
+    }
+  }
+
   test("the plan contains AsofJoinExec and no nested-loop or cartesian join") {
     import spark.implicits._
     val p = Seq((1L, 10L)).toDF("k", "pt")
