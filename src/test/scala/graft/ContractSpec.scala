@@ -43,7 +43,14 @@ class ContractSpec extends SparkSpecBase {
     "extension24" -> (ExtensionQueries24.queries.keySet, ExtensionQueries24.oracle.keySet),
     "extension25" -> (ExtensionQueries25.queries.keySet, ExtensionQueries25.oracle.keySet),
     "extension26" -> (ExtensionQueries26.queries.keySet, ExtensionQueries26.oracle.keySet),
-    "extension27" -> (ExtensionQueries27.queries.keySet, ExtensionQueries27.oracle.keySet))
+    "extension27" -> (ExtensionQueries27.queries.keySet, ExtensionQueries27.oracle.keySet),
+    "extension28" -> (ExtensionQueries28.queries.keySet, ExtensionQueries28.oracle.keySet),
+    "extension29" -> (ExtensionQueries29.queries.keySet, ExtensionQueries29.oracle.keySet),
+    "extension30" -> (ExtensionQueries30.queries.keySet, ExtensionQueries30.oracle.keySet),
+    "extension31" -> (ExtensionQueries31.queries.keySet, ExtensionQueries31.oracle.keySet),
+    "extension32" -> (ExtensionQueries32.queries.keySet, ExtensionQueries32.oracle.keySet),
+    "extension33" -> (ExtensionQueries33.queries.keySet, ExtensionQueries33.oracle.keySet),
+    "extension34" -> (ExtensionQueries34.queries.keySet, ExtensionQueries34.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
