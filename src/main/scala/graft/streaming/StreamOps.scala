@@ -383,6 +383,42 @@ object StreamOps {
       }
   }
 
+  final case class CusumAlert(event_id: Long, event_type: String, cents: Long,
+      cusum: Long)
+
+  /** Streaming CUSUM drift alerts (Page 1954) with O(1) keyed state: per
+    * event type the state is ONE long — the current CUSUM statistic
+    * `S = max(0, S + (cents − k))` — updated in event-time order and
+    * alerting while S exceeds `h`. The streaming twin of q187's batch
+    * form: the batch side computes the SAME alerts through the
+    * scan-parallel prefix identity `S_t = P_t − min(0, min_{i≤t} P_i)`
+    * (per-type windows), and StreamingSpec pins the two bit-for-bit,
+    * including state carried across micro-batch boundaries. All
+    * arithmetic is integer cents, so engines and executions agree
+    * exactly.
+    */
+  def cusumAlerts(events: DataFrame, k: Long = 6000L,
+      h: Long = 30000L): Dataset[CusumAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[ZEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, CusumAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[ZEvent], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+            s = math.max(0L, s + (e.cents - k))
+            if (s > h) Some(CusumAlert(e.event_id, key, e.cents, s)) else None
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class ConvEvent(user_id: Long, event_type: String, us: Long,
       event_ts: java.sql.Timestamp)
   final case class ConvState(signup_us: Long, emitted: Boolean)

@@ -204,6 +204,56 @@ class StreamingSpec extends SparkSpecBase {
       s"stream=${stream.length} batch=${batch.length}")
   }
 
+  test("flatMapGroupsWithState CUSUM: streaming == batch prefix-identity formulation") {
+    val stream = StreamOps.runToMemory(spark, srcDir, "cusum_out",
+      df => StreamOps.cusumAlerts(df).toDF(), "append")
+      .collect().map(_.toString).sorted
+    val (k, h) = (6000L, 30000L)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val batch = batchEvents
+      .select(col("event_id"), col("event_type"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("psum", sum(col("cents") - lit(k)).over(w))
+      .withColumn("runmin", min(col("psum")).over(w))
+      .withColumn("cusum", col("psum") - least(lit(0L), col("runmin")))
+      .filter(col("cusum") > h)
+      .select(col("event_id"), col("event_type"), col("cents"), col("cusum"))
+      .collect().map(_.toString).sorted
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"stream=${stream.length} batch=${batch.length}")
+  }
+
+  test("CUSUM scalar state carries across micro-batches (time-ordered 3-file source)") {
+    val multi = Files.createTempDirectory("graft_cusum_multi")
+    val e = batchEvents.orderBy("event_id")
+    val n = e.count()
+    val src = multi.resolve("all")
+    Files.createDirectory(src)
+    var i = 0
+    for (off <- Seq(0, (n / 3).toInt, 2 * (n / 3).toInt)) {
+      val part = multi.resolve(s"p$i")
+      val lim = if (off == 2 * (n / 3).toInt) n.toInt else (n / 3).toInt
+      e.orderBy("event_id").offset(off).limit(lim)
+        .coalesce(1).write.parquet(part.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(part).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).foreach { f =>
+          Files.copy(f, src.resolve(s"part_$i.parquet")); i += 1
+        }
+    }
+    val stream = spark.readStream.schema(StreamOps.EventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamOps.cusumAlerts(stream).toDF().writeStream
+      .format("memory").queryName("cusum_multi").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cusum_multi").collect().map(_.toString).sorted
+    val single = StreamOps.cusumAlerts(batchEvents).toDF()
+      .collect().map(_.toString).sorted
+    assert(single.nonEmpty && got.sameElements(single),
+      s"multi-batch=${got.length} single=${single.length}")
+  }
+
   test("rolling z-score DEQUE state carries across micro-batches (time-ordered 3-file source)") {
     // events are time-ordered by event_id (pinned 0 inversions in the
     // testdata), so a by-id split feeds the stream in event-time order and
