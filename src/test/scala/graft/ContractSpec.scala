@@ -52,7 +52,8 @@ class ContractSpec extends SparkSpecBase {
     "extension33" -> (ExtensionQueries33.queries.keySet, ExtensionQueries33.oracle.keySet),
     "extension34" -> (ExtensionQueries34.queries.keySet, ExtensionQueries34.oracle.keySet),
     "extension35" -> (ExtensionQueries35.queries.keySet, ExtensionQueries35.oracle.keySet),
-    "extension36" -> (ExtensionQueries36.queries.keySet, ExtensionQueries36.oracle.keySet))
+    "extension36" -> (ExtensionQueries36.queries.keySet, ExtensionQueries36.oracle.keySet),
+    "extension37" -> (ExtensionQueries37.queries.keySet, ExtensionQueries37.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
