@@ -59,7 +59,8 @@ class ContractSpec extends SparkSpecBase {
     "extension40" -> (ExtensionQueries40.queries.keySet, ExtensionQueries40.oracle.keySet),
     "extension41" -> (ExtensionQueries41.queries.keySet, ExtensionQueries41.oracle.keySet),
     "extension42" -> (ExtensionQueries42.queries.keySet, ExtensionQueries42.oracle.keySet),
-    "extension43" -> (ExtensionQueries43.queries.keySet, ExtensionQueries43.oracle.keySet))
+    "extension43" -> (ExtensionQueries43.queries.keySet, ExtensionQueries43.oracle.keySet),
+    "extension44" -> (ExtensionQueries44.queries.keySet, ExtensionQueries44.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
