@@ -69,7 +69,8 @@ class ContractSpec extends SparkSpecBase {
     "extension50" -> (ExtensionQueries50.queries.keySet, ExtensionQueries50.oracle.keySet),
     "extension51" -> (ExtensionQueries51.queries.keySet, ExtensionQueries51.oracle.keySet),
     "extension52" -> (ExtensionQueries52.queries.keySet, ExtensionQueries52.oracle.keySet),
-    "extension53" -> (ExtensionQueries53.queries.keySet, ExtensionQueries53.oracle.keySet))
+    "extension53" -> (ExtensionQueries53.queries.keySet, ExtensionQueries53.oracle.keySet),
+    "extension54" -> (ExtensionQueries54.queries.keySet, ExtensionQueries54.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
