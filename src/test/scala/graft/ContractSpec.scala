@@ -70,7 +70,8 @@ class ContractSpec extends SparkSpecBase {
     "extension51" -> (ExtensionQueries51.queries.keySet, ExtensionQueries51.oracle.keySet),
     "extension52" -> (ExtensionQueries52.queries.keySet, ExtensionQueries52.oracle.keySet),
     "extension53" -> (ExtensionQueries53.queries.keySet, ExtensionQueries53.oracle.keySet),
-    "extension54" -> (ExtensionQueries54.queries.keySet, ExtensionQueries54.oracle.keySet))
+    "extension54" -> (ExtensionQueries54.queries.keySet, ExtensionQueries54.oracle.keySet),
+    "extension55" -> (ExtensionQueries55.queries.keySet, ExtensionQueries55.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
