@@ -71,7 +71,8 @@ class ContractSpec extends SparkSpecBase {
     "extension52" -> (ExtensionQueries52.queries.keySet, ExtensionQueries52.oracle.keySet),
     "extension53" -> (ExtensionQueries53.queries.keySet, ExtensionQueries53.oracle.keySet),
     "extension54" -> (ExtensionQueries54.queries.keySet, ExtensionQueries54.oracle.keySet),
-    "extension55" -> (ExtensionQueries55.queries.keySet, ExtensionQueries55.oracle.keySet))
+    "extension55" -> (ExtensionQueries55.queries.keySet, ExtensionQueries55.oracle.keySet),
+    "extension56" -> (ExtensionQueries56.queries.keySet, ExtensionQueries56.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
