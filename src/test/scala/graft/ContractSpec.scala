@@ -74,7 +74,8 @@ class ContractSpec extends SparkSpecBase {
     "extension55" -> (ExtensionQueries55.queries.keySet, ExtensionQueries55.oracle.keySet),
     "extension56" -> (ExtensionQueries56.queries.keySet, ExtensionQueries56.oracle.keySet),
     "extension57" -> (ExtensionQueries57.queries.keySet, ExtensionQueries57.oracle.keySet),
-    "extension58" -> (ExtensionQueries58.queries.keySet, ExtensionQueries58.oracle.keySet))
+    "extension58" -> (ExtensionQueries58.queries.keySet, ExtensionQueries58.oracle.keySet),
+    "extension59" -> (ExtensionQueries59.queries.keySet, ExtensionQueries59.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
