@@ -166,7 +166,11 @@ object PcaProject {
       .select(col("id").as("cand_id"), col("v").as("cv"), col("pv").as("cp"))
     val wShort = Window.partitionBy(col("probe_id"))
       .orderBy(col("pd"), col("cand_id"))
-    val short = probes.join(cands, col("probe_id") =!= col("cand_id"))
+    // the PROBE set is the bounded side (isProbe selects a constant probe
+    // set at any corpus size) — unhinted, Spark would pick the build side
+    // from size stats, i.e. the corpus at scale (the q147 bug class;
+    // PlanGate enforces the hint fleet-wide)
+    val short = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), col("qv"), col("cv"),
         graft.functions.VectorOps.l2sq(col("qp"), col("cp")).as("pd"))
       .withColumn("prank", row_number().over(wShort))

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Fleet-wide plan-shape gate (round-9 verdict task #1).
+  *
+  * The q147 bug class — a `BroadcastNestedLoopJoin` whose build side was
+  * the CORPUS because Spark picked the build side from sf-dependent size
+  * stats, not from what is actually bounded — survived eight rounds and
+  * was only caught by a manual `ExplainAudit` read. This gate mechanizes
+  * that read across EVERY query in [[graft.SparkEntry.queries]]: one spec
+  * ([[graft.FleetPlanShapeSpec]]) fails if any future query reintroduces
+  * a scale-killer of the classes below.
+  *
+  * The audit runs on the OPTIMIZED LOGICAL plan, not the physical plan,
+  * deliberately: physical join strategies at sf0.001 are size-driven
+  * (everything broadcasts), so the physical plan at test scale says
+  * nothing about the 100 TB shape. The logical plan carries exactly the
+  * two scale-invariant facts that matter:
+  *
+  *   - `LogicalPlan.maxRows` — Catalyst's own structural row bound,
+  *     defined only when provable from the plan itself (ungrouped
+  *     aggregates → 1, limits → n, literal relations → size, and their
+  *     compositions). A defined bound is a PLAN CONSTANT, independent of
+  *     input cardinality — safe to broadcast or nest at any scale.
+  *   - `Join.hint` — an explicit `broadcast()` marks the engine's own
+  *     declaration that a side is bounded by construction (e.g. the
+  *     brute-force cosine probe set, `ext/Similarity.scala:61`, whose
+  *     bound is semantic — a probe predicate — not structural).
+  *
+  * Violation classes:
+  *
+  *   1. `nonequi-join-unbounded` — a join with NO equi-key conjunct
+  *      (at scale: BNLJ or CartesianProduct; equi-joins hash-partition
+  *      and ride to any scale) where the side that must broadcast is
+  *      neither `maxRows`-bounded nor hint-declared. This is the q147
+  *      class, caught at plan time regardless of what sf0.001 stats say.
+  *   2. `global-window` — a `Window` with an empty partition spec over an
+  *      input that is not provably bounded: the whole dataset funnels
+  *      through one task.
+  *   3. `scala-udf` — any `ScalaUDF` expression anywhere (the engine's
+  *      custom scalars are codegen Catalyst expressions; a `udf()` in a
+  *      hot projection is an interpreted per-row lambda).
+  *   4. `object-node` — a typed/lambda operator (`MapPartitions`,
+  *      `MapGroups`, …) outside the pinned per-query allowlist. The
+  *      engine's deliberate object nodes are the multimodal binary codec
+  *      (no Catalyst equivalent for byte-level decode) and the
+  *      `mapGroupsWithState` batch twins of streaming queries;
+  *      `AppendColumns` (the typed-`Aggregator` grouping-key extractor —
+  *      the documented cost of the sketch surface) is allowed globally.
+  *      Anything new must be added here WITH a justification.
+  */
+object PlanGate {
+
+  final case class Violation(query: String, kind: String, detail: String) {
+    override def toString = s"[$query] $kind: $detail"
+  }
+
+  /** Bounded build side cap: every legitimate bounded side in the engine
+    * is a 1-row scalar, a ≤4-row grid, or a ≤10k trained/probe set; a
+    * "bound" beyond this is a smell even if structurally constant.
+    */
+  private val BoundCap = 10_000_000L
+
+  /** Per-query object-node allowlist (beyond the globally allowed
+    * `AppendColumns`): query name → justification. Matched by prefix on
+    * the node inventory check so one entry covers a query family.
+    */
+  private[graft] val ObjectNodeAllow: Map[String, String] = Map(
+    "q32_media_features" -> ("binary media codec (ext/Multimodal.scala): " +
+      "mapPartitions is the only Catalyst-expressible shape for byte-level decode"),
+    "q67_frame_sample" -> "binary frame sampler: same codec family as q32",
+    "q115_lsh_admission" -> ("streaming/LshAdmit batch twin: keyed " +
+      "flatMapGroupsWithState admission state — state bounded by bands × index")
+  )
+
+  /** Logical object/lambda operator class names that mark a per-row or
+    * per-group interpreted path. `AppendColumns` is NOT listed — typed
+    * `Aggregator`s extract their grouping key through it by design.
+    */
+  private val ObjectNodeNames = Set(
+    "MapPartitions", "MapElements", "MapGroups", "FlatMapGroupsWithState",
+    "FlatMapGroupsInR", "CoGroup", "TypedFilter", "MapInPandas",
+    "FlatMapGroupsInPandas")
+
+  private def equiSplit(l: Expression, r: Expression, j: Join): Boolean = {
+    val (lo, ro) = (j.left.outputSet, j.right.outputSet)
+    (l.references.nonEmpty && r.references.nonEmpty) && (
+      (l.references.subsetOf(lo) && r.references.subsetOf(ro)) ||
+      (l.references.subsetOf(ro) && r.references.subsetOf(lo)))
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A join with at least one TOP-LEVEL equi-key conjunct plans as a
+    * hash/merge join on that key at any scale — never BNLJ/cartesian.
+    * Conjuncts only: `a =!= b` is `Not(EqualTo(a, b))` and a recursive
+    * `exists` would see the nested EqualTo and wave the join through.
+    */
+  private def hasEquiKey(j: Join): Boolean =
+    j.condition.toSeq.flatMap(conjuncts).exists {
+      case EqualTo(l, r) => equiSplit(l, r, j)
+      case EqualNullSafe(l, r) => equiSplit(l, r, j)
+      case _ => false
+    }
+
+  private def hinted(h: Option[HintInfo]): Boolean =
+    h.flatMap(_.strategy).contains(BROADCAST)
+
+  /** A side is scale-safe to be the nested-loop build iff its row count
+    * is a plan constant (maxRows) or the query author declared it bounded
+    * with an explicit broadcast hint.
+    */
+  private def sideOk(p: LogicalPlan, h: Option[HintInfo]): Boolean =
+    p.maxRows.exists(_ <= BoundCap) || hinted(h)
+
+  def audit(name: String, df: DataFrame): Seq[Violation] = {
+    val plan = df.queryExecution.optimizedPlan
+    val out = Seq.newBuilder[Violation]
+
+    plan.collectWithSubqueries {
+      case j: Join if !hasEquiKey(j) =>
+        val ok = j.joinType match {
+          case Inner | Cross =>
+            sideOk(j.left, j.hint.leftHint) || sideOk(j.right, j.hint.rightHint)
+          case LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin =>
+            sideOk(j.right, j.hint.rightHint)
+          case RightOuter => sideOk(j.left, j.hint.leftHint)
+          case FullOuter =>
+            sideOk(j.left, j.hint.leftHint) || sideOk(j.right, j.hint.rightHint)
+          case _ => false
+        }
+        if (!ok) out += Violation(name, "nonequi-join-unbounded",
+          s"${j.joinType} join, cond=${j.condition}, " +
+            s"leftMax=${j.left.maxRows} rightMax=${j.right.maxRows} hint=${j.hint} — " +
+            "at scale this is a BNLJ/cartesian with an unbounded build side")
+
+      case w: Window if w.partitionSpec.isEmpty && !w.child.maxRows.exists(_ <= BoundCap) =>
+        out += Violation(name, "global-window",
+          s"partition-less window over unbounded input: ${w.windowExpressions.map(_.sql).take(2)}")
+
+      case n if ObjectNodeNames.contains(n.nodeName) &&
+          !ObjectNodeAllow.keys.exists(name.startsWith) =>
+        out += Violation(name, "object-node",
+          s"${n.nodeName} outside the allowlist — per-row/group lambda in the plan")
+    }
+
+    val udfs = plan.collectWithSubqueries {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p.nodeName
+    }
+    if (udfs.nonEmpty)
+      out += Violation(name, "scala-udf", s"ScalaUDF in nodes: ${udfs.distinct}")
+
+    out.result()
+  }
+}

@@ -114,7 +114,7 @@ object ExtensionQueries16 {
     val toks = ExtensionQueries2.q42Corpus(s, dir)
       .select(col("doc_id").as("tid"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    ExtensionQueries2.q42_dedup_clusters(s, dir)
+    ExtensionQueries2.q42ClustersStaged(s, dir)
       .join(toks, col("id") === col("tid"))
       .groupBy(col("rep"))
       .agg(

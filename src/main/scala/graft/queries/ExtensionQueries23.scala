@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.Dedup
 import graft.ops.PrefixScan
 
 /** Round-9 batch 11: distribution drift and dedup observability.
@@ -101,11 +100,11 @@ object ExtensionQueries23 {
     */
   def q166_cluster_histogram(s: SparkSession, dir: String): DataFrame = {
     val all = ExtensionQueries2.q42Corpus(s, dir)
-    val pairs = Dedup.jaccardPairs(all, "doc_id", col("text"), 3)
-      .filter(col("jaccard") >= 0.3)
-      .select(col("id_a"), col("id_b"))
-    val lbl = graft.core.CacheScope.scoped(
-      Dedup.connectedComponents(pairs).select(col("id"), col("rep")))
+    // the staged cluster frame replaces the inline pairs→CC re-derivation
+    // (and the CacheScope double-consumer persist — the checkpoint already
+    // holds the ≤90 materialized rows for both branches below)
+    val lbl = ExtensionQueries2.q42ClustersStaged(s, dir)
+      .select(col("id"), col("rep"))
     val clustered = lbl.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     val singles = all.select(col("doc_id").as("id"))

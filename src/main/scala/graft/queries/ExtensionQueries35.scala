@@ -39,7 +39,7 @@ object ExtensionQueries35 {
     val tc = ExtensionQueries2.q42Corpus(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val pairs = ExtensionQueries2.q42_dedup_clusters(s, dir)
+    val pairs = ExtensionQueries2.q42ClustersStaged(s, dir)
       .filter(col("id") =!= col("rep"))
     val m = pairs.join(tc, col("id") === col("doc_id"))
       .select(col("rep"), col("id"), col("tok"), col("cnt").as("cm"))

@@ -111,7 +111,7 @@ object ExtensionQueries38 {
     val exactKeep = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"))
       .select(col("keep_id"))
-    val nearKeep = ExtensionQueries2.q42_dedup_clusters(s, dir)
+    val nearKeep = ExtensionQueries2.q42ClustersStaged(s, dir)
       .filter(col("id") === col("rep")).select(col("id").as("near_id"))
     docs
       .join(exactKeep, col("doc_id") === col("keep_id"), "left")

@@ -42,7 +42,10 @@ object ExtensionQueries41 {
     val calendar = td.select(col("day")).distinct()
     val types = td.select(col("event_type")).distinct()
     val nDays = calendar.agg(count(lit(1)).as("n_days"))
-    types.crossJoin(calendar)
+    // the calendar is |days| rows — a time constant, not a data volume;
+    // the hint both declares that bound (PlanGate) and pins the grid
+    // fan-out to replicate days, never the type spine
+    types.crossJoin(broadcast(calendar))
       .join(td.withColumn("present", lit(1L)), Seq("event_type", "day"),
         "left")
       .groupBy(col("event_type"))

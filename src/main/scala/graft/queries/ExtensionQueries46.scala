@@ -101,7 +101,9 @@ object ExtensionQueries46 {
     // the FULL r×c grid — absent combinations are REAL zero cells and
     // carry chi-square mass (a language a source never emits is evidence
     // of dependence, not a row to drop)
-    val cells = rowm.select(col("lang")).crossJoin(colm.select(col("source")))
+    // |sources| is a category constant — broadcast declares it (PlanGate)
+    val cells = rowm.select(col("lang"))
+      .crossJoin(broadcast(colm.select(col("source"))))
       .join(observed, Seq("lang", "source"), "left")
       .withColumn("o", coalesce(col("obs"), lit(0L)))
     cells.join(broadcast(rowm), "lang").join(broadcast(colm), "source")

@@ -39,7 +39,7 @@ object ExtensionQueries47 {
     val toks = ExtensionQueries2.q42Corpus(s, dir)
       .select(col("doc_id").as("tid"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val labeled = ExtensionQueries2.q42_dedup_clusters(s, dir)
+    val labeled = ExtensionQueries2.q42ClustersStaged(s, dir)
       .join(toks, col("id") === col("tid"))
     val w = Window.partitionBy(col("rep"))
       .orderBy(col("n_tokens").desc, col("id"))

@@ -41,8 +41,10 @@ object ExtensionQueries50 {
           col("a.segment") < col("b.segment"))
       .groupBy(col("a.segment").as("seg_a"), col("b.segment").as("seg_b"))
       .agg(count(lit(1)).as("nb"))
+    // |segments| is a category constant (5 in TPC-H at every SF) —
+    // broadcast declares the bound the plan can't prove (PlanGate)
     val grid = sizes.select(col("segment").as("seg_a"), col("n").as("na"))
-      .join(sizes.select(col("segment").as("seg_b"), col("n").as("nb2")),
+      .join(broadcast(sizes.select(col("segment").as("seg_b"), col("n").as("nb2"))),
         col("seg_a") < col("seg_b"))
     grid.join(inter, Seq("seg_a", "seg_b"), "left")
       .withColumn("both", coalesce(col("nb"), lit(0L)))

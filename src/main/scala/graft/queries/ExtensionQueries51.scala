@@ -128,7 +128,7 @@ object ExtensionQueries51 {
     * cluster-min fold are cluster-keyed. Never corpus×corpus.
     */
   def q248_cluster_drift(s: SparkSession, dir: String): DataFrame = {
-    val lbl = ExtensionQueries2.q42_dedup_clusters(s, dir)
+    val lbl = ExtensionQueries2.q42ClustersStaged(s, dir)
     val big = lbl.groupBy(col("rep")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") >= 3)
     val members = lbl.join(big, "rep")

@@ -87,7 +87,7 @@ object ExtensionQueries59 {
   def q271_cross_source_dups(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id").as("base"),
       col("source"))
-    ExtensionQueries2.q42_dedup_clusters(s, dir)
+    ExtensionQueries2.q42ClustersStaged(s, dir)
       .withColumn("base", col("id") % 100000L)
       .join(src, "base")
       .groupBy(col("rep"))

@@ -504,7 +504,9 @@ object ExtensionQueries6 {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cand_id"))
-    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+    // 20-probe side broadcast: the bound is semantic (vec_id < 20), not
+    // plan-provable — the hint pins the build side at any scale (PlanGate)
+    val exact = broadcast(a).join(b, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
       .withColumn("r", row_number().over(w)).filter(col("r") <= 5)

@@ -170,8 +170,10 @@ object ExtensionQueries60 {
       .groupBy(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("nb"))
+    // |event types| is a category constant — broadcast declares the bound
+    // the plan can't prove for the non-equi type grid (PlanGate)
     val grid = marg.select(col("event_type").as("type_a"), col("m").as("ma"))
-      .join(marg.select(col("event_type").as("type_b"), col("m").as("mb")),
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("m").as("mb"))),
         col("type_a") =!= col("type_b"))
       .join(pairs, Seq("type_a", "type_b"), "left")
       .withColumn("both", coalesce(col("nb"), lit(0L)))

@@ -102,6 +102,16 @@ object ExtensionQueries62 {
     *
     * Scale shape: one lineitem pass → a 1-row cell fold → a 1-row
     * decimal projection.
+    *
+    * Scale BOUND (documented, like q181): Spark caps the chained
+    * DECIMAL(20,0) products at DECIMAL(38,0), so `num` (≈ n·(ad−bc)²·1e6)
+    * stays exact only while it is < 1e38 — safe through ~1e8 rows per
+    * cell (n=4e8: num ≤ 4e8·(4e16)²·1e6 needs n·max|ad−bc|² bounded;
+    * concretely exact for corpora ≤ ~3·10⁸ lines, i.e. any tested SF and
+    * ~sf100). Beyond that Spark's non-ANSI mode would yield NULL where
+    * DuckDB's HUGEINT→unbounded path stays exact; a deployment past that
+    * scale should fold the 1-row cells on the driver in BigInt (the fold
+    * is a 4-long scalar, not a data-plane cost).
     */
   def q280_discount_return_interaction(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)

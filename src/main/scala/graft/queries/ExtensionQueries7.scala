@@ -245,7 +245,8 @@ object ExtensionQueries7 {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val b = raw.select(col("vec_id").as("cand_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("d"), col("cand_id"))
-    val exact = a.join(b, col("probe_id") =!= col("cand_id"))
+    // 20-probe side broadcast: semantic bound, hint-declared (PlanGate)
+    val exact = broadcast(a).join(b, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         graft.functions.VectorOps.l2sq(col("pv"), col("cv")).as("d"))
       .withColumn("r", row_number().over(w)).filter(col("r") <= 5)

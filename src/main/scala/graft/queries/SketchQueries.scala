@@ -305,7 +305,7 @@ object SketchQueries {
     def est(sketch: Column) =
       when(size(sketch) < k, size(sketch).cast("double"))
         .otherwise(lit((k - 1).toDouble) * two63 / element_at(sketch, k).cast("double"))
-    a.crossJoin(b) // 1×1: the two sketch rows
+    a.crossJoin(broadcast(b)) // 1×1: the two sketch rows (hint: PlanGate)
       .select(
         slice(array_sort(array_union(col("ska"), col("skb"))), 1, k).as("u"),
         col("ska"), col("skb"))

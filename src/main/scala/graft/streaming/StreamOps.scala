@@ -396,6 +396,14 @@ object StreamOps {
     * including state carried across micro-batch boundaries. All
     * arithmetic is integer cents, so engines and executions agree
     * exactly.
+    *
+    * PRECONDITION (the contract the multi-batch spec pins): rows are
+    * sorted in event-time order only WITHIN each micro-batch; across
+    * batches the source must deliver data in event-time order (e.g. a
+    * file source fed time-ordered files). CUSUM is order-dependent and
+    * keeps no out-of-order buffer — a source replaying batches out of
+    * event-time order silently diverges from the batch form, same as
+    * the repo's other order-dependent streaming twins (rolling z-score).
     */
   def cusumAlerts(events: DataFrame, k: Long = 6000L,
       h: Long = 30000L): Dataset[CusumAlert] = {

@@ -80,6 +80,12 @@ class AsofPhysicalSpec extends SparkSpecBase {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_asof_bkt_l")
       spark.sql("DROP TABLE IF EXISTS graft_asof_bkt_r")
+      // external tables: DROP leaves the parquet behind — remove the dir
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(base)
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

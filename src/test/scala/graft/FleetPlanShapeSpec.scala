@@ -1,0 +1,66 @@
+package graft
+
+/** Fleet-wide plan-shape gate (round-9 verdict task #1): every registered
+  * query's OPTIMIZED plan is swept by [[graft.plans.PlanGate]] for the
+  * scale-killer classes that size-driven test-SF physical plans hide —
+  * non-equi joins whose broadcast side is neither structurally bounded
+  * (`maxRows`) nor hint-declared (the q147 BNLJ-build-side bug class that
+  * survived eight rounds until a manual ExplainAudit read), partition-less
+  * windows over unbounded input, `ScalaUDF`s, and object/lambda operators
+  * outside the pinned allowlist. One green test = no future query can
+  * reintroduce any of these silently.
+  *
+  * Runs at sf0.001 — the audit inspects the logical plan, which carries
+  * the same scale-invariant facts at every SF; the smallest dir keeps the
+  * builder-internal driver actions (ANN/BPE training folds) cheap.
+  */
+class FleetPlanShapeSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("all registered queries pass the PlanGate scale-shape audit") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        try graft.plans.PlanGate.audit(name, build(spark, sf))
+        catch {
+          case e: Throwable =>
+            Seq(graft.plans.PlanGate.Violation(name, "build-error",
+              e.toString.linesIterator.next()))
+        }
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.size} plan-shape violations:\n" +
+        violations.mkString("\n") +
+        "\nEither fix the plan (bound/hint the build side, partition the " +
+        "window) or — only with a written justification — extend " +
+        "PlanGate.ObjectNodeAllow.")
+  }
+
+  test("the gate itself still rejects the q147 bug class (fixture)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the historical bug: an UNHINTED non-equi pair join — Spark picks the
+    // build side from size stats, which at scale is the corpus
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val bad = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") =!= col("b.vec_id"))
+    val vs = graft.plans.PlanGate.audit("fixture_q147", bad)
+    assert(vs.exists(_.kind == "nonequi-join-unbounded"),
+      s"gate failed to flag the unhinted non-equi pair join: $vs")
+    // the fix shape: an explicit broadcast() on the bounded probe side
+    val probes = emb.filter(col("vec_id") < 8).as("b")
+    val good = emb.as("a").join(broadcast(probes),
+      col("a.vec_id") =!= col("b.vec_id"))
+    assert(graft.plans.PlanGate.audit("fixture_q147_fixed", good).isEmpty)
+    // partition-less window over the corpus: flagged
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val gw = emb.withColumn("rn", row_number().over(w))
+    assert(graft.plans.PlanGate.audit("fixture_gw", gw)
+      .exists(_.kind == "global-window"))
+    // ScalaUDF: flagged
+    val f = udf((x: Long) => x + 1)
+    assert(graft.plans.PlanGate.audit("fixture_udf",
+      emb.select(f(col("vec_id")))).exists(_.kind == "scala-udf"))
+  }
+}

@@ -228,6 +228,10 @@ class StreamingSpec extends SparkSpecBase {
     val multi = Files.createTempDirectory("graft_cusum_multi")
     val e = batchEvents.orderBy("event_id")
     val n = e.count()
+    // n/3 truncation: with n < 3 the first two chunks would be EMPTY
+    // parquet writes and the test would degenerate to single-batch —
+    // fail loudly on a misconfigured testdata dir instead
+    assert(n >= 3, s"events table too small to split into 3 batches (n=$n)")
     val src = multi.resolve("all")
     Files.createDirectory(src)
     var i = 0
