@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   *    not 97 queries' worth of temp-shuffle and block-manager residue;
   *  - deterministic (sorted) execution order;
   *  - a skew-join harness (see [[skewBench]]) measures the explicit salting
-  *    operator against the same join unsalted, reported under "skew".
+  *    operator against the same join unsalted, reported under "skew";
+  *  - the 10 slowest queries (by the first pass's median) are RE-MEASURED
+  *    at n=[[TopIters]] and their [min, median, max] replaced (round-9
+  *    verdict task #6: the graph/overlap tail dominates the artifact's
+  *    spread; 5 samples there make round-over-round regressions
+  *    attributable without paying 5× across all ~284 queries).
   */
 object Bench {
 
   val Iters = 3
+  val TopIters = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,22 +66,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
 
-    /** (min, median, max) of `Iters` timed runs, state released before each. */
-    def statsOf(f: => Unit): (Double, Double, Double) = {
-      val ts = (1 to Iters).map { _ =>
+    /** (min, median, max) of `iters` timed runs, state released before each. */
+    def statsOfN(iters: Int)(f: => Unit): (Double, Double, Double) = {
+      val ts = (1 to iters).map { _ =>
         release()
         timed(f)
       }
       val s = ts.sorted
-      (s.head, s(Iters / 2), s.last)
+      (s.head, s(iters / 2), s.last)
     }
+
+    def statsOf(f: => Unit): (Double, Double, Double) = statsOfN(Iters)(f)
 
     def medianOf(f: => Unit): Double = statsOf(f)._2
 
-    def runToNoop(name: String): (Double, Double, Double) =
+    def runToNoop(name: String, iters: Int = Iters): (Double, Double, Double) =
       try {
         System.gc() // benchmark hygiene: don't charge query N with query N-1's garbage
-        statsOf {
+        statsOfN(iters) {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         }
@@ -97,8 +105,15 @@ object Bench {
     val pipeline = try pipelineBench(spark, statsOf)
       catch { case _: Throwable => PipelinePhases(none, none, none) }
     release()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runToNoop(name)
+    }
+    // tail stabilization: the 10 slowest re-measure at n=TopIters; their
+    // replacement stats supersede the first pass in every artifact field
+    val topNames = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
+      .take(10).map(_._1).toSet
+    val results = firstPass.map { case (k, v) =>
+      if (topNames(k)) k -> runToNoop(k, TopIters) else k -> v
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
@@ -126,9 +141,9 @@ object Bench {
       s""""pipeline_phases":{"csv_scan":${fmt(pipeline.csvScan)},""" +
       s""""merge_from_parquet":${fmt(pipeline.mergeFromParquet)},""" +
       s""""full":${fmt(pipeline.full)}},"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,""" +
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,""" +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,"queries":$qs,""" +
       s""""spread":$spreadAll,""" + suffix
     println(compact)
     println(json)

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * flags a super-linear stage (a pair blowup, a sort that stopped
   * fitting, a broadcast tipping over) to audit in PLANS.md.
   *
-  * Usage: `runMain graft.QueryScaleBench [--sf1] q74_pagerank q80_...`
+  * Usage: `runMain graft.QueryScaleBench [--sf1] [--out=path] q74_pagerank ...`
+  * or `--all` for the ENTIRE registered surface (round-9 verdict task
+  * #2: exponents existed only for the r9 batches; the fleet table in
+  * PLANS.md is regenerated from `--all --out=...`). `--out` appends one
+  * tab-separated line per query (name, step, lo, hi, k) so the sweep
+  * survives a partial run.
   */
 object QueryScaleBench {
 
@@ -62,8 +67,11 @@ object QueryScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sf1 = args.contains("--sf1")
-    val names = args.filterNot(_.startsWith("--")).toSeq
-    require(names.nonEmpty, "usage: QueryScaleBench [--sf1] <queryName>...")
+    val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
+    val names =
+      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else args.filterNot(_.startsWith("--")).toSeq
+    require(names.nonEmpty, "usage: QueryScaleBench [--sf1] [--all] [--out=p] <queryName>...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,10 +109,20 @@ object QueryScaleBench {
     // warmup both dirs through the first query
     try timeAt(names.head, loDir) catch { case _: Throwable => }
     for (n <- names) {
-      val t1 = timeAt(n, loDir)
-      val t2 = timeAt(n, hiDir)
-      val k = math.log(t2 / t1) / math.log(10.0)
-      println(f"$n%-28s $step: lo=$t1%6.2f s  hi=$t2%6.2f s  k=$k%.2f")
+      try {
+        val t1 = timeAt(n, loDir)
+        val t2 = timeAt(n, hiDir)
+        val k = math.log(t2 / t1) / math.log(10.0)
+        println(f"$n%-28s $step: lo=$t1%6.2f s  hi=$t2%6.2f s  k=$k%.2f")
+        out.foreach { p =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+            f"$n\t$step\t$t1%.3f\t$t2%.3f\t$k%.3f%n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+      } catch { case e: Throwable =>
+        println(s"$n FAILED: ${e.toString.takeWhile(_ != '\n')}")
+      }
     }
     if (sf1) {
       import scala.jdk.CollectionConverters._

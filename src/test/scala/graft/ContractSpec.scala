@@ -78,7 +78,8 @@ class ContractSpec extends SparkSpecBase {
     "extension59" -> (ExtensionQueries59.queries.keySet, ExtensionQueries59.oracle.keySet),
     "extension60" -> (ExtensionQueries60.queries.keySet, ExtensionQueries60.oracle.keySet),
     "extension61" -> (ExtensionQueries61.queries.keySet, ExtensionQueries61.oracle.keySet),
-    "extension62" -> (ExtensionQueries62.queries.keySet, ExtensionQueries62.oracle.keySet))
+    "extension62" -> (ExtensionQueries62.queries.keySet, ExtensionQueries62.oracle.keySet),
+    "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
