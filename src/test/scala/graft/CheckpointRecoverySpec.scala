@@ -133,6 +133,53 @@ class CheckpointRecoverySpec extends SparkSpecBase {
     } finally rmTree(base)
   }
 
+  test("q171 conversion funnel: EVENT-TIME TIMEOUT timers survive a cold restart") {
+    // distinct recovery path from the DAU/LSH tests: the funnel's keyed
+    // state arms event-time timeouts (signup + window), and those TIMERS
+    // live in the state store too — a restart must restore both the
+    // per-user state and its pending expirations, or non-converters
+    // would linger (leak) or expire twice
+    val base = Files.createTempDirectory("graft_ckpt_funnel")
+    try {
+      def run(src: Path, out: Path, ckpt: Path, drain: Boolean,
+          coldAfter: Long = 0L): Unit = {
+        val stream = graft.core.Tables.toLongNanos(
+          spark.readStream.schema(StreamOps.EventsSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src.toString))
+        // 1-hour window: tight enough that sf0.001's event span expires
+        // plenty of signup timers mid-stream, in both runs
+        val q = StreamOps.conversionFunnel(stream, windowUs = 3600000000L)
+          .toDF().writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        if (drain) { try q.processAllAvailable() finally q.stop() }
+        else stopCold(q, coldAfter)
+      }
+      val (srcA, outA, ckptA) = (base.resolve("srcA"), base.resolve("outA"),
+        base.resolve("ckptA"))
+      val (srcB, outB, ckptB) = (base.resolve("srcB"), base.resolve("outB"),
+        base.resolve("ckptB"))
+      Files.createDirectory(srcA); Files.createDirectory(srcB)
+
+      eventChunks.zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcA, s"chunk_$i.parquet") }
+      run(srcA, outA, ckptA, drain = true)
+
+      eventChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcB, s"chunk_$i.parquet") }
+      run(srcB, outB, ckptB, drain = false, coldAfter = 1L)
+      eventChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcB, s"chunk_${i + 2}.parquet") }
+      run(srcB, outB, ckptB, drain = true)
+
+      val (a, b) = (ordered(outA), ordered(outB))
+      assert(a.nonEmpty, "uninterrupted funnel emitted no conversions")
+      assert(b == a,
+        s"recovered funnel diverged: uninterrupted=${a.size}, recovered=${b.size}")
+    } finally rmTree(base)
+  }
+
   test("q115 LSH admission: bucket state survives a cold restart; verdicts identical") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft_ckpt_lsh")
