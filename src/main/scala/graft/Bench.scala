@@ -80,13 +80,18 @@ object Bench {
 
     def medianOf(f: => Unit): Double = statsOf(f)._2
 
-    def runToNoop(name: String, iters: Int = Iters): (Double, Double, Double) =
+    def runToNoop(name: String, iters: Int = Iters,
+        warmup: Boolean = false): (Double, Double, Double) =
       try {
         System.gc() // benchmark hygiene: don't charge query N with query N-1's garbage
-        statsOfN(iters) {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        }
+        def once(): Unit =
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        // top-10 re-measure: a DISCARDED warmup first — by re-measure time
+        // ~280 other queries have evicted this query's footer/JIT state, and
+        // that one cold run otherwise lands in the max and reads as spread
+        if (warmup) { release(); once() }
+        statsOfN(iters)(once())
       } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
     // Warmup: exercise codegen, shuffle machinery, and every table's footer.
@@ -113,7 +118,7 @@ object Bench {
     val topNames = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(10).map(_._1).toSet
     val results = firstPass.map { case (k, v) =>
-      if (topNames(k)) k -> runToNoop(k, TopIters) else k -> v
+      if (topNames(k)) k -> runToNoop(k, TopIters, warmup = true) else k -> v
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
