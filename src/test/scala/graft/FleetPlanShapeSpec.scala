@@ -63,4 +63,37 @@ class FleetPlanShapeSpec extends SparkSpecBase {
     assert(graft.plans.PlanGate.audit("fixture_udf",
       emb.select(f(col("vec_id")))).exists(_.kind == "scala-udf"))
   }
+
+  test("the gate's build-side rule follows the join type") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    val oneRow = emb.agg(max(col("vec_id")).as("mx")) // maxRows = 1
+    def kinds(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.PlanGate.audit("fixture_jt", df).map(_.kind)
+
+    // non-equi LEFT join: only the RIGHT side can build — a bounded
+    // LEFT side must NOT excuse it
+    val leftBoundedWrongSide =
+      oneRow.join(emb, col("mx") =!= col("vec_id"), "left")
+    assert(kinds(leftBoundedWrongSide).contains("nonequi-join-unbounded"),
+      "left-outer with only the LEFT side bounded must still flag")
+    val leftOk = emb.join(oneRow, col("mx") =!= col("vec_id"), "left")
+    assert(kinds(leftOk).isEmpty, "left-outer with bounded RIGHT side is fine")
+
+    // non-equi LEFT SEMI follows the same rule
+    val semiOk = emb.join(oneRow, col("mx") =!= col("vec_id"), "left_semi")
+    assert(kinds(semiOk).isEmpty)
+
+    // the 1-row scalar crossJoin idiom stays clean without any hint
+    assert(kinds(emb.crossJoin(oneRow)).isEmpty,
+      "1-row aggregate fan-out must pass on maxRows alone")
+
+    // an equi-key conjunct makes any extra non-equi predicate fine
+    val equiPlus = emb.as("a").join(emb.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    assert(kinds(equiPlus).isEmpty,
+      "equi-key + range residual plans as a hash join — never BNLJ")
+  }
 }
