@@ -133,6 +133,42 @@ class CheckpointRecoverySpec extends SparkSpecBase {
     } finally rmTree(base)
   }
 
+  test("q143 DAU recovery holds on the RocksDB state store (the at-scale backend)") {
+    // the default HDFSBackedStateStoreProvider keeps state on the heap;
+    // a 1000-executor deployment runs RocksDB — re-certify the
+    // cold-stop/restart path on the production backend (also exercises
+    // RocksDB's own checkpoint/changelog recovery format)
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_ckpt_rocks")
+    try {
+      val (srcA, outA, ckptA) = (base.resolve("srcA"), base.resolve("outA"),
+        base.resolve("ckptA"))
+      val (srcB, outB, ckptB) = (base.resolve("srcB"), base.resolve("outB"),
+        base.resolve("ckptB"))
+      Files.createDirectory(srcA); Files.createDirectory(srcB)
+      eventChunks.zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcA, s"chunk_$i.parquet") }
+      runDau(srcA, outA, ckptA, drain = true)
+      eventChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcB, s"chunk_$i.parquet") }
+      runDau(srcB, outB, ckptB, drain = false, coldAfter = 1L)
+      eventChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+        dropChunk(c, srcB, s"chunk_${i + 2}.parquet") }
+      runDau(srcB, outB, ckptB, drain = true)
+      val (a, b) = (ordered(outA), ordered(outB))
+      assert(a.nonEmpty && b == a,
+        s"RocksDB recovery diverged: uninterrupted=${a.size}, recovered=${b.size}")
+    } finally {
+      rmTree(base)
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("q171 conversion funnel: EVENT-TIME TIMEOUT timers survive a cold restart") {
     // distinct recovery path from the DAU/LSH tests: the funnel's keyed
     // state arms event-time timeouts (signup + window), and those TIMERS
