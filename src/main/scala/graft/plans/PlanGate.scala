@@ -142,9 +142,23 @@ object PlanGate {
             s"leftMax=${j.left.maxRows} rightMax=${j.right.maxRows} hint=${j.hint} — " +
             "at scale this is a BNLJ/cartesian with an unbounded build side")
 
-      case w: Window if w.partitionSpec.isEmpty && !w.child.maxRows.exists(_ <= BoundCap) =>
+      // a partitionSpec of only foldable expressions (lit(1), "x") is a
+      // global window in disguise — every row hashes to one partition
+      case w: Window if w.partitionSpec.forall(_.foldable) &&
+          !w.child.maxRows.exists(_ <= BoundCap) =>
         out += Violation(name, "global-window",
-          s"partition-less window over unbounded input: ${w.windowExpressions.map(_.sql).take(2)}")
+          s"partition-less (or constant-partitioned) window over unbounded " +
+            s"input: ${w.windowExpressions.map(_.sql).take(2)}")
+
+      case r: Repartition if r.numPartitions == 1 &&
+          !r.child.maxRows.exists(_ <= BoundCap) =>
+        out += Violation(name, "single-partition",
+          "repartition/coalesce to ONE partition over unbounded input — " +
+            "a single-task funnel")
+      case r: RepartitionByExpression if r.optNumPartitions.contains(1) &&
+          !r.child.maxRows.exists(_ <= BoundCap) =>
+        out += Violation(name, "single-partition",
+          "repartitionByExpression(1) over unbounded input — a single-task funnel")
 
       case n if ObjectNodeNames.contains(n.nodeName) &&
           !ObjectNodeAllow.keys.exists(name.startsWith) =>

@@ -64,6 +64,25 @@ class FleetPlanShapeSpec extends SparkSpecBase {
       emb.select(f(col("vec_id")))).exists(_.kind == "scala-udf"))
   }
 
+  test("the gate flags disguised global windows and single-partition funnels") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    // constant partition spec = every row in one task, same as no spec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("vec_id"))
+    assert(graft.plans.PlanGate.audit("fixture_constw",
+      emb.withColumn("rn", row_number().over(w)))
+      .exists(_.kind == "global-window"))
+    assert(graft.plans.PlanGate.audit("fixture_coalesce1", emb.coalesce(1))
+      .exists(_.kind == "single-partition"))
+    assert(graft.plans.PlanGate.audit("fixture_repart1", emb.repartition(1))
+      .exists(_.kind == "single-partition"))
+    // bounded input may funnel: a 1-row aggregate coalesced is fine
+    assert(graft.plans.PlanGate.audit("fixture_coalesce_bounded",
+      emb.agg(max(col("vec_id"))).coalesce(1)).isEmpty)
+  }
+
   test("the gate's build-side rule follows the join type") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
