@@ -30,12 +30,29 @@ import org.apache.spark.sql.functions._
   *    at n=[[TopIters]] and their [min, median, max] replaced (round-9
   *    verdict task #6: the graph/overlap tail dominates the artifact's
   *    spread; 5 samples there make round-over-round regressions
-  *    attributable without paying 5× across all ~284 queries).
+  *    attributable without paying 5× across all ~284 queries). A failed
+  *    re-measure (negative sentinel) falls back to the first-pass stats
+  *    instead of erasing a valid measurement (round-10 advice);
+  *  - DELTA-TRIGGERED re-measure (round-10 verdict task #2): queries whose
+  *    first-pass median moved >1.5× in either direction vs the previous
+  *    round's `bench_out.json` (and whose larger side is ≥0.5 s — below
+  *    that, ±2× swing is the known noise floor, not a signal) get the same
+  *    n=[[TopIters]]+discarded-warmup treatment even when they sit below
+  *    the top-10 cutoff, and are listed under "movers" with their previous
+  *    medians — so an apparent regression always carries spread evidence
+  *    in the artifact that flagged it;
+  *  - queries that replay a session memo after the first consumer computes
+  *    (the q42 cluster family) are listed under "memoized" (round-10
+  *    verdict task #4): their per-query numbers time a ≤90-row
+  *    LocalRelation replay, not the clustering.
   */
 object Bench {
 
   val Iters = 3
   val TopIters = 5
+  /** Pipeline phases sample count — same n + discarded-warmup pattern as
+    * the top-10 queries (round-10 verdict task #1). */
+  val PipeIters = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,12 +120,50 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case _: Throwable => }
 
+    // Previous round's full artifact, read BEFORE this run overwrites it —
+    // the reference point for delta-triggered re-measure.
+    val prevMedians: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      if (java.nio.file.Files.exists(p)) {
+        import org.json4s._
+        val parsed = jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        // only comparable when the prior artifact ran the SAME sf dir —
+        // a cross-sf "delta" would flag the whole fleet as movers
+        val sameSf = parsed \ "sf" match {
+          case JString(s) => s == sfDir
+          case _ => false
+        }
+        if (!sameSf) Map.empty
+        else parsed \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
+    /** Pipeline-phase measurement: identical release/GC discipline to the
+      * top-10 query re-measure — System.gc, a DISCARDED warmup execution,
+      * then n=PipeIters timed runs (round-10 verdict task #1: the r10
+      * `full` number ran once in the coldest slot and came out 5.6× its
+      * phase sum with nothing in the artifact to attribute the residual).
+      */
+    def pipeStats(f: => Unit): (Double, Double, Double) = {
+      System.gc()
+      release(); f // discarded warmup
+      statsOfN(PipeIters)(f)
+    }
+
     // Fresh-session position for the end-to-end pipeline (round-5 driver
     // artifact measured it LAST at 105.8 s vs 9.8 s in r4 — session decay,
     // not a plan change; the code path was refactor-only that round).
     val none = (-1.0, -1.0, -1.0)
-    val pipeline = try pipelineBench(spark, statsOf)
-      catch { case _: Throwable => PipelinePhases(none, none, none) }
+    val pipeline = try pipelineBench(spark, pipeStats)
+      catch { case _: Throwable => PipelinePhases(none, none, none, none) }
     release()
     val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> runToNoop(name)
@@ -117,8 +172,19 @@ object Bench {
     // replacement stats supersede the first pass in every artifact field
     val topNames = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(10).map(_._1).toSet
+    // delta trigger: >1.5× move either way vs the previous artifact, with
+    // the larger side ≥0.5 s (the sub-half-second tier swings ±2× as pure
+    // noise; flagging it would re-measure dozens of queries for nothing)
+    val moverNames = firstPass.collect { case (k, v)
+        if !topNames(k) && v._2 >= 0 && prevMedians.get(k).exists(p =>
+          p > 0 && math.max(p, v._2) >= 0.5 &&
+          (v._2 / p > 1.5 || p / v._2 > 1.5)) => k }.toSet
     val results = firstPass.map { case (k, v) =>
-      if (topNames(k)) k -> runToNoop(k, TopIters, warmup = true) else k -> v
+      if (topNames(k) || moverNames(k)) {
+        val r = runToNoop(k, TopIters, warmup = true)
+        // a crashed re-measure must not erase a valid first-pass result
+        k -> (if (r._2 >= 0) r else v)
+      } else k -> v
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
@@ -140,11 +206,17 @@ object Bench {
       .mkString("{", ",", "}")
     val slow10Spread = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val moversJson = moverNames.toSeq.sorted
+      .map(k => "\"" + k + "\":" + prevMedians(k)).mkString("{", ",", "}")
+    val memoJson = graft.queries.ExtensionQueries2.memoizedQueries
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
+      s""""movers":$moversJson,"memoized":$memoJson,""" +
       s""""pipeline_1m_sec":${pipeline.full._2},"pipeline_1m_spread":${fmt(pipeline.full)},""" +
-      s""""pipeline_phases":{"csv_scan":${fmt(pipeline.csvScan)},""" +
+      s""""pipeline_n":$PipeIters,"pipeline_phases":{"csv_scan":${fmt(pipeline.csvScan)},""" +
       s""""merge_from_parquet":${fmt(pipeline.mergeFromParquet)},""" +
+      s""""canary":${fmt(pipeline.canary)},""" +
       s""""full":${fmt(pipeline.full)}},"sf":"$sfDir"}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,""" +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
@@ -167,15 +239,25 @@ object Bench {
     *    pure ingest I/O + parse, no merge logic;
     *  - `mergeFromParquet`: the SAME merge plan consuming parquet-staged
     *    copies of the raw frames — plan cost with CSV I/O removed;
+    *  - `canary`: a plain schema-declared CSV scan of a pre-staged
+    *    CONSTANT file (2M rows, fixed bytes, no pipeline code) — a
+    *    fixed-cost I/O yardstick. Its cost is invariant across rounds by
+    *    construction, so when the driver host is I/O-contended the
+    *    contention shows up HERE as a number, and a slow `full` with a
+    *    normal canary is attributable to the plan — the artifact decides,
+    *    not post-hoc forensics (round-10 verdict task #1);
     *  - `full`: CSV ingest → merge end-to-end (reported as
     *    "pipeline_1m_sec", unchanged definition).
-    * If `full ≈ csvScan + mergeFromParquet` and `csvScan` dominates in an
-    * environment, the number is I/O-bound there by construction; if
-    * `mergeFromParquet` is slow, the plan is the problem.
+    * All four phases are measured ADJACENTLY with the same discipline
+    * (System.gc + released state + discarded warmup + n=[[PipeIters]]),
+    * so `full ≈ csvScan + mergeFromParquet` is a checkable contract: if
+    * it breaks with a normal canary, the plan regressed; if the canary is
+    * inflated too, the host was contended.
     */
   final case class PipelinePhases(
       csvScan: (Double, Double, Double),
       mergeFromParquet: (Double, Double, Double),
+      canary: (Double, Double, Double),
       full: (Double, Double, Double))
 
   /** The reference's OWN workload at scale: the full three-source
@@ -185,8 +267,9 @@ object Bench {
     * pipeline on ~20-row demo files; this measures the engine running it
     * at ~50,000× that size (reported as "pipeline_1m_sec"). CSVs are
     * generated once per bench run into a temp dir, deterministically.
-    * Full end-to-end runs FIRST (coldest position — matches the headline
-    * number's definition in earlier rounds), then the attribution phases.
+    * All phases (incl. the canary's constant file) are staged untimed
+    * first, then full / csvScan / mergeFromParquet / canary measure
+    * back-to-back under the caller's uniform discipline.
     */
   def pipelineBench(spark: SparkSession, statsOf: (=> Unit) => (Double, Double, Double),
       n: Long = 1000000L): PipelinePhases = {
@@ -218,25 +301,32 @@ object Bench {
         (pmod(col("id"), lit(900)) / 10.0).as("Average engagement time"),
         pmod(col("id"), lit(7)).as("Conversions"))
       .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/ga4")
+    // canary: fixed-size, fixed-content, pipeline-code-free CSV (~60 MB)
+    spark.range(2 * n).select(
+        concat(lit("row"), col("id"), lit("-"), pmod(col("id") * 2654435761L, lit(1000003L))).as("ca"),
+        pmod(col("id"), lit(9973)).as("cb"),
+        (pmod(col("id"), lit(100000)) / 7.0).as("cc"))
+      .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/canary")
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     try {
-      // (c) headline: CSV ingest → merge, coldest position
-      val full = statsOf { noop(Pipeline.merged(spark, cfg)) }
-      // (a) ingest-only: scan all three raw CSVs through the robust loader
+      // stage the parquet copies for the plan-only phase UNTIMED, before
+      // any measurement, so every timed phase runs back-to-back
       val sources = Seq(cfg.frogPath, cfg.gscPath, cfg.ga4Path)
-      val csvScan = statsOf {
-        sources.foreach(p => noop(graft.ingest.Sources.loadTable(spark, p)))
-      }
-      // (b) plan-only: stage the raw frames to parquet once (untimed), then
-      // run the identical merge plan from the staged copies
       sources.foreach { p =>
         graft.ingest.Sources.loadTable(spark, p)
           .write.mode("overwrite").parquet(s"${p}_pq")
       }
+      // (c) headline: CSV ingest → merge
+      val full = statsOf { noop(Pipeline.merged(spark, cfg)) }
+      // (a) ingest-only: scan all three raw CSVs through the robust loader
+      val csvScan = statsOf {
+        sources.foreach(p => noop(graft.ingest.Sources.loadTable(spark, p)))
+      }
+      // (b) plan-only: the identical merge plan from the staged copies
       // The staged parquet is tiny (~40 MB per source compressed) — at the
       // default 128 MB maxPartitionBytes the whole scan packs into ONE split
       // and the map side serializes, which is a small-file artifact, not the
@@ -250,7 +340,13 @@ object Bench {
           Pipeline.loadGscFrom(spark.read.parquet(s"${cfg.gscPath}_pq"), cfg),
           Pipeline.loadGa4From(spark.read.parquet(s"${cfg.ga4Path}_pq"), cfg)))
       } finally spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
-      PipelinePhases(csvScan, mergeFromParquet, full)
+      // (d) I/O canary: schema-declared scan of the pre-staged constant
+      // file — no inference pass, no pipeline code; pure disk+parse cost
+      val canary = statsOf {
+        noop(spark.read.schema("ca STRING, cb BIGINT, cc DOUBLE")
+          .option("header", "true").csv(s"$dir/canary"))
+      }
+      PipelinePhases(csvScan, mergeFromParquet, canary, full)
     } finally { // ~3×1M-row temp CSVs + parquet stages; don't leak them past the measurement
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)

@@ -61,9 +61,13 @@ object PlanGate {
 
   /** Bounded build side cap: every legitimate bounded side in the engine
     * is a 1-row scalar, a ≤4-row grid, or a ≤10k trained/probe set; a
-    * "bound" beyond this is a smell even if structurally constant.
+    * "bound" beyond this is a smell even if structurally constant — a
+    * structurally-bounded 1M-row build still means 1M-row nested-loop
+    * probes (or a 1M-row single window partition) at every scale.
+    * 100k gives the legitimate ≤10k sides a 10× margin while tripping
+    * anything that could dominate a task.
     */
-  private val BoundCap = 10_000_000L
+  private val BoundCap = 100_000L
 
   /** Per-query object-node allowlist (beyond the globally allowed
     * `AppendColumns`): query name → justification. Matched by prefix on
@@ -172,6 +176,86 @@ object PlanGate {
     if (udfs.nonEmpty)
       out += Violation(name, "scala-udf", s"ScalaUDF in nodes: ${udfs.distinct}")
 
+    out.result()
+  }
+
+  /** Streaming allowlist (the [[ObjectNodeAllow]] discipline for state):
+    * pipeline name → written justification for keyed state that expires
+    * via structure rather than watermark/timeout. Everything here holds
+    * state bounded by KEY CARDINALITY or a FIXED per-key size, not by
+    * history length — the claims the specs pin with numRowsTotal probes.
+    */
+  private[graft] val StreamStateAllow: Map[String, String] = Map(
+    "s_milestones" -> ("spendMilestones: state = one running long per " +
+      "user — bounded by key cardinality, not history"),
+    "s_zscore" -> ("rollingZscoreAlerts: state = last ≤window cents per " +
+      "event_type (5 keys) — O(window) per key by construction"),
+    "s_cusum" -> ("cusumAlerts: state = a few longs per event_type — " +
+      "bounded by key cardinality"),
+    "s_distinct_sketch" -> ("runningDistinctSketch: state = one fixed-size " +
+      "HLL register array per bucket (fixed bucket count)"),
+    "s_lsh_admission" -> ("LshAdmit: band-key state bounded by bands × " +
+      "admitted index size — the admission index IS the product")
+  )
+
+  /** Streaming-plan audit (round-10 verdict task #7): the batch gate's
+    * classes don't cover what kills a STREAMING pipeline at scale —
+    * state that grows without a finalization signal. Runs on the
+    * ANALYZED plan (streaming frames have no optimized plan until a
+    * sink starts) and checks:
+    *
+    *   1. `stream-global-agg` — an ungrouped aggregate over a stream:
+    *      one reducer and one ever-updating state row; at scale the
+    *      whole stream funnels through a single task forever.
+    *   2. `stateful-no-watermark` — a streaming aggregate, dedup, or
+    *      stream-stream join with NO `EventTimeWatermark` anywhere in
+    *      the plan: state never finalizes and never expires.
+    *   3. `keyed-state-no-timeout` — `flatMapGroupsWithState` with
+    *      `NoTimeout` outside [[StreamStateAllow]]: nothing ever
+    *      removes a key's state, so only a written structural bound
+    *      (key cardinality / fixed per-key size) makes it legal.
+    */
+  def auditStream(name: String, df: DataFrame): Seq[Violation] = {
+    val plan = df.queryExecution.analyzed
+    val out = Seq.newBuilder[Violation]
+    if (!plan.isStreaming)
+      out += Violation(name, "not-streaming",
+        "auditStream called on a batch plan — register the streaming form")
+    else {
+      val hasWatermark = plan.exists {
+        case _: EventTimeWatermark => true
+        case _ => false
+      }
+      val allowed = StreamStateAllow.keys.exists(name.startsWith)
+      plan.foreach {
+        case a: Aggregate if a.isStreaming =>
+          if (a.groupingExpressions.isEmpty)
+            out += Violation(name, "stream-global-agg",
+              "ungrouped aggregate over a stream — one reducer, one " +
+                "ever-updating global state row")
+          else if (!hasWatermark && !allowed)
+            out += Violation(name, "stateful-no-watermark",
+              s"streaming aggregate on ${a.groupingExpressions.size} keys " +
+                "with no event-time watermark — window state never " +
+                "finalizes or expires")
+        case d: Deduplicate if d.isStreaming && !hasWatermark && !allowed =>
+          out += Violation(name, "stateful-no-watermark",
+            s"streaming dropDuplicates on ${d.keys.size} keys with no " +
+              "watermark — seen-key state grows with the stream forever")
+        case j: Join if j.left.isStreaming && j.right.isStreaming && !hasWatermark =>
+          out += Violation(name, "stateful-no-watermark",
+            "stream-stream join with no watermark — both join buffers " +
+              "grow without bound")
+        case f: FlatMapGroupsWithState
+            if f.isStreaming && !allowed &&
+              f.timeout == org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout() =>
+          out += Violation(name, "keyed-state-no-timeout",
+            "flatMapGroupsWithState with NoTimeout outside the " +
+              "StreamStateAllow list — state for a key is never removed; " +
+              "add a timeout or a written structural bound")
+        case _ =>
+      }
+    }
     out.result()
   }
 }

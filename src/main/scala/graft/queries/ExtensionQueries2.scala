@@ -323,34 +323,59 @@ object ExtensionQueries2 {
       .orderBy(col("id"))
   }
 
-  /** Session-memoized q42 cluster frame (round-9 verdict task #3): eight
-    * queries audit the SAME clustering (q42 q142 q166 q199 q208 q234
-    * q248 q271) and each re-derived it from scratch — ~18 s of the sf0.1
-    * bench spent re-running one computation. The frame is ≤90 rows at
-    * ANY corpus size (the q42 corpus is doc_id < 30, ×3 variants — a
-    * plan-constant fixture, not a data volume), so the memo holds the
-    * COLLECTED rows and replays them as a LocalRelation: a ≤90-row
-    * driver collect within the repo's bounded-collect discipline, immune
-    * to cache/persisted-RDD sweeps (Bench's release() unpersists every
-    * RDD between runs — a memoized localCheckpoint would be orphaned
-    * mid-session), and `maxRows`-bounded for the PlanGate audit. Every
-    * consumer stays independently runnable (whichever runs first
-    * computes) and each query's DuckDB mirror still re-derives the full
-    * CTE chain, so results remain independently oracle-checked. Session
-    * keys are weak: a stopped test session's entry is collectable.
+  /** Session-memoized q42 cluster rows (round-9 verdict task #3): eight
+    * queries ([[memoizedQueries]]) audit the SAME clustering and each
+    * re-derived it from scratch — ~18 s of the sf0.1 bench spent
+    * re-running one computation. The frame is ≤90 rows at ANY corpus
+    * size (the q42 corpus is doc_id < 30, ×3 variants — a plan-constant
+    * fixture, not a data volume), so the memo holds the COLLECTED rows +
+    * schema and each call rebuilds a fresh LocalRelation from them: a
+    * ≤90-row driver collect within the repo's bounded-collect
+    * discipline, immune to cache/persisted-RDD sweeps (Bench's
+    * release() unpersists every RDD between runs — a memoized
+    * localCheckpoint would be orphaned mid-session), and
+    * `maxRows`-bounded for the PlanGate audit. Every consumer stays
+    * independently runnable (whichever runs first computes) and each
+    * query's DuckDB mirror still re-derives the full CTE chain, so
+    * results remain independently oracle-checked.
+    *
+    * Cache-entry lifecycle (round-10 advice): the value holds only Rows
+    * and a StructType — neither references the SparkSession key — so the
+    * WeakHashMap's weak keys genuinely collect once a test session is
+    * stopped and dropped. Entries are keyed on (dir, mtime of
+    * `documents.parquet`), so a rewrite of the data under a reused path
+    * (temp-dir reuse, regenerated testdata) misses the stale entry
+    * instead of replaying it; [[invalidateClusterMemo]] is the explicit
+    * hook for callers that rewrite in place without an mtime tick.
     */
   private val clusterMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[
+      (String, Long), (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]]())
 
-  def q42ClustersStaged(s: SparkSession, dir: String): DataFrame =
-    clusterMemo
+  /** Registered names of the queries that replay the memo after the first
+    * consumer computes — Bench marks these in the artifact so a reader
+    * doesn't mistake a ≤90-row replay time for the clustering's cost.
+    */
+  val memoizedQueries: Seq[String] = Seq(
+    "q42_dedup_clusters", "q142_canonical_docs", "q166_cluster_histogram",
+    "q199_neardup_diff", "q208_dedup_waterfall", "q234_cluster_capping",
+    "q248_cluster_drift", "q271_cross_source_dups")
+
+  /** Drop every memoized cluster entry (all sessions). For callers that
+    * rewrite data under an already-memoized path in place.
+    */
+  def invalidateClusterMemo(): Unit = clusterMemo.clear()
+
+  def q42ClustersStaged(s: SparkSession, dir: String): DataFrame = {
+    val mtime = new java.io.File(dir, "documents.parquet").lastModified()
+    val (rows, schema) = clusterMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(dir, {
+      .getOrElseUpdate((dir, mtime), {
         val computed = q42_dedup_clusters(s, dir)
-        val rows = computed.collect() // ≤90 rows by construction (see above)
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), computed.schema)
+        (computed.collect(), computed.schema) // ≤90 rows by construction (see above)
       })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** The q42 CTE chain (corpus → shingles → pairs → min-label closure),
     * WITHOUT a final SELECT — shared by the q42 mirror and q142's
