@@ -26,6 +26,10 @@ object ExtensionQueries10 {
   def bpeModel(s: SparkSession, dir: String): Bpe.Model =
     bpeCache.computeIfAbsent(dir, d => Bpe.train(Tables.documents(s, d), "text"))
 
+  /** Trained-cache view for the q286 persisted==trained mirror. */
+  private[queries] def trainedBpe(dir: String): Option[Bpe.Model] =
+    Option(bpeCache.get(dir))
+
   // --------------------------------------------------------------- q112
 
   /** q112: real BPE token counts per document — pre-tokenizer segments

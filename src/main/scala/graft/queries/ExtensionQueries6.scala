@@ -343,13 +343,22 @@ object ExtensionQueries6 {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ext.PqIndex.Model]()
 
-  private def ivfModel(s: SparkSession, dir: String): graft.ext.IvfIndex.Model =
+  private[graft] def ivfModel(s: SparkSession, dir: String): graft.ext.IvfIndex.Model =
     ivfCache.computeIfAbsent(dir, d =>
       graft.ext.IvfIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16))
 
-  private def pqModel(s: SparkSession, dir: String): graft.ext.PqIndex.Model =
+  private[graft] def pqModel(s: SparkSession, dir: String): graft.ext.PqIndex.Model =
     pqCache.computeIfAbsent(dir, d =>
       graft.ext.PqIndex.train(Tables.embeddings(s, d), "vec_id", "embedding", m = 16))
+
+  /** Trained-cache views for the persisted==trained mirrors (q285): the
+    * oracle side embeds the TRAINED literals while the Spark side runs
+    * the saved+loaded model, so a store corruption reds the row.
+    */
+  private[queries] def trainedIvf(dir: String): Option[graft.ext.IvfIndex.Model] =
+    Option(ivfCache.get(dir))
+  private[queries] def trainedPq(dir: String): Option[graft.ext.PqIndex.Model] =
+    Option(pqCache.get(dir))
 
   /** q93: IVF-PQ approximate top-k with exact rerank — the
     * compressed-index completion of the ANN suite (q30 brute, q31 LSH,

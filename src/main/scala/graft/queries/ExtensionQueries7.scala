@@ -143,7 +143,7 @@ object ExtensionQueries7 {
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, PcaProject.Model]()
 
-  private[queries] def pcaModel(s: SparkSession, dir: String): PcaProject.Model =
+  private[graft] def pcaModel(s: SparkSession, dir: String): PcaProject.Model =
     pcaCache.computeIfAbsent(dir,
       d => PcaProject.train(Tables.embeddings(s, d), "vec_id", "embedding", k = PcaK))
 
@@ -158,22 +158,33 @@ object ExtensionQueries7 {
     * training/eigensolver/sign regression moves the coordinates AND the
     * boolean.
     */
-  def q100_pca_project(s: SparkSession, dir: String): DataFrame = {
-    val model = pcaModel(s, dir)
+  def q100_pca_project(s: SparkSession, dir: String): DataFrame =
+    q100From(s, dir, pcaModel(s, dir))
+
+  /** q100's plan for a GIVEN model — shared with q287, which runs it from
+    * a saved+loaded model against the trained model's mirror.
+    */
+  private[queries] def q100From(s: SparkSession, dir: String,
+      model: PcaProject.Model): DataFrame = {
+    val k = model.components.length
     val e = Tables.embeddings(s, dir)
     val base = e.select(col("vec_id"),
         Similarity.toDouble(col("embedding")).as("v"))
       .select(col("vec_id") +: PcaProject.projections(model, col("v")) :+
         PcaProject.centeredSq(model, col("v")).as("__csq"): _*)
       .transform(graft.core.CacheScope.scoped)
-    val projSq = (0 until PcaK).map(j => col(s"p$j") * col(s"p$j"))
+    val projSq = (0 until k).map(j => col(s"p$j") * col(s"p$j"))
       .reduce(_ + _)
     val stats = base.agg(sum(projSq).as("__proj_ss"), sum(col("__csq")).as("__tot_ss"))
     base.crossJoin(broadcast(stats)) // 1-row scalar fan-out
-      .select(col("vec_id") +: (0 until PcaK).map(j => col(s"p$j")) :+
+      .select(col("vec_id") +: (0 until k).map(j => col(s"p$j")) :+
         (col("__proj_ss") >= lit(PcaVarFloor) * col("__tot_ss")).as("pca_var_ok"): _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Trained-cache view for the q287 persisted==trained mirror. */
+  private[queries] def trainedPca(dir: String): Option[PcaProject.Model] =
+    Option(pcaCache.get(dir))
 
   /** DuckDB mirror for a trained model: mean + components as DOUBLE[]
     * literals (dLit exponent form — the round-5 decimal-unification trap),
