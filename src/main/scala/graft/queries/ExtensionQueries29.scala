@@ -33,16 +33,18 @@ object ExtensionQueries29 {
     * statistic in micro-units), and the 5% verdict
     * `N·(ad−bc)²·10⁶ > 3841459·R₁·R₂·C₁·C₂` (χ²₍₀.₀₅,1₎ = 3.841459).
     *
-    * Exactness: both sides of the verdict and the statistic's
-    * numerator/denominator are computed in DECIMAL(38,0) — Spark decimal
-    * arithmetic vs DuckDB HUGEINT, integer-exact on both engines to
-    * ~10⁸ users per cell (the 64-bit ceiling would already crack at
-    * ~10⁵). `div` truncates toward zero on both (all quantities
-    * non-negative).
+    * Exactness: the cells fold distributed (map-side combined 1-row
+    * aggregate); the chi-square arithmetic then runs at the DRIVER in
+    * BigInt over the four collected scalars ([[chiSquareExact]]) — exact
+    * at ANY magnitude, matching DuckDB's HUGEINT→unbounded path with no
+    * ceiling. (Through round 10 this tail was chained DECIMAL(20,0)
+    * products, which Spark caps at DECIMAL(38,0) — NULL past num ≈ 1e38,
+    * i.e. ~3·10⁸ rows per cell. A 1-row, 4-scalar driver fold removes
+    * the cliff at zero data-plane cost; round-10 verdict task #6.)
     *
     * Scale shape: one events scan folds to per-user (variant, bought);
     * the table is a single 1-row aggregate (map-side combined); the
-    * decimal arithmetic is a 1-row projection. Nothing shuffles but the
+    * BigInt arithmetic touches four longs. Nothing shuffles but the
     * user-keyed fold.
     */
   def q181_ab_chisquare(s: SparkSession, dir: String): DataFrame = {
@@ -51,7 +53,7 @@ object ExtensionQueries29 {
       .agg(when(sum(when(col("event_type") === "purchase", 1L)
         .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("bought"))
       .select((col("user_id") % 2).as("variant"), col("bought"))
-    users.agg(
+    chiSquareExact(s, users.agg(
       sum(when(col("variant") === 0 && col("bought") === 1, 1L)
         .otherwise(0L)).as("a"),
       sum(when(col("variant") === 0 && col("bought") === 0, 1L)
@@ -59,19 +61,37 @@ object ExtensionQueries29 {
       sum(when(col("variant") === 1 && col("bought") === 1, 1L)
         .otherwise(0L)).as("c"),
       sum(when(col("variant") === 1 && col("bought") === 0, 1L)
-        .otherwise(0L)).as("d"))
-      .select(col("a"), col("b"), col("c"), col("d"),
-        expr("""CAST((a + b + c + d) AS DECIMAL(20,0))
-                * CAST(a*d - b*c AS DECIMAL(20,0))
-                * CAST(a*d - b*c AS DECIMAL(20,0))
-                * CAST(1000000 AS DECIMAL(20,0))""").as("num"),
-        expr("""CAST((a+b) AS DECIMAL(20,0)) * CAST((c+d) AS DECIMAL(20,0))
-                * CAST((a+c) AS DECIMAL(20,0)) * CAST((b+d) AS DECIMAL(20,0))""")
-          .as("den"))
-      .select(col("a"), col("b"), col("c"), col("d"),
-        expr("num div den").as("chi2_micro"),
-        (col("num") > col("den") * expr("CAST(3841459 AS DECIMAL(20,0))"))
-          .as("significant"))
+        .otherwise(0L)).as("d")))
+  }
+
+  /** Exact 2×2 Pearson chi-square over an (a, b, c, d) 1-row cell frame:
+    * collects the four longs (a bounded 1-row collect — the cells are a
+    * global aggregate by construction) and computes
+    * `chi2_micro = N·(ad−bc)²·10⁶ div margins` and the 5% verdict in
+    * BigInt at the driver. Truncating division toward zero on
+    * non-negative quantities ≡ DuckDB `//`; a degenerate zero margin
+    * yields NULL chi2 (never hit on real data — a margin of zero means a
+    * constant factor). Shared by q181 and q280.
+    */
+  private[graft] def chiSquareExact(s: SparkSession, cells: DataFrame): DataFrame = {
+    val r = cells.collect()(0) // 1 row by construction (global aggregate)
+    val Seq(a, b, c, d) = (0 to 3).map(r.getLong)
+    def bi(x: Long) = BigInt(x)
+    val n = bi(a) + bi(b) + bi(c) + bi(d)
+    val det = bi(a) * bi(d) - bi(b) * bi(c)
+    val num = n * det * det * 1000000
+    val den = (bi(a) + bi(b)) * (bi(c) + bi(d)) * (bi(a) + bi(c)) * (bi(b) + bi(d))
+    val chi2: java.lang.Long =
+      if (den == 0) null else java.lang.Long.valueOf((num / den).longValue)
+    val signif = num > den * 3841459
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("c", LongType), StructField("d", LongType),
+      StructField("chi2_micro", LongType),
+      StructField("significant", BooleanType)))
+    s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(a, b, c, d, chi2, signif)), schema)
   }
 
   val q181Sql: String =

@@ -100,24 +100,17 @@ object ExtensionQueries62 {
     * links the pricing lever (q258) to the quality alarm (q256) with a
     * significance answer instead of two dashboards.
     *
-    * Scale shape: one lineitem pass → a 1-row cell fold → a 1-row
-    * decimal projection.
-    *
-    * Scale BOUND (documented, like q181): Spark caps the chained
-    * DECIMAL(20,0) products at DECIMAL(38,0), so `num` (≈ n·(ad−bc)²·1e6)
-    * stays exact only while it is < 1e38 — safe through ~1e8 rows per
-    * cell (n=4e8: num ≤ 4e8·(4e16)²·1e6 needs n·max|ad−bc|² bounded;
-    * concretely exact for corpora ≤ ~3·10⁸ lines, i.e. any tested SF and
-    * ~sf100). Beyond that Spark's non-ANSI mode would yield NULL where
-    * DuckDB's HUGEINT→unbounded path stays exact; a deployment past that
-    * scale should fold the 1-row cells on the driver in BigInt (the fold
-    * is a 4-long scalar, not a data-plane cost).
+    * Scale shape: one lineitem pass → a 1-row cell fold → a 4-scalar
+    * driver BigInt fold ([[ExtensionQueries29.chiSquareExact]]) — exact
+    * at any magnitude, no DECIMAL(38,0) ceiling (round-10 verdict task
+    * #6: the previous chained-DECIMAL tail went NULL past num ≈ 1e38,
+    * ~3·10⁸ rows per cell, where DuckDB's HUGEINT stayed exact).
     */
   def q280_discount_return_interaction(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
       .select(when(col("l_discount") > 0, 1L).otherwise(0L).as("disc"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
-    l.agg(
+    ExtensionQueries29.chiSquareExact(s, l.agg(
         sum(when(col("disc") === 1 && col("ret") === 1, 1L).otherwise(0L))
           .as("a"),
         sum(when(col("disc") === 1 && col("ret") === 0, 1L).otherwise(0L))
@@ -125,19 +118,7 @@ object ExtensionQueries62 {
         sum(when(col("disc") === 0 && col("ret") === 1, 1L).otherwise(0L))
           .as("c"),
         sum(when(col("disc") === 0 && col("ret") === 0, 1L).otherwise(0L))
-          .as("d"))
-      .select(col("a"), col("b"), col("c"), col("d"),
-        expr("""CAST((a + b + c + d) AS DECIMAL(20,0))
-                * CAST(a*d - b*c AS DECIMAL(20,0))
-                * CAST(a*d - b*c AS DECIMAL(20,0))
-                * CAST(1000000 AS DECIMAL(20,0))""").as("num"),
-        expr("""CAST((a+b) AS DECIMAL(20,0)) * CAST((c+d) AS DECIMAL(20,0))
-                * CAST((a+c) AS DECIMAL(20,0)) * CAST((b+d) AS DECIMAL(20,0))""")
-          .as("den"))
-      .select(col("a"), col("b"), col("c"), col("d"),
-        expr("num div den").as("chi2_micro"),
-        (col("num") > col("den") * expr("CAST(3841459 AS DECIMAL(20,0))"))
-          .as("significant"))
+          .as("d")))
   }
 
   val q280Sql: String =

@@ -62,6 +62,24 @@ class ExtensionQueries62Spec extends SparkSpecBase {
     assert(r.getLong(4) == 0L && !r.getBoolean(5))
   }
 
+  test("chi-square stays exact past the DECIMAL(38,0) ceiling (planted >1e38 numerator)") {
+    import spark.implicits._
+    // billions per cell: num = n·(ad−bc)²·1e6 ≈ 1.75e53 — the round-10
+    // chained-DECIMAL tail returned NULL here; the BigInt fold must not
+    val (a, b, c, d) = (2000000000L, 1000000000L, 1000000000L, 3000000000L)
+    val r = graft.queries.ExtensionQueries29.chiSquareExact(spark,
+      Seq((a, b, c, d)).toDF("a", "b", "c", "d")).collect()(0)
+    // independent unbounded-integer replay of the statistic
+    def bi(x: Long) = BigInt(x)
+    val num = (bi(a) + bi(b) + bi(c) + bi(d)) *
+      (bi(a) * bi(d) - bi(b) * bi(c)).pow(2) * 1000000
+    val den = (bi(a) + bi(b)) * (bi(c) + bi(d)) * (bi(a) + bi(c)) * (bi(b) + bi(d))
+    assert(num > BigInt(10).pow(38), "fixture must actually cross the old ceiling")
+    assert(!r.isNullAt(4), "chi2 went NULL — the DECIMAL cliff is back")
+    assert(r.getLong(4) == (num / den).longValue)
+    assert(r.getBoolean(5) == (num > den * 3841459))
+  }
+
   // ---------------------------------------- q281 persistence
 
   test("q281: a monotone ramp is positively persistent; alternation is negative") {
