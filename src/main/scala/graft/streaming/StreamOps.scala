@@ -57,24 +57,33 @@ object StreamOps {
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Sliding-window variant. */
-  def slidingAgg(events: DataFrame, width: String, slide: String): DataFrame =
-    events.withColumn("event_ts", tsCol)
+  /** Sliding-window variant. `late = Some(bound)` is the production
+    * streaming shape (watermarked append — state finalizes); `None` is
+    * the batch twin / complete-mode form where the watermark would no-op.
+    */
+  def slidingAgg(events: DataFrame, width: String, slide: String,
+      late: Option[String] = None): DataFrame = {
+    val base = events.withColumn("event_ts", tsCol)
+    late.fold(base)(l => base.withWatermark("event_ts", l))
       .groupBy(window(col("event_ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+  }
 
   /** Session windows (gap-merged) per user — Spark's native session_window;
     * equivalence with the relational gaps-and-islands form (q21) is pinned
     * in StreamingSpec.
     */
-  def sessionAgg(events: DataFrame, gap: String): DataFrame =
-    events.withColumn("event_ts", tsCol)
+  def sessionAgg(events: DataFrame, gap: String,
+      late: Option[String] = None): DataFrame = {
+    val base = events.withColumn("event_ts", tsCol)
+    late.fold(base)(l => base.withWatermark("event_ts", l))
       .groupBy(session_window(col("event_ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
 
   /** Stream-static enrichment: each event joins the (broadcast) static
     * dimension — Spark's stateless stream-static join, the standard
@@ -83,14 +92,17 @@ object StreamOps {
     * engine; events missing a dimension row survive via left join. Batch
     * equivalence pinned in StreamingSpec; DuckDB oracle in q52.
     */
-  def enrichedAgg(events: DataFrame, dim: DataFrame, width: String): DataFrame =
-    events.withColumn("event_ts", tsCol)
+  def enrichedAgg(events: DataFrame, dim: DataFrame, width: String,
+      late: Option[String] = None): DataFrame = {
+    val base = events.withColumn("event_ts", tsCol)
+    late.fold(base)(l => base.withWatermark("event_ts", l))
       .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
       .groupBy(window(col("event_ts"), width).as("w"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("c_mktsegment").as("segment"),
         col("n"), col("sum_value"))
+  }
 
   /** Stream-stream time-interval self-join (SURVEY §2 I): attribute each
     * purchase to the same user's views in the preceding `lookbackMin`
@@ -553,6 +565,53 @@ object StreamOps {
       .groupBy(window(col("event_ts"), width).as("w"), col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("row"), col("bucket"), col("cnt"))
+
+  /** The gated streaming surface (round-10 verdict task #7): every
+    * production streaming shape this tier ships, built over a real
+    * file-stream source so [[graft.plans.PlanGate.auditStream]] can
+    * sweep the ANALYZED plans in CI (FleetPlanShapeSpec) — state
+    * operators present, watermark present where state grows with
+    * history, keyed NoTimeout state only behind a written structural
+    * bound. Names prefix-match `PlanGate.StreamStateAllow` for the
+    * keyed-state ops whose bound is structural rather than
+    * watermark-driven. The LSH delta rides a MemoryStream (plan-shape
+    * only, never started); its corpus side is a 1-row static frame —
+    * the audit reads structure, not data.
+    */
+  def gatedStreams(spark: SparkSession, sfDir: String): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = graft.core.Tables.toLongNanos(
+      spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet"))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val lshDelta = MemoryStream[(Long, Long, Array[Long])]
+      .toDF().toDF("doc_id", "us", "sig")
+    val lshCorpus = Seq((0L, Array.fill(64)(1L))).toDF("doc_id", "sig")
+    Seq(
+      "s_tumbling_late" -> tumblingAggLate(ev, "1 hour", "30 minutes"),
+      "s_sliding" -> slidingAgg(ev, "1 hour", "15 minutes", Some("30 minutes")),
+      "s_session" -> sessionAgg(ev, "30 minutes", Some("30 minutes")),
+      "s_enriched" -> enrichedAgg(ev, dim, "1 hour", Some("30 minutes")),
+      "s_attribution" -> purchaseAttribution(ev, 30, "30 minutes"),
+      "s_attribution_outer" -> purchaseAttribution(ev, 30, "30 minutes", "left_outer"),
+      "s_incident_join" -> incidentWindowJoin(ev),
+      "s_overlap_join" -> overlapWindowJoin(ev),
+      "s_event_window_left" -> eventWindowLeftJoin(ev),
+      "s_window_coverage" -> windowCoverageLeftJoin(ev),
+      "s_dedup" -> dedupStream(ev, "30 minutes"),
+      "s_dau" -> dailyActiveUsers(ev, "1 hour"),
+      "s_milestones" -> spendMilestones(ev, 10000L).toDF(),
+      "s_zscore" -> rollingZscoreAlerts(ev).toDF(),
+      "s_cusum" -> cusumAlerts(ev).toDF(),
+      "s_funnel" -> conversionFunnel(ev).toDF(),
+      "s_distinct_sketch" -> runningDistinctSketch(ev).toDF(),
+      "s_countmin" -> windowedCountMin(ev, "1 hour", "30 minutes", 4, 64),
+      "s_lsh_admission" -> graft.streaming.LshAdmit.admitStream(
+        lshDelta, lshCorpus, bands = 16, minEstJ = 0.4)
+    )
+  }
 
   /** Run a streaming transform over a parquet directory to completion via
     * the memory sink; returns the materialized result table.

@@ -115,4 +115,59 @@ class FleetPlanShapeSpec extends SparkSpecBase {
     assert(kinds(equiPlus).isEmpty,
       "equi-key + range residual plans as a hash join — never BNLJ")
   }
+
+  test("the full streaming surface passes the streaming state gate") {
+    val violations = graft.streaming.StreamOps.gatedStreams(spark, sf)
+      .flatMap { case (name, df) =>
+        try graft.plans.PlanGate.auditStream(name, df)
+        catch {
+          case e: Throwable =>
+            Seq(graft.plans.PlanGate.Violation(name, "build-error",
+              e.toString.linesIterator.next()))
+        }
+      }
+    assert(violations.isEmpty,
+      s"\n${violations.size} streaming state violations:\n" +
+        violations.mkString("\n") +
+        "\nAdd the missing watermark/timeout, or — only with a written " +
+        "structural bound — extend PlanGate.StreamStateAllow.")
+  }
+
+  test("the streaming gate rejects unbounded-state shapes (fixtures)") {
+    import org.apache.spark.sql.functions._
+    val schema = graft.streaming.StreamOps.EventsSchema
+    def freshStream = graft.core.Tables.toLongNanos(
+      spark.readStream.schema(spark.read
+          .parquet(s"$sf/events.parquet").schema)
+        .parquet(s"$sf/events.parquet"))
+    def kinds(name: String, df: org.apache.spark.sql.DataFrame) =
+      graft.plans.PlanGate.auditStream(name, df).map(_.kind)
+    assert(schema.fieldNames.contains("ts")) // schema is the contract here
+
+    // windowed agg with NO watermark: window state never finalizes
+    val e = freshStream
+    val noWm = graft.streaming.StreamOps.tumblingAgg(e, "1 hour")
+    assert(kinds("fixture_no_wm", noWm).contains("stateful-no-watermark"))
+    // the same shape watermarked passes
+    assert(kinds("fixture_wm",
+      graft.streaming.StreamOps.tumblingAggLate(e, "1 hour", "30 minutes")).isEmpty)
+
+    // ungrouped aggregate over a stream: one global state row, one task
+    val globalAgg = e.agg(count(lit(1)).as("n"))
+    assert(kinds("fixture_global", globalAgg).contains("stream-global-agg"))
+
+    // dropDuplicates with no watermark: seen-set grows forever
+    val dedupNoWm = e.dropDuplicates("user_id", "event_type")
+    assert(kinds("fixture_dedup", dedupNoWm).contains("stateful-no-watermark"))
+
+    // keyed NoTimeout state outside the allowlist: flagged; the SAME
+    // plan under an allowlisted name passes (written-bound discipline)
+    val fmgws = graft.streaming.StreamOps.spendMilestones(e, 10000L).toDF()
+    assert(kinds("fixture_fmgws", fmgws).contains("keyed-state-no-timeout"))
+    assert(kinds("s_milestones", fmgws).isEmpty)
+
+    // a batch frame is not a streaming registration
+    assert(kinds("fixture_batch",
+      graft.core.Tables.events(spark, sf)).contains("not-streaming"))
+  }
 }
