@@ -26,11 +26,25 @@ import org.apache.spark.sql.functions._
   * flags a super-linear stage (a pair blowup, a sort that stopped
   * fitting, a broadcast tipping over) to audit in PLANS.md.
   *
+  * FLOOR CORRECTION (round-10 verdict task #5): every measured run pays
+  * a fixed session cost — job launch, DAG scheduling, noop-sink commit —
+  * of ~0.2 s, independent of data volume. For a query whose lo-rung
+  * median is sub-second the floor is a large FRACTION of t₁ but a small
+  * one of t₂, so the raw exponent UNDERSTATES the asymptote. The floor
+  * is measured in-session (median noop write of a 1-row range) and a
+  * corrected exponent `kc = log((t₂−floor)/(t₁−floor))/log 10` is
+  * reported beside raw `k`; when a rung sits within 50 ms of the floor
+  * the subtraction is noise-dominated and kc prints `na` (the honest
+  * answer — that rung measured overhead, not the operator).
+  *
   * Usage: `runMain graft.QueryScaleBench [--sf1] [--out=path] q74_pagerank ...`
   * or `--all` for the ENTIRE registered surface (round-9 verdict task
   * #2: exponents existed only for the r9 batches; the fleet table in
-  * PLANS.md is regenerated from `--all --out=...`). `--out` appends one
-  * tab-separated line per query (name, step, lo, hi, k) so the sweep
+  * PLANS.md is regenerated from `--all --out=...`), or `--top=N` for the
+  * N most expensive queries by the last bench artifact's medians
+  * (bench_out.json) — the round-10 task-#5 ask to widen the sf1x rung
+  * from top-20 to top-50 without hand-listing names. `--out` appends one
+  * tab-separated line per query (name, step, lo, hi, k, kc) so the sweep
   * survives a partial run.
   */
 object QueryScaleBench {
@@ -65,13 +79,39 @@ object QueryScaleBench {
       shifted.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
+  /** The N most expensive registered queries by the last full bench
+    * artifact's per-query medians (`bench_out.json` — written by every
+    * [[Bench]] run). Lets the sf1x rung target "top-50 by cost" without
+    * hand-maintaining a name list.
+    */
+  private def topByCost(n: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get("bench_out.json")
+    require(java.nio.file.Files.exists(p),
+      "--top=N needs bench_out.json (run graft.Bench first)")
+    import org.json4s._
+    val medians = jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)) \ "queries" match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+      }
+      case _ => Nil
+    }
+    medians.filter { case (k, v) => v >= 0 && SparkEntry.queries.contains(k) }
+      .sortBy(-_._2).take(n).map(_._1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf1 = args.contains("--sf1")
     val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
+    val topN = args.collectFirst { case a if a.startsWith("--top=") => a.drop(6).toInt }
     val names =
-      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      if (topN.isDefined) topByCost(topN.get)
+      else if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
       else args.filterNot(_.startsWith("--")).toSeq
-    require(names.nonEmpty, "usage: QueryScaleBench [--sf1] [--all] [--out=p] <queryName>...")
+    require(names.nonEmpty,
+      "usage: QueryScaleBench [--sf1] [--all | --top=N] [--out=p] <queryName>...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,15 +148,28 @@ object QueryScaleBench {
 
     // warmup both dirs through the first query
     try timeAt(names.head, loDir) catch { case _: Throwable => }
+    // measured fixed session floor: the cost of a data-free measured run
+    val floor = {
+      System.gc()
+      medianOf {
+        spark.range(1).write.format("noop").mode("overwrite").save()
+      }
+    }
+    println(f"session floor (1-row noop run): $floor%.3f s")
     for (n <- names) {
       try {
         val t1 = timeAt(n, loDir)
         val t2 = timeAt(n, hiDir)
         val k = math.log(t2 / t1) / math.log(10.0)
-        println(f"$n%-28s $step: lo=$t1%6.2f s  hi=$t2%6.2f s  k=$k%.2f")
+        // floor-corrected exponent; na when a rung is floor-dominated
+        val kc =
+          if (t1 - floor > 0.05 && t2 - floor > 0.05)
+            f"${math.log((t2 - floor) / (t1 - floor)) / math.log(10.0)}%.3f"
+          else "na"
+        println(f"$n%-28s $step: lo=$t1%6.2f s  hi=$t2%6.2f s  k=$k%.2f  kc=$kc")
         out.foreach { p =>
           java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-            f"$n\t$step\t$t1%.3f\t$t2%.3f\t$k%.3f%n",
+            f"$n\t$step\t$t1%.3f\t$t2%.3f\t$k%.3f\t$kc%n",
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.APPEND)
         }
