@@ -104,8 +104,16 @@ object ExtensionQueries64 {
     ExtensionQueries7.trainedPca(dir)
       .map(m => "q287_pca_persisted" -> ExtensionQueries7.q100SqlFor(m)).toList.toMap
 
-  /** Dir-less view: empty — these mirrors are per-trained-dir by nature;
-    * Verify resolves them through [[graft.SparkEntry.oracleSqlFor]].
+  /** Dir-less view (the q93 single-dir pattern): emits the generated
+    * mirrors only when this JVM has round-tripped exactly ONE dir —
+    * unambiguous; otherwise omitted. Verify resolves per-dir through
+    * [[graft.SparkEntry.oracleSqlFor]].
     */
-  def oracle: Map[String, String] = Map.empty
+  def oracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    loadedCache.asScala.keys.toList match {
+      case d :: Nil => oracleFor(d)
+      case _ => Map.empty
+    }
+  }
 }

@@ -79,7 +79,8 @@ class ContractSpec extends SparkSpecBase {
     "extension60" -> (ExtensionQueries60.queries.keySet, ExtensionQueries60.oracle.keySet),
     "extension61" -> (ExtensionQueries61.queries.keySet, ExtensionQueries61.oracle.keySet),
     "extension62" -> (ExtensionQueries62.queries.keySet, ExtensionQueries62.oracle.keySet),
-    "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet))
+    "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet),
+    "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -99,12 +100,15 @@ class ContractSpec extends SparkSpecBase {
     // (certified exact-plus-boolean rows, round-5 verdict ask #2).
     assert(qs.diff(os).subsetOf(
       Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project",
-        "q112_bpe_tokens", "q54_token_packing", "q113_ann_filtered")),
+        "q112_bpe_tokens", "q54_token_packing", "q113_ann_filtered",
+        "q285_ivfpq_persisted", "q286_bpe_persisted", "q287_pca_persisted")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries7.q100_pca_project(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries10.q112_bpe_tokens(spark, "/root/testdata/sf0.001").count()
+    // round-trips the persisted models, so the q285-q287 mirrors resolve
+    ExtensionQueries64.q285_ivfpq_persisted(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs,
       "generated oracles missing after training (Verify would dump an incomplete map)")
     assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
