@@ -112,6 +112,56 @@ object ModelStore {
     Bpe.Model(read(spark, path).sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  // ------------------------------------------------------ provenance
+
+  private val provSchema = StructType(Seq(
+    StructField("corpus_rows", LongType, nullable = false),
+    StructField("corpus_checksum", LongType, nullable = false)))
+
+  /** Order-independent corpus fingerprint: (row count, sum of
+    * xxhash64(id) mod 1e6+3) in ONE map-side-combined aggregate pass —
+    * the cheapest scan that still moves (w.p. ≈ 1−10⁻⁶ per change) when
+    * any id appears, vanishes, or duplicates. The modulus keeps the sum
+    * exact in a long to ~9·10¹² rows — far past any single-table corpus
+    * — with no ANSI overflow. A persisted index is only as good as its
+    * match to the corpus it was trained to serve; production stores
+    * stamp this beside the model and check it before serving
+    * ([[requireFresh]]).
+    */
+  def corpusFingerprint(df: org.apache.spark.sql.DataFrame,
+      idCol: String): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col(idCol)), lit(1000003L))), lit(0L)))
+      .collect()(0) // 1-row agg
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def saveProvenance(spark: SparkSession, path: String,
+      fp: (Long, Long)): Unit =
+    write(spark, path, provSchema, Seq(Row(fp._1, fp._2)))
+
+  def loadProvenance(spark: SparkSession, path: String): (Long, Long) = {
+    val rows = read(spark, path)
+    require(rows.length == 1, s"not a provenance stamp: ${rows.length} rows at $path")
+    (rows(0).getLong(0), rows(0).getLong(1))
+  }
+
+  /** Fail fast when a persisted model's training corpus no longer
+    * matches the frame it is about to serve — the staleness check a
+    * train-once/serve-many lifecycle needs (a silently stale ANN index
+    * degrades recall with no error anywhere else).
+    */
+  def requireFresh(spark: SparkSession, provPath: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+    val stored = loadProvenance(spark, provPath)
+    val now = corpusFingerprint(corpus, idCol)
+    require(stored == now,
+      s"persisted model is STALE: trained on (rows=${stored._1}, " +
+        s"checksum=${stored._2}) but the corpus is now (rows=${now._1}, " +
+        s"checksum=${now._2}) — retrain or point at the matching corpus")
+  }
+
   // -------------------------------------------------- temp round-trip
 
   /** Save + load through a fresh temp directory, deleting it after the

@@ -66,6 +66,35 @@ class ModelStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("provenance stamp detects a stale index against a changed corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val d = java.nio.file.Files.createTempDirectory("graft_prov")
+    try {
+      val prov = d.resolve("prov").toString
+      ModelStore.saveProvenance(spark,
+        prov, ModelStore.corpusFingerprint(emb, "vec_id"))
+      // same corpus → fresh (order/partition-layout independent)
+      ModelStore.requireFresh(spark, prov, emb.repartition(7), "vec_id")
+      // any id-set change → stale, loudly
+      val grew = emb.unionByName(emb.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val e1 = intercept[IllegalArgumentException] {
+        ModelStore.requireFresh(spark, prov, grew, "vec_id")
+      }
+      assert(e1.getMessage.contains("STALE"))
+      val shrank = emb.filter(col("vec_id") =!= 5)
+      assert(intercept[IllegalArgumentException] {
+        ModelStore.requireFresh(spark, prov, shrank, "vec_id")
+      }.getMessage.contains("STALE"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(d)
+      val ps = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      ps.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q285/q286/q287: persisted-model plans replay their trained twins row-for-row") {
     val pairs = Seq(
       ExtensionQueries64.q285_ivfpq_persisted(spark, dir) ->
