@@ -34,7 +34,7 @@ object ExtensionQueries64 {
     new java.util.concurrent.ConcurrentHashMap[String, (graft.ext.IvfIndex.Model,
       PqIndex.Model, Bpe.Model, graft.ext.PcaProject.Model)]()
 
-  private def loadedModels(s: SparkSession, dir: String) =
+  private[graft] def loadedModels(s: SparkSession, dir: String) =
     loadedCache.computeIfAbsent(dir, d => (
       ModelStore.roundTrip(s, ModelStore.saveIvf, ModelStore.loadIvf)(
         ExtensionQueries6.ivfModel(s, d)),
@@ -109,11 +109,16 @@ object ExtensionQueries64 {
     * unambiguous; otherwise omitted. Verify resolves per-dir through
     * [[graft.SparkEntry.oracleSqlFor]].
     */
-  def oracle: Map[String, String] = {
+  /** Dirs this JVM has round-tripped (also drives the q290 mirror's
+    * single-dir emission in [[ExtensionQueries65.oracle]]).
+    */
+  private[queries] def roundTrippedDirs: List[String] = {
     import scala.jdk.CollectionConverters._
-    loadedCache.asScala.keys.toList match {
-      case d :: Nil => oracleFor(d)
-      case _ => Map.empty
-    }
+    loadedCache.asScala.keys.toList
+  }
+
+  def oracle: Map[String, String] = roundTrippedDirs match {
+    case d :: Nil => oracleFor(d)
+    case _ => Map.empty
   }
 }
