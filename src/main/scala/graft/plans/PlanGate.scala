@@ -188,6 +188,12 @@ object PlanGate {
   private[graft] val StreamStateAllow: Map[String, String] = Map(
     "s_milestones" -> ("spendMilestones: state = one running long per " +
       "user — bounded by key cardinality, not history"),
+    "s_milestones_v2" -> ("StateV2.spendMilestonesV2: same one-long-per-" +
+      "user bound as s_milestones, held in a named ValueState column " +
+      "family (TimeMode.None is the v2 spelling of NoTimeout)"),
+    "s_zscore_v2" -> ("StateV2.rollingZscoreAlertsV2: same O(window)-per-" +
+      "event_type bound as s_zscore, held in a ListState whose append " +
+      "is O(delta) in RocksDB"),
     "s_zscore" -> ("rollingZscoreAlerts: state = last ≤window cents per " +
       "event_type (5 keys) — O(window) per key by construction"),
     "s_cusum" -> ("cusumAlerts: state = a few longs per event_type — " +
@@ -253,6 +259,22 @@ object PlanGate {
             "flatMapGroupsWithState with NoTimeout outside the " +
               "StreamStateAllow list — state for a key is never removed; " +
               "add a timeout or a written structural bound")
+        case t: TransformWithState if t.isStreaming =>
+          // the v2 keyed-state operator: TimeMode is the plan-visible
+          // expiry contract (TTL lives per-state-variable inside the
+          // processor, invisible here, and requires ProcessingTime mode
+          // anyway — so TimeMode.None provably means NOTHING can ever
+          // remove a key's state)
+          if (t.timeMode == org.apache.spark.sql.streaming.TimeMode.None() && !allowed)
+            out += Violation(name, "keyed-state-no-timeout",
+              "transformWithState with TimeMode.None outside the " +
+                "StreamStateAllow list — no timers or TTL can ever remove " +
+                "a key's state; pick a time mode or write the structural bound")
+          else if (t.timeMode == org.apache.spark.sql.streaming.TimeMode.EventTime() &&
+              !hasWatermark)
+            out += Violation(name, "stateful-no-watermark",
+              "transformWithState in EventTime mode with no watermark — " +
+                "event-time timers can never fire, so expiry never happens")
         case _ =>
       }
     }

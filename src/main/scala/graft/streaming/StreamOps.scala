@@ -603,9 +603,12 @@ object StreamOps {
       "s_dedup" -> dedupStream(ev, "30 minutes"),
       "s_dau" -> dailyActiveUsers(ev, "1 hour"),
       "s_milestones" -> spendMilestones(ev, 10000L).toDF(),
+      "s_milestones_v2" -> StateV2.spendMilestonesV2(ev, 10000L).toDF(),
       "s_zscore" -> rollingZscoreAlerts(ev).toDF(),
+      "s_zscore_v2" -> StateV2.rollingZscoreAlertsV2(ev).toDF(),
       "s_cusum" -> cusumAlerts(ev).toDF(),
       "s_funnel" -> conversionFunnel(ev).toDF(),
+      "s_funnel_v2" -> StateV2.conversionFunnelV2(ev).toDF(),
       "s_distinct_sketch" -> runningDistinctSketch(ev).toDF(),
       "s_countmin" -> windowedCountMin(ev, "1 hour", "30 minutes", 4, 64),
       "s_lsh_admission" -> graft.streaming.LshAdmit.admitStream(

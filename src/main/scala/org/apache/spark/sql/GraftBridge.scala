@@ -18,6 +18,16 @@ object GraftBridge {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(session.asInstanceOf[ClassicSparkSession], plan)
 
+  /** Touch the driver-side StateStoreCoordinator lazy val (private[sql]
+    * on classic.StreamingQueryManager). Spark creates the endpoint when
+    * the first STREAMING query starts; a BATCH transformWithState plan
+    * loads a transient state store whose executor side looks the
+    * endpoint up and dies with RpcEndpointNotFoundException if no
+    * stream ever ran in the session. Idempotent.
+    */
+  def ensureStateStoreCoordinator(session: SparkSession): Unit =
+    session.asInstanceOf[ClassicSparkSession].streams.stateStoreCoordinator
+
   /** Idempotently append a planner strategy to the session. */
   def addStrategy(session: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = session.asInstanceOf[ClassicSparkSession].experimental

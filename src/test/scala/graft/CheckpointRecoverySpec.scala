@@ -216,6 +216,59 @@ class CheckpointRecoverySpec extends SparkSpecBase {
     } finally rmTree(base)
   }
 
+  test("transformWithState v2: ValueState and v2 TIMERS survive a cold restart") {
+    // the v2 runtime's recovery surface is different from v1's: named
+    // state variables live in per-variable RocksDB column families and
+    // timers in their own CF (not packed into one state blob), so a
+    // restart must restore EACH family plus the operator metadata that
+    // maps names → families. Certify both the plain-ValueState pipeline
+    // (milestones) and the timer-arming one (funnel) across a cold stop.
+    graft.streaming.StateV2.withRocksDb(spark) {
+      for ((tag, transform) <- Seq[(String, DataFrame => DataFrame)](
+          "milestones" -> (df => graft.streaming.StateV2
+            .spendMilestonesV2(df, 50000L).toDF()),
+          "funnel" -> (df => graft.streaming.StateV2
+            .conversionFunnelV2(graft.core.Tables.toLongNanos(df),
+              windowUs = 3600000000L).toDF()))) {
+        val base = Files.createTempDirectory(s"graft_ckpt_v2_$tag")
+        try {
+          def run(src: Path, out: Path, ckpt: Path, drain: Boolean,
+              coldAfter: Long = 0L): Unit = {
+            val stream = spark.readStream.schema(StreamOps.EventsSchema)
+              .option("maxFilesPerTrigger", "1").parquet(src.toString)
+            val q = transform(stream).writeStream
+              .format("parquet").option("path", out.toString)
+              .option("checkpointLocation", ckpt.toString)
+              .outputMode("append").start()
+            if (drain) { try q.processAllAvailable() finally q.stop() }
+            else stopCold(q, coldAfter)
+          }
+          val (srcA, outA, ckptA) = (base.resolve("srcA"), base.resolve("outA"),
+            base.resolve("ckptA"))
+          val (srcB, outB, ckptB) = (base.resolve("srcB"), base.resolve("outB"),
+            base.resolve("ckptB"))
+          Files.createDirectory(srcA); Files.createDirectory(srcB)
+
+          eventChunks.zipWithIndex.foreach { case (c, i) =>
+            dropChunk(c, srcA, s"chunk_$i.parquet") }
+          run(srcA, outA, ckptA, drain = true)
+
+          eventChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+            dropChunk(c, srcB, s"chunk_$i.parquet") }
+          run(srcB, outB, ckptB, drain = false, coldAfter = 1L)
+          eventChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+            dropChunk(c, srcB, s"chunk_${i + 2}.parquet") }
+          run(srcB, outB, ckptB, drain = true)
+
+          val (a, b) = (ordered(outA), ordered(outB))
+          assert(a.nonEmpty, s"uninterrupted v2 $tag run emitted nothing")
+          assert(b == a,
+            s"recovered v2 $tag diverged: uninterrupted=${a.size}, recovered=${b.size}")
+        } finally rmTree(base)
+      }
+    }
+  }
+
   test("q115 LSH admission: bucket state survives a cold restart; verdicts identical") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft_ckpt_lsh")

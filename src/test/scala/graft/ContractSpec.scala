@@ -80,7 +80,8 @@ class ContractSpec extends SparkSpecBase {
     "extension61" -> (ExtensionQueries61.queries.keySet, ExtensionQueries61.oracle.keySet),
     "extension62" -> (ExtensionQueries62.queries.keySet, ExtensionQueries62.oracle.keySet),
     "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet),
-    "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet))
+    "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet),
+    "extension65" -> (ExtensionQueries65.queries.keySet, ExtensionQueries65.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
@@ -101,7 +102,8 @@ class ContractSpec extends SparkSpecBase {
     assert(qs.diff(os).subsetOf(
       Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project",
         "q112_bpe_tokens", "q54_token_packing", "q113_ann_filtered",
-        "q285_ivfpq_persisted", "q286_bpe_persisted", "q287_pca_persisted")),
+        "q285_ivfpq_persisted", "q286_bpe_persisted", "q287_pca_persisted",
+        "q290_ivf_utilization")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()

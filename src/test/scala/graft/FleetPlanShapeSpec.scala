@@ -166,6 +166,35 @@ class FleetPlanShapeSpec extends SparkSpecBase {
     assert(kinds("fixture_fmgws", fmgws).contains("keyed-state-no-timeout"))
     assert(kinds("s_milestones", fmgws).isEmpty)
 
+    // the v2 spelling of the same class: transformWithState in
+    // TimeMode.None (no timers, and TTL would need ProcessingTime)
+    // outside the allowlist is flagged; allowlisted name passes
+    val tws = graft.streaming.StateV2.spendMilestonesV2(e, 10000L).toDF()
+    assert(kinds("fixture_tws", tws).contains("keyed-state-no-timeout"))
+    assert(kinds("s_milestones_v2", tws).isEmpty)
+
+    // EventTime-mode transformWithState WITH its watermark passes (the
+    // registered funnel shape: timers + watermark = bounded state)
+    assert(kinds("fixture_tws_et",
+      graft.streaming.StateV2.conversionFunnelV2(e).toDF()).isEmpty)
+
+    // ...but EventTime mode with NO watermark is flagged: the timers
+    // that are supposed to expire state can never fire
+    locally {
+      import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+        TimeMode, TimerValues}
+      import spark.implicits._
+      val p = new StatefulProcessor[Long, (Long, String), String] {
+        override def init(o: OutputMode, t: TimeMode): Unit = ()
+        override def handleInputRows(k: Long, rows: Iterator[(Long, String)],
+            tv: TimerValues): Iterator[String] = Iterator.empty
+      }
+      val noWmEt = e.select(col("user_id"), col("event_type"))
+        .as[(Long, String)].groupByKey(_._1)
+        .transformWithState(p, TimeMode.EventTime(), OutputMode.Append()).toDF()
+      assert(kinds("fixture_tws_et_nowm", noWmEt).contains("stateful-no-watermark"))
+    }
+
     // a batch frame is not a streaming registration
     assert(kinds("fixture_batch",
       graft.core.Tables.events(spark, sf)).contains("not-streaming"))
