@@ -201,7 +201,10 @@ object PlanGate {
     "s_distinct_sketch" -> ("runningDistinctSketch: state = one fixed-size " +
       "HLL register array per bucket (fixed bucket count)"),
     "s_lsh_admission" -> ("LshAdmit: band-key state bounded by bands × " +
-      "admitted index size — the admission index IS the product")
+      "admitted index size — the admission index IS the product"),
+    "s_lsh_admission_v2" -> ("StateV2.admitStreamV2: same bands × index " +
+      "bound as s_lsh_admission, bucket members in a ListState with " +
+      "O(delta) appends and handleInitialState corpus bootstrap")
   )
 
   /** Streaming-plan audit (round-10 verdict task #7): the batch gate's

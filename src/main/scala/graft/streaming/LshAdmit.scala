@@ -45,7 +45,7 @@ object LshAdmit {
   /** partner = Long.MaxValue ⇒ no qualifying partner in this bucket. */
   final case class Verdict(doc_id: Long, us: Long, partner: Long)
 
-  private def estJJvm(a: Array[Long], b: Array[Long]): Double = {
+  private[streaming] def estJJvm(a: Array[Long], b: Array[Long]): Double = {
     var cnt = 0; var i = 0
     while (i < a.length) { if (a(i) == b(i)) cnt += 1; i += 1 }
     cnt.toDouble / a.length
@@ -57,7 +57,7 @@ object LshAdmit {
     * batch and streaming paths. Null band keys (all-null signatures)
     * drop here, as they never equijoin-match in the batch form.
     */
-  private def banded(df: DataFrame, bands: Int): Dataset[BandRow] = {
+  private[streaming] def banded(df: DataFrame, bands: Int): Dataset[BandRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long").as("doc_id"),

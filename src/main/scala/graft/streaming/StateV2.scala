@@ -213,6 +213,87 @@ object StateV2 {
     }
   }
 
+  /** Banded-LSH near-dup admission — the v2 twin of
+    * [[LshAdmit.admitStream]], showcasing
+    * `StatefulProcessorWithInitialState`: the stored corpus index
+    * bootstraps each (band, band-key) bucket's ListState[Member] via
+    * [[StatefulProcessorWithInitialState.handleInitialState]] (v1 used
+    * the `initialState` overload of flatMapGroupsWithState), and every
+    * processed delta APPENDS to its buckets — in RocksDB an O(delta)
+    * put per member, where v1 rewrote each bucket's whole member array
+    * into its single state blob every micro-batch. Admission semantics,
+    * the codegen band-key kernel, and the chained watermarked verdict
+    * fold are shared with v1 bit-for-bit; state rows stay bounded by
+    * bands × index size (the admission index IS the product).
+    */
+  private final class LshAdmitProcessor(minEstJ: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        (Int, Long), LshAdmit.BandRow, LshAdmit.Verdict, Array[LshAdmit.Member]] {
+    @transient private var members: ListState[LshAdmit.Member] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[LshAdmit.Member]("members",
+        Encoders.product[LshAdmit.Member], TTLConfig.NONE)
+
+    override def handleInitialState(key: (Int, Long),
+        initial: Array[LshAdmit.Member], tv: TimerValues): Unit =
+      members.put(initial)
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[LshAdmit.BandRow],
+        tv: TimerValues): Iterator[LshAdmit.Verdict] = {
+      val cur = if (members.exists()) members.get().toArray
+        else Array.empty[LshAdmit.Member]
+      var all = cur
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        var best = Long.MaxValue
+        var i = 0
+        while (i < all.length) {
+          val m = all(i)
+          if ((m.corpus || m.id < r.doc_id) && m.id < best &&
+            LshAdmit.estJJvm(m.sig, r.sig) >= minEstJ) best = m.id
+          i += 1
+        }
+        val me = LshAdmit.Member(r.doc_id, corpus = false, r.sig)
+        all = all :+ me
+        members.appendValue(me)
+        LshAdmit.Verdict(r.doc_id, r.us, best)
+      }
+      out.iterator
+    }
+  }
+
+  /** V2 admission over a streaming delta frame against a batch corpus
+    * index; same contract and output shape as [[LshAdmit.admitStream]].
+    */
+  def admitStreamV2(deltaSigs: DataFrame, corpusSigs: DataFrame, bands: Int,
+      minEstJ: Double, window: String = "10 seconds",
+      late: String = "10 seconds"): DataFrame = {
+    val spark = deltaSigs.sparkSession
+    import spark.implicits._
+
+    val init = LshAdmit.banded(corpusSigs.withColumn("us", lit(0L)), bands)
+      .groupByKey(r => (r.band, r.bk))
+      .mapGroups((k, rows) =>
+        (k, rows.map(r => LshAdmit.Member(r.doc_id, corpus = true, r.sig)).toArray))
+      .groupByKey(_._1).mapValues(_._2)
+
+    val verdicts = LshAdmit.banded(deltaSigs, bands)
+      .groupByKey(r => (r.band, r.bk))
+      .transformWithState(new LshAdmitProcessor(minEstJ),
+        TimeMode.None(), OutputMode.Append(), init)
+
+    verdicts
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .withWatermark("event_ts", late)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_ts"), window)
+        .as("w"), col("doc_id"))
+      .agg(min(col("partner")).as("__p"))
+      .select(col("w.start").as("window_start"), col("doc_id"),
+        (col("__p") === Long.MaxValue).as("keep"),
+        when(col("__p") =!= Long.MaxValue, col("__p")).as("dup_of"))
+  }
+
   def conversionFunnelV2(events: DataFrame,
       windowUs: Long = 604800000000L): Dataset[Conversion] = {
     val spark = events.sparkSession

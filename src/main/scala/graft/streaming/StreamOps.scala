@@ -612,6 +612,8 @@ object StreamOps {
       "s_distinct_sketch" -> runningDistinctSketch(ev).toDF(),
       "s_countmin" -> windowedCountMin(ev, "1 hour", "30 minutes", 4, 64),
       "s_lsh_admission" -> graft.streaming.LshAdmit.admitStream(
+        lshDelta, lshCorpus, bands = 16, minEstJ = 0.4),
+      "s_lsh_admission_v2" -> StateV2.admitStreamV2(
         lshDelta, lshCorpus, bands = 16, minEstJ = 0.4)
     )
   }

@@ -100,6 +100,54 @@ class StateV2Spec extends SparkSpecBase {
       s"v2batch=${v2Batch.length} v1batch=${v1Batch.length}")
   }
 
+  test("v2 LSH admission: handleInitialState corpus bootstrap + ListState buckets == v1 batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (corpusSigs, deltaSigs) = graft.queries.ExtensionQueries7
+      .q99Fixture(spark, "/root/testdata/sf0.001")
+    val delta = deltaSigs.withColumn("us", col("doc_id") * 1000000L)
+      .select(col("doc_id"), col("us"), col("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(_._1)
+    val nCorpus = corpusSigs.count()
+    val batches = Seq(delta.take(delta.length / 3),
+      delta.slice(delta.length / 3, 2 * delta.length / 3),
+      delta.drop(2 * delta.length / 3))
+    val sentinel = (9000000000L, 9000000000L * 1000000L,
+      Array.tabulate(64)(i => 7919L * (i + 1)))
+    StateV2.withRocksDb(spark) {
+      val mem = MemoryStream[(Long, Long, Array[Long])]
+      val stream = mem.toDF.toDF("doc_id", "us", "sig")
+      val q = StateV2.admitStreamV2(stream, corpusSigs, bands = 16, minEstJ = 0.4)
+        .writeStream.format("memory").queryName("lsh_admit_v2_out")
+        .outputMode("append").start()
+      var maxStateRows = 0L
+      try {
+        for (b <- batches) { mem.addData(b.toSeq); q.processAllAvailable() }
+        mem.addData(sentinel); q.processAllAvailable()
+        maxStateRows = q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .filter(_.operatorName.toLowerCase.contains("transformwithstate"))
+          .map(_.numRowsTotal).max
+      } finally q.stop()
+      val streamed = spark.table("lsh_admit_v2_out")
+        .filter(col("doc_id") < 9000000000L)
+        .select(col("window_start"), col("doc_id"), col("keep"), col("dup_of"))
+        .collect().map(_.toSeq).toSet
+      // v1 one-shot batch reference — itself pinned to
+      // Dedup.incrementalMinhash and the q115 oracle in StreamingSpec
+      val oneShot = graft.streaming.LshAdmit
+        .admitStream(delta.toSeq.toDF("doc_id", "us", "sig"), corpusSigs,
+          bands = 16, minEstJ = 0.4)
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == oneShot,
+        "v2 micro-batch admission must equal the v1 one-shot batch run exactly")
+      assert(maxStateRows > 0 && maxStateRows <= 16L * (nCorpus + delta.length + 1),
+        s"state rows $maxStateRows exceed the banded index bound")
+    }
+  }
+
   test("v2 funnel timers: expiry DROPS never-converted state; conversion deletes its timer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
