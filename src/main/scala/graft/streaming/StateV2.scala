@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState, ExpiredTimerInfo}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState,
+  ExpiredTimerInfo}
 
 import StreamOps.{ConvEvent, ConvState, Conversion, UserEvent, UserMilestone,
   ZAlert, ZEvent}
@@ -211,6 +212,64 @@ object StateV2 {
       st.clear()
       Iterator.empty
     }
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user running event-type counts on a MapState[String, Long] with
+    * per-entry TTL — the MapState + TTL showcase completing the v2
+    * state-variable surface (ValueState, ListState, MapState, timers,
+    * initial state). Each micro-batch emits the UPDATED (user, type)
+    * counts, so the max-per-(user,type) over the whole output equals the
+    * batch `groupBy(user, type).count()` — the parity StateV2Spec pins.
+    *
+    * TTL is the third expiry mechanism the plan gate recognizes (after
+    * watermarks and timers) and the only one that works per STATE ENTRY
+    * rather than per key or per window: an idle user's count entries
+    * age out `ttl` after their last update (RocksDB-native, TimeMode
+    * .ProcessingTime required), so unbounded key universes — the
+    * all-time user population — hold state only for their ACTIVE
+    * window. The spec uses a 1-hour TTL so nothing expires mid-test and
+    * the parity stays exact, and certifies the TTL registration through
+    * the numMapStateWithTTLVars operator metric.
+    *
+    * CAVEAT (pinned by the spec's structure): ProcessingTime mode keeps
+    * a live query permanently busy — TTL work is always potentially
+    * pending, so `processAllAvailable` and even an AvailableNow drain
+    * never terminate. A forever-running deployment doesn't care; tests
+    * and backfills must drive it with bounded triggers (Trigger.Once
+    * runs sharing a checkpoint).
+    */
+  private final class TypeCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, String), TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, new TTLConfig(ttl))
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+        touched += t
+      }
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t)))
+        .toSeq.iterator
+    }
+  }
+
+  def runningTypeCountsV2(events: DataFrame,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!events.isStreaming) ensureBatchCoordinator(spark)
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Banded-LSH near-dup admission — the v2 twin of

@@ -614,7 +614,8 @@ object StreamOps {
       "s_lsh_admission" -> graft.streaming.LshAdmit.admitStream(
         lshDelta, lshCorpus, bands = 16, minEstJ = 0.4),
       "s_lsh_admission_v2" -> StateV2.admitStreamV2(
-        lshDelta, lshCorpus, bands = 16, minEstJ = 0.4)
+        lshDelta, lshCorpus, bands = 16, minEstJ = 0.4),
+      "s_type_counts_v2" -> StateV2.runningTypeCountsV2(ev).toDF()
     )
   }
 

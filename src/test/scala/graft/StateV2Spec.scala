@@ -100,6 +100,61 @@ class StateV2Spec extends SparkSpecBase {
       s"v2batch=${v2Batch.length} v1batch=${v1Batch.length}")
   }
 
+  test("v2 MapState+TTL running type counts: 3 single-batch runs over one checkpoint == batch count") {
+    // ProcessingTime mode (which TTL requires) keeps a live query busy
+    // FOREVER — TTL work is always potentially pending, so neither
+    // processAllAvailable nor an AvailableNow drain ever terminates.
+    // Drive it as three sequential Trigger.Once runs sharing one
+    // checkpoint instead: each run is exactly one micro-batch, and the
+    // MapState (TTL column families included) must RELOAD from the
+    // checkpoint between runs — multi-batch carry and restart in one.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mapstate_ttl")
+    val (src, out, ckpt) = (base.resolve("src"), base.resolve("out"),
+      base.resolve("ckpt"))
+    Files.createDirectory(src)
+    var ttlVars = -1L
+    StateV2.withRocksDb(spark) {
+      import scala.jdk.CollectionConverters._
+      val chunks = Files.list(java.nio.file.Paths.get(threeFileSrc))
+        .iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      assert(chunks.size == 3)
+      for ((chunk, i) <- chunks.zipWithIndex) {
+        Files.copy(chunk, src.resolve(chunk.getFileName.toString))
+        val stream = spark.readStream.schema(StreamOps.EventsSchema)
+          .parquet(src.toString)
+        val q = StateV2.runningTypeCountsV2(stream).toDF().writeStream
+          .format("parquet").option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .outputMode("append").start()
+        try assert(q.awaitTermination(180000L), s"run $i timed out")
+        finally {
+          if (i == 2) ttlVars = q.recentProgress
+            .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+            .filter(_.operatorName.toLowerCase.contains("transformwithstate"))
+            .flatMap(o => Option(o.customMetrics.get("numMapStateWithTTLVars"))
+              .map(_.longValue)).max
+          q.stop()
+        }
+      }
+    }
+    val got = spark.read.parquet(out.toString)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = batchEvents.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && got == batch,
+      s"streaming=${got.size} batch=${batch.size}")
+    // the metric sums over state-store partitions: 1 TTL MapState var
+    // per store instance
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    assert(ttlVars == parts,
+      s"expected 1 TTL-backed MapState var x $parts store partitions, got $ttlVars")
+  }
+
   test("v2 LSH admission: handleInitialState corpus bootstrap + ListState buckets == v1 batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
