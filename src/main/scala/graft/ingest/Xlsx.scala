@@ -33,7 +33,18 @@ object Xlsx {
   }
 
   /** Parse the first sheet: (header, data rows); all cells as Option[String]. */
-  def readSheet(path: String): (Seq[String], Seq[Seq[Option[String]]]) = {
+  def readSheet(path: String): (Seq[String], Seq[Seq[Option[String]]]) =
+    readSheetProjected(path, None)
+
+  /** [[readSheet]] with column projection (the DSv2 scan's pushed-down
+    * pruning, SURVEY §2 A2): when `required` is set, data-row cells whose
+    * header name is NOT in the set are never materialized — no
+    * shared-string dereference, no character buffering — and surface as
+    * None placeholders (kept only for positional alignment). The header
+    * row always parses fully (it DEFINES the name→position map).
+    */
+  def readSheetProjected(path: String, required: Option[Set[String]])
+      : (Seq[String], Seq[Seq[Option[String]]]) = {
     val zip = new ZipFile(path)
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
@@ -41,7 +52,16 @@ object Xlsx {
         .getOrElse(IndexedSeq.empty)
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
-      val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
+      val keepFor: Seq[Option[String]] => Int => Boolean = required match {
+        case None => _ => _ => true
+        case Some(names) => hdr => {
+          val kept = hdr.zipWithIndex.collect {
+            case (h, i) if names.contains(h.getOrElse(s"_c$i")) => i
+          }.toSet
+          kept.contains _
+        }
+      }
+      val rows = parseSheet(zip.getInputStream(sheetEntry), shared, keepFor)
       if (rows.isEmpty) (Seq.empty, Seq.empty)
       else {
         val width = rows.map(_.length).max
@@ -60,6 +80,65 @@ object Xlsx {
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.toSeq, math.max(1, rows.length / 10000 + 1)),
       schema)
+  }
+
+  /** Header row only — stops the stream after the first `</row>`, so
+    * driver-side schema inference never parses a whole workbook. Shared
+    * strings still load (headers are usually shared-string cells).
+    */
+  def readHeader(path: String): Seq[String] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zip.getInputStream(e)))
+        .getOrElse(IndexedSeq.empty)
+      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
+      val in = zip.getInputStream(sheetEntry)
+      val r = factory.createXMLStreamReader(in)
+      val row = ArrayBuffer.empty[Option[String]]
+      var cellCol = -1
+      var cellType = ""
+      var text: StringBuilder = null
+      var collecting = false
+      var done = false
+      try {
+        while (!done && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "c" =>
+                  cellCol = Option(r.getAttributeValue(null, "r"))
+                    .map(colIndex).getOrElse(row.length)
+                  cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+                  text = new StringBuilder
+                case "v" | "t" => collecting = text != null
+                case _ =>
+              }
+            case XMLStreamConstants.CHARACTERS if collecting =>
+              text.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT =>
+              r.getLocalName match {
+                case "v" | "t" => collecting = false
+                case "c" =>
+                  val raw = text.toString
+                  val value = cellType match {
+                    case "s" => shared.lift(raw.trim.toInt)
+                    case "b" => Some(if (raw.trim == "1") "TRUE" else "FALSE")
+                    case _ => if (raw.isEmpty) None else Some(raw)
+                  }
+                  while (row.length < cellCol) row += None
+                  if (row.length == cellCol) row += value else row(cellCol) = value
+                  text = null
+                case "row" => done = true
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      } finally r.close()
+      row.zipWithIndex.map { case (h, i) => h.getOrElse(s"_c$i") }.toSeq
+    } finally zip.close()
   }
 
   private def parseSharedStrings(in: InputStream): IndexedSeq[String] = {
@@ -97,8 +176,9 @@ object Xlsx {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
   }
 
-  private def parseSheet(in: InputStream,
-      shared: IndexedSeq[String]): Seq[ArrayBuffer[Option[String]]] = {
+  private def parseSheet(in: InputStream, shared: IndexedSeq[String],
+      keepFor: Seq[Option[String]] => Int => Boolean = _ => _ => true)
+      : Seq[ArrayBuffer[Option[String]]] = {
     val rows = ArrayBuffer.empty[ArrayBuffer[Option[String]]]
     val r = factory.createXMLStreamReader(in)
     var row: ArrayBuffer[Option[String]] = null
@@ -106,6 +186,9 @@ object Xlsx {
     var cellType = ""
     var text: StringBuilder = null
     var collecting = false
+    // identity until the header row closes, then the caller's projection
+    var keep: Int => Boolean = _ => true
+    var headerDone = false
     try {
       while (r.hasNext) {
         r.next() match {
@@ -116,7 +199,7 @@ object Xlsx {
                 cellCol = Option(r.getAttributeValue(null, "r"))
                   .map(colIndex).getOrElse(if (row == null) 0 else row.length)
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-                text = new StringBuilder
+                text = if (keep(cellCol)) new StringBuilder else null
               case "v" | "t" => collecting = text != null
               case _ =>
             }
@@ -126,16 +209,23 @@ object Xlsx {
             r.getLocalName match {
               case "v" | "t" => collecting = false
               case "c" if row != null =>
-                val raw = text.toString
-                val value = cellType match {
-                  case "s" => shared.lift(raw.trim.toInt)
-                  case "b" => Some(if (raw.trim == "1") "TRUE" else "FALSE")
-                  case _ => if (raw.isEmpty) None else Some(raw)
-                }
+                val value =
+                  if (text == null) None // pruned: never materialized
+                  else {
+                    val raw = text.toString
+                    cellType match {
+                      case "s" => shared.lift(raw.trim.toInt)
+                      case "b" => Some(if (raw.trim == "1") "TRUE" else "FALSE")
+                      case _ => if (raw.isEmpty) None else Some(raw)
+                    }
+                  }
                 while (row.length < cellCol) row += None
                 if (row.length == cellCol) row += value else row(cellCol) = value
                 text = null
-              case "row" => rows += row; row = null
+              case "row" =>
+                rows += row
+                if (!headerDone) { headerDone = true; keep = keepFor(row.toSeq) }
+                row = null
               case _ =>
             }
           case _ =>

@@ -82,7 +82,8 @@ class ContractSpec extends SparkSpecBase {
     "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet),
     "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet),
     "extension65" -> (ExtensionQueries65.queries.keySet, ExtensionQueries65.oracle.keySet),
-    "extension66" -> (ExtensionQueries66.queries.keySet, ExtensionQueries66.oracle.keySet))
+    "extension66" -> (ExtensionQueries66.queries.keySet, ExtensionQueries66.oracle.keySet),
+    "extension67" -> (ExtensionQueries67.queries.keySet, ExtensionQueries67.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
