@@ -83,7 +83,8 @@ class ContractSpec extends SparkSpecBase {
     "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet),
     "extension65" -> (ExtensionQueries65.queries.keySet, ExtensionQueries65.oracle.keySet),
     "extension66" -> (ExtensionQueries66.queries.keySet, ExtensionQueries66.oracle.keySet),
-    "extension67" -> (ExtensionQueries67.queries.keySet, ExtensionQueries67.oracle.keySet))
+    "extension67" -> (ExtensionQueries67.queries.keySet, ExtensionQueries67.oracle.keySet),
+    "extension68" -> (ExtensionQueries68.queries.keySet, ExtensionQueries68.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
