@@ -4,9 +4,10 @@ import java.io.File
 import java.util.OptionalLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,16 +46,31 @@ class DefaultSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ExcelTable.listFiles(options)
-    require(files.nonEmpty, "graft.sources.excel: no .xlsx files under the given path")
+    require(files.nonEmpty, "graft.sources.excel: no .xlsx files under the given " +
+      "path — for a write target, prime the directory first (ExcelTable.prime)")
     StructType(Xlsx.readHeader(files.head).map(StructField(_, StringType, nullable = true)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new ExcelTable(schema, ExcelTable.listFiles(new CaseInsensitiveStringMap(properties)))
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new ExcelTable(schema, ExcelTable.listFiles(options),
+      Option(options.get("path")).filter(p => new File(p).isDirectory))
+  }
 }
 
 object ExcelTable {
+  /** "Create table": write the zero-row `_header.xlsx` that defines the
+    * directory's schema. Append/overwrite writes require a primed dir —
+    * the catalog-less V2 analog of CREATE TABLE (the header workbook IS
+    * the table metadata; it reads back as 0 rows).
+    */
+  def prime(path: String, header: Seq[String]): Unit = {
+    new File(path).mkdirs()
+    graft.sinks.XlsxWrite.writeXlsx(
+      new File(path, "_header.xlsx").getPath, header, Nil)
+  }
+
   /** Resolve the option paths → sorted .xlsx file list. A directory
     * expands to its *.xlsx children (sorted for deterministic partition
     * order); a file stands for itself.
@@ -75,13 +91,20 @@ object ExcelTable {
   }
 }
 
-class ExcelTable(tableSchema: StructType, files: Seq[String]) extends Table with SupportsRead {
+class ExcelTable(tableSchema: StructType, files: Seq[String], dir: Option[String])
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"excel(${files.length} files)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ExcelScanBuilder(tableSchema, files)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val d = dir.getOrElse(throw new IllegalArgumentException(
+      "graft.sources.excel: write target must be an existing (primed) directory"))
+    new ExcelWriteBuilder(d, info)
+  }
 }
 
 class ExcelScanBuilder(fullSchema: StructType, files: Seq[String])
@@ -139,5 +162,80 @@ class ExcelPartitionReader(path: String, requiredCols: Array[String])
   override def next(): Boolean =
     if (rows.hasNext) { current = rows.next(); true } else false
   override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------- write path
+
+/** V2 write: append (`mode("append")`) and truncate-overwrite
+  * (`mode("overwrite")`, via [[SupportsTruncate]]). The unit of write is
+  * one workbook PER NON-EMPTY PARTITION, built task-side and committed
+  * through the standard two-phase protocol: tasks write
+  * `.part-<p>-<task>.xlsx.tmp` (invisible to the reader's `*.xlsx`
+  * listing), the commit-coordinated winner renames to
+  * `part-<p>.xlsx`, and driver commit (for overwrite) deletes every
+  * part not in the committed set — `_header.xlsx` (the table's schema
+  * record) always survives. Abort deletes the task's temp file, so a
+  * failed job leaves the directory readable at its prior state.
+  */
+class ExcelWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ExcelBatchWrite(dir, info.schema().fieldNames, doTruncate)
+  }
+}
+
+case class ExcelCommit(file: Option[String]) extends WriterCommitMessage
+
+class ExcelBatchWrite(dir: String, cols: Array[String], truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ExcelWriterFactory(dir, cols)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val committed = messages.collect { case ExcelCommit(Some(f)) => f }.toSet
+      Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx") &&
+          n != "_header.xlsx" && !committed.contains(n)))
+        .foreach(_.foreach(_.delete()))
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case ExcelCommit(Some(f)) => new File(dir, f).delete(); case _ => }
+    Option(new File(dir).listFiles((_, n) => n.endsWith(".xlsx.tmp")))
+      .foreach(_.foreach(_.delete()))
+  }
+}
+
+class ExcelWriterFactory(dir: String, cols: Array[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ExcelDataWriter(dir, partitionId, taskId, cols)
+}
+
+/** Buffers its partition's rows (export-scale by contract — one
+  * workbook's worth) and materializes the file only at task commit.
+  */
+class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[String])
+    extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+  private val tmp = new File(dir, s".part-$partitionId-$taskId.xlsx.tmp")
+
+  override def write(row: InternalRow): Unit =
+    buf += cols.indices.map(i =>
+      if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
+
+  override def commit(): WriterCommitMessage =
+    if (buf.isEmpty) ExcelCommit(None) // empty partition -> no file
+    else {
+      graft.sinks.XlsxWrite.writeXlsx(tmp.getPath, cols.toIndexedSeq, buf)
+      val fin = new File(dir, f"part-$partitionId%05d.xlsx")
+      if (fin.exists()) fin.delete() // idempotent re-commit of a retried job
+      require(tmp.renameTo(fin), s"rename $tmp -> $fin failed")
+      ExcelCommit(Some(fin.getName))
+    }
+
+  override def abort(): Unit = { if (tmp.exists()) tmp.delete(); () }
   override def close(): Unit = ()
 }
