@@ -204,7 +204,10 @@ object PlanGate {
       "admitted index size — the admission index IS the product"),
     "s_lsh_admission_v2" -> ("StateV2.admitStreamV2: same bands × index " +
       "bound as s_lsh_admission, bucket members in a ListState with " +
-      "O(delta) appends and handleInitialState corpus bootstrap")
+      "O(delta) appends and handleInitialState corpus bootstrap"),
+    "s_excel_drop" -> ("StreamOps.excelDropCounts: state = one count row " +
+      "per language — bounded by key cardinality (≤ languages), not by " +
+      "stream history; the drop-dir offset lives driver-side")
   )
 
   /** Streaming-plan audit (round-10 verdict task #7): the batch gate's

@@ -97,9 +97,10 @@ class ExcelTable(tableSchema: StructType, files: Seq[String], dir: Option[String
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExcelScanBuilder(tableSchema, files)
+    new ExcelScanBuilder(tableSchema, files, dir)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val d = dir.getOrElse(throw new IllegalArgumentException(
       "graft.sources.excel: write target must be an existing (primed) directory"))
@@ -107,19 +108,25 @@ class ExcelTable(tableSchema: StructType, files: Seq[String], dir: Option[String
   }
 }
 
-class ExcelScanBuilder(fullSchema: StructType, files: Seq[String])
+class ExcelScanBuilder(fullSchema: StructType, files: Seq[String], dir: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ExcelScan(files, required)
+  override def build(): Scan = new ExcelScan(files, required, dir)
 }
 
 case class ExcelFilePartition(path: String) extends InputPartition
 
-class ExcelScan(files: Seq[String], requiredSchema: StructType)
+class ExcelScan(files: Seq[String], requiredSchema: StructType,
+    dir: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ExcelMicroBatchStream(dir.getOrElse(throw new IllegalArgumentException(
+      "graft.sources.excel: streaming needs a directory path")),
+      requiredSchema.fieldNames)
   override def description(): String =
     s"graft-excel [${files.length} files, cols=${requiredSchema.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
@@ -238,4 +245,49 @@ class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[S
 
   override def abort(): Unit = { if (tmp.exists()) tmp.delete(); () }
   override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------- streaming
+
+/** Offset = the sorted set of workbooks already ingested, serialized as
+  * a JSON string array. Suited to drop directories of up to ~thousands
+  * of files (the offset is re-logged per batch — same order of driver
+  * state as FileStreamSource's seen-files map, without its compaction;
+  * the bound is documented, not silent). Files are immutable-once-
+  * dropped by contract: a batch is the set difference end − start, one
+  * input partition per NEW file.
+  */
+case class ExcelFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object ExcelFilesOffset {
+  def parse(json: String): ExcelFilesOffset = ExcelFilesOffset(
+    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+}
+
+class ExcelMicroBatchStream(dir: String, cols: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNow(): Seq[String] =
+    Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
+      .map(_.map(_.getPath).sorted.toSeq).getOrElse(Seq.empty)
+
+  override def initialOffset(): Offset = ExcelFilesOffset(Seq.empty)
+  override def latestOffset(): Offset = ExcelFilesOffset(listNow())
+  override def deserializeOffset(json: String): Offset = ExcelFilesOffset.parse(json)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ExcelFilesOffset].files.toSet
+    end.asInstanceOf[ExcelFilesOffset].files.filterNot(seen)
+      .map(f => ExcelFilePartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExcelReaderFactory(cols)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

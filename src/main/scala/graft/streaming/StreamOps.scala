@@ -615,9 +615,23 @@ object StreamOps {
         lshDelta, lshCorpus, bands = 16, minEstJ = 0.4),
       "s_lsh_admission_v2" -> StateV2.admitStreamV2(
         lshDelta, lshCorpus, bands = 16, minEstJ = 0.4),
-      "s_type_counts_v2" -> StateV2.runningTypeCountsV2(ev).toDF()
+      "s_type_counts_v2" -> StateV2.runningTypeCountsV2(ev).toDF(),
+      "s_excel_drop" -> excelDropCounts(spark,
+        graft.queries.ExtensionQueries67.excelDir(spark, sfDir))
     )
   }
+
+  /** Drop-directory ingestion over the V2 Excel MicroBatchStream: each
+    * newly dropped workbook becomes one input partition of the next
+    * micro-batch, rolled into per-language running counts. State = one
+    * count row per language (bounded key cardinality, NOT history) —
+    * written bound in [[graft.plans.PlanGate.StreamStateAllow]].
+    */
+  def excelDropCounts(spark: SparkSession, dropDir: String): DataFrame =
+    spark.readStream.format("graft.sources.excel").load(dropDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("chars_sum"))
 
   /** Run a streaming transform over a parquet directory to completion via
     * the memory sink; returns the materialized result table.
