@@ -9,10 +9,12 @@ import graft.core.Tables
   * the training-data curation ops every 100 TB pipeline runs before a
   * single batch is drawn, spelled so the SAME row lands in the SAME
   * sample/split on any engine, any partitioning, any day:
-  * no `rand()`, no `TABLESAMPLE`, no engine hash. The randomizer is the
-  * MINSTD LCG (Park–Miller 1988): `h(id) = 48271·(id+1) mod (2³¹−1)` —
-  * pure BIGINT arithmetic (products ≤ 10¹⁴, exact in any engine),
-  * uniform enough for sampling, and trivially auditable.
+  * no `rand()`, no `TABLESAMPLE`, no engine hash. The randomizer is a
+  * TWO-ROUND MINSTD LCG (Park–Miller 1988 multiplier):
+  * `h(id) = a·(48271·(id+1) mod M + 1) mod M`, `M = 2³¹−1` — pure
+  * BIGINT arithmetic (products ≤ 10¹⁴, exact in any engine), uniform
+  * enough for sampling, and trivially auditable. See [[minstd]] for
+  * why one round is NOT a permutation on small-id corpora.
   *
   * Scale shape: every op here is a narrow projection + filter or a
   * single hash aggregation — no shuffle beyond the rollup; the split
@@ -23,11 +25,18 @@ object ExtensionQueries71 {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** MINSTD hash of a non-negative id column (Spark side). */
-  private def minstd(id: Column): Column =
-    (lit(48271L) * (id + 1L)) % 2147483647L
+  /** Two-round MINSTD hash of a non-negative id column. ONE round is
+    * not enough: for id < ~44 000 the product 48271·(id+1) never wraps
+    * mod 2³¹−1, so ordering by it is ordering by id and its low bits
+    * cycle systematically — the second multiplication wraps thousands
+    * of times and genuinely scrambles. Still pure BIGINT arithmetic
+    * (second product ≤ 48271·2³¹ ≈ 10¹⁴ ≪ 2⁶³ — exact in any engine).
+    */
+  private[queries] def minstd(id: Column, a: Long = 48271L): Column =
+    (lit(a) * ((lit(48271L) * (id + 1L)) % 2147483647L + 1L)) % 2147483647L
 
-  private val minstdSql = "(48271 * (%s + 1)) %% 2147483647"
+  private[queries] def minstdSqlFor(idExpr: String, a: Long = 48271L): String =
+    s"($a * (((48271 * ($idExpr + 1)) % 2147483647) + 1)) % 2147483647"
 
   // --------------------------------------------------------------- q305
 
@@ -46,7 +55,7 @@ object ExtensionQueries71 {
       .orderBy(col("lang"))
 
   val q305Sql: String = {
-    val h = minstdSql.format("doc_id")
+    val h = minstdSqlFor("doc_id")
     s"""SELECT lang, count(*) AS n_sampled,
        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -73,7 +82,7 @@ object ExtensionQueries71 {
       .orderBy(col("split"), col("lang"))
 
   val q306Sql: String = {
-    val h = minstdSql.format("doc_id")
+    val h = minstdSqlFor("doc_id")
     s"""SELECT CASE WHEN $h % 10 < 8 THEN 'train'
        |            WHEN $h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
        |  lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -107,7 +116,7 @@ object ExtensionQueries71 {
   }
 
   val q307Sql: String = {
-    val h = minstdSql.format("k.src_key")
+    val h = minstdSqlFor("k.src_key")
     s"""WITH k AS (
        |  SELECT source, min(doc_id) AS src_key FROM documents GROUP BY source),
        |a AS (

@@ -13,7 +13,8 @@ class ExtensionQueries71Spec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def lcg(id: Long): Long = (48271L * (id + 1)) % 2147483647L
+  private def lcg(id: Long): Long =
+    (48271L * ((48271L * (id + 1)) % 2147483647L + 1)) % 2147483647L
 
   test("q305: sample is deterministic, stratified, and ~1/8 per lang") {
     val a = ExtensionQueries71.q305_stratified_sample(spark, dir)
