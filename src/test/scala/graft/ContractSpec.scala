@@ -88,7 +88,8 @@ class ContractSpec extends SparkSpecBase {
     "extension69" -> (ExtensionQueries69.queries.keySet, ExtensionQueries69.oracle.keySet),
     "extension70" -> (ExtensionQueries70.queries.keySet, ExtensionQueries70.oracle.keySet),
     "extension71" -> (ExtensionQueries71.queries.keySet, ExtensionQueries71.oracle.keySet),
-    "extension72" -> (ExtensionQueries72.queries.keySet, ExtensionQueries72.oracle.keySet))
+    "extension72" -> (ExtensionQueries72.queries.keySet, ExtensionQueries72.oracle.keySet),
+    "extension73" -> (ExtensionQueries73.queries.keySet, ExtensionQueries73.oracle.keySet))
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
     val all = groups.flatMap(_._2._1)
