@@ -12,16 +12,109 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
+  /** THE single registration point for query groups, in registration
+    * order. `queries`, `oracleSql`, AND ContractSpec's invariants all
+    * iterate this list, so a group registered here is automatically under
+    * the name-collision / oracle-subset gates — the round-11 defect (a
+    * group added to the production map but not the hand-maintained test
+    * registry) cannot recur. ContractSpec additionally scans the classpath
+    * for `graft.queries` modules extending [[QueryGroup]] and asserts each
+    * appears here, so an entirely-forgotten group is also impossible.
+    */
+  val groups: Seq[(String, QueryGroup)] = Seq(
+    "relational" -> RelationalQueries,
+    "scoring" -> ScoringQueries,
+    "relational2" -> RelationalQueries2,
+    "relational3" -> RelationalQueries3,
+    "relational4" -> RelationalQueries4,
+    "relational5" -> RelationalQueries5,
+    "streaming" -> StreamingQueries,
+    "extension" -> ExtensionQueries,
+    "extension2" -> ExtensionQueries2,
+    "extension3" -> ExtensionQueries3,
+    "extension4" -> ExtensionQueries4,
+    "extension5" -> ExtensionQueries5,
+    "sketch" -> SketchQueries,
+    "extension6" -> ExtensionQueries6,
+    "extension7" -> ExtensionQueries7,
+    "extension8" -> ExtensionQueries8,
+    "extension9" -> ExtensionQueries9,
+    "extension10" -> ExtensionQueries10,
+    "extension11" -> ExtensionQueries11,
+    "extension12" -> ExtensionQueries12,
+    "extension13" -> ExtensionQueries13,
+    "extension14" -> ExtensionQueries14,
+    "extension15" -> ExtensionQueries15,
+    "extension16" -> ExtensionQueries16,
+    "extension17" -> ExtensionQueries17,
+    "extension18" -> ExtensionQueries18,
+    "extension19" -> ExtensionQueries19,
+    "extension20" -> ExtensionQueries20,
+    "extension21" -> ExtensionQueries21,
+    "extension22" -> ExtensionQueries22,
+    "extension23" -> ExtensionQueries23,
+    "extension24" -> ExtensionQueries24,
+    "extension25" -> ExtensionQueries25,
+    "extension26" -> ExtensionQueries26,
+    "extension27" -> ExtensionQueries27,
+    "extension28" -> ExtensionQueries28,
+    "extension29" -> ExtensionQueries29,
+    "extension30" -> ExtensionQueries30,
+    "extension31" -> ExtensionQueries31,
+    "extension32" -> ExtensionQueries32,
+    "extension33" -> ExtensionQueries33,
+    "extension34" -> ExtensionQueries34,
+    "extension35" -> ExtensionQueries35,
+    "extension36" -> ExtensionQueries36,
+    "extension37" -> ExtensionQueries37,
+    "extension38" -> ExtensionQueries38,
+    "extension39" -> ExtensionQueries39,
+    "extension40" -> ExtensionQueries40,
+    "extension41" -> ExtensionQueries41,
+    "extension42" -> ExtensionQueries42,
+    "extension43" -> ExtensionQueries43,
+    "extension44" -> ExtensionQueries44,
+    "extension45" -> ExtensionQueries45,
+    "extension46" -> ExtensionQueries46,
+    "extension47" -> ExtensionQueries47,
+    "extension48" -> ExtensionQueries48,
+    "extension49" -> ExtensionQueries49,
+    "extension50" -> ExtensionQueries50,
+    "extension51" -> ExtensionQueries51,
+    "extension52" -> ExtensionQueries52,
+    "extension53" -> ExtensionQueries53,
+    "extension54" -> ExtensionQueries54,
+    "extension55" -> ExtensionQueries55,
+    "extension56" -> ExtensionQueries56,
+    "extension57" -> ExtensionQueries57,
+    "extension58" -> ExtensionQueries58,
+    "extension59" -> ExtensionQueries59,
+    "extension60" -> ExtensionQueries60,
+    "extension61" -> ExtensionQueries61,
+    "extension62" -> ExtensionQueries62,
+    "extension63" -> ExtensionQueries63,
+    "extension64" -> ExtensionQueries64,
+    "extension65" -> ExtensionQueries65,
+    "extension66" -> ExtensionQueries66,
+    "extension67" -> ExtensionQueries67,
+    "extension68" -> ExtensionQueries68,
+    "extension69" -> ExtensionQueries69,
+    "extension70" -> ExtensionQueries70,
+    "extension71" -> ExtensionQueries71,
+    "extension72" -> ExtensionQueries72,
+    "extension73" -> ExtensionQueries73,
+    "extension74" -> ExtensionQueries74)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ScoringQueries.queries ++ RelationalQueries2.queries ++ RelationalQueries3.queries ++ RelationalQueries4.queries ++ RelationalQueries5.queries ++ StreamingQueries.queries ++ ExtensionQueries.queries ++ ExtensionQueries2.queries ++ ExtensionQueries3.queries ++ ExtensionQueries4.queries ++ ExtensionQueries5.queries ++ SketchQueries.queries ++ ExtensionQueries6.queries ++ ExtensionQueries7.queries ++ ExtensionQueries8.queries ++ ExtensionQueries9.queries ++ ExtensionQueries10.queries ++ ExtensionQueries11.queries ++ ExtensionQueries12.queries ++ ExtensionQueries13.queries ++ ExtensionQueries14.queries ++ ExtensionQueries15.queries ++ ExtensionQueries16.queries ++ ExtensionQueries17.queries ++ ExtensionQueries18.queries ++ ExtensionQueries19.queries ++ ExtensionQueries20.queries ++ ExtensionQueries21.queries ++ ExtensionQueries22.queries ++ ExtensionQueries23.queries ++ ExtensionQueries24.queries ++ ExtensionQueries25.queries ++ ExtensionQueries26.queries ++ ExtensionQueries27.queries ++ ExtensionQueries28.queries ++ ExtensionQueries29.queries ++ ExtensionQueries30.queries ++ ExtensionQueries31.queries ++ ExtensionQueries32.queries ++ ExtensionQueries33.queries ++ ExtensionQueries34.queries ++ ExtensionQueries35.queries ++ ExtensionQueries36.queries ++ ExtensionQueries37.queries ++ ExtensionQueries38.queries ++ ExtensionQueries39.queries ++ ExtensionQueries40.queries ++ ExtensionQueries41.queries ++ ExtensionQueries42.queries ++ ExtensionQueries43.queries ++ ExtensionQueries44.queries ++ ExtensionQueries45.queries ++ ExtensionQueries46.queries ++ ExtensionQueries47.queries ++ ExtensionQueries48.queries ++ ExtensionQueries49.queries ++ ExtensionQueries50.queries ++ ExtensionQueries51.queries ++ ExtensionQueries52.queries ++ ExtensionQueries53.queries ++ ExtensionQueries54.queries ++ ExtensionQueries55.queries ++ ExtensionQueries56.queries ++ ExtensionQueries57.queries ++ ExtensionQueries58.queries ++ ExtensionQueries59.queries ++ ExtensionQueries60.queries ++ ExtensionQueries61.queries ++ ExtensionQueries62.queries ++ ExtensionQueries63.queries ++ ExtensionQueries64.queries ++ ExtensionQueries65.queries ++ ExtensionQueries66.queries ++ ExtensionQueries67.queries ++ ExtensionQueries68.queries ++ ExtensionQueries69.queries ++ ExtensionQueries70.queries ++ ExtensionQueries71.queries ++ ExtensionQueries72.queries ++ ExtensionQueries73.queries ++ ExtensionQueries74.queries
+    groups.iterator.map(_._2.queries).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (reserved for non-SQL-expressible ops).
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ ScoringQueries.oracle ++ RelationalQueries2.oracle ++ RelationalQueries3.oracle ++ RelationalQueries4.oracle ++ RelationalQueries5.oracle ++ StreamingQueries.oracle ++ ExtensionQueries.oracle ++ ExtensionQueries2.oracle ++ ExtensionQueries3.oracle ++ ExtensionQueries4.oracle ++ ExtensionQueries5.oracle ++ SketchQueries.oracle ++ ExtensionQueries6.oracle ++ ExtensionQueries7.oracle ++ ExtensionQueries8.oracle ++ ExtensionQueries9.oracle ++ ExtensionQueries10.oracle ++ ExtensionQueries11.oracle ++ ExtensionQueries12.oracle ++ ExtensionQueries13.oracle ++ ExtensionQueries14.oracle ++ ExtensionQueries15.oracle ++ ExtensionQueries16.oracle ++ ExtensionQueries17.oracle ++ ExtensionQueries18.oracle ++ ExtensionQueries19.oracle ++ ExtensionQueries20.oracle ++ ExtensionQueries21.oracle ++ ExtensionQueries22.oracle ++ ExtensionQueries23.oracle ++ ExtensionQueries24.oracle ++ ExtensionQueries25.oracle ++ ExtensionQueries26.oracle ++ ExtensionQueries27.oracle ++ ExtensionQueries28.oracle ++ ExtensionQueries29.oracle ++ ExtensionQueries30.oracle ++ ExtensionQueries31.oracle ++ ExtensionQueries32.oracle ++ ExtensionQueries33.oracle ++ ExtensionQueries34.oracle ++ ExtensionQueries35.oracle ++ ExtensionQueries36.oracle ++ ExtensionQueries37.oracle ++ ExtensionQueries38.oracle ++ ExtensionQueries39.oracle ++ ExtensionQueries40.oracle ++ ExtensionQueries41.oracle ++ ExtensionQueries42.oracle ++ ExtensionQueries43.oracle ++ ExtensionQueries44.oracle ++ ExtensionQueries45.oracle ++ ExtensionQueries46.oracle ++ ExtensionQueries47.oracle ++ ExtensionQueries48.oracle ++ ExtensionQueries49.oracle ++ ExtensionQueries50.oracle ++ ExtensionQueries51.oracle ++ ExtensionQueries52.oracle ++ ExtensionQueries53.oracle ++ ExtensionQueries54.oracle ++ ExtensionQueries55.oracle ++ ExtensionQueries56.oracle ++ ExtensionQueries57.oracle ++ ExtensionQueries58.oracle ++ ExtensionQueries59.oracle ++ ExtensionQueries60.oracle ++ ExtensionQueries61.oracle ++ ExtensionQueries62.oracle ++ ExtensionQueries63.oracle ++ ExtensionQueries64.oracle ++ ExtensionQueries65.oracle ++ ExtensionQueries66.oracle ++ ExtensionQueries67.oracle ++ ExtensionQueries68.oracle ++ ExtensionQueries69.oracle ++ ExtensionQueries70.oracle ++ ExtensionQueries71.oracle ++ ExtensionQueries72.oracle ++ ExtensionQueries73.oracle ++ ExtensionQueries74.oracle
+    groups.iterator.map(_._2.oracle).reduce(_ ++ _)
 
   /** [[oracleSql]] with generated mirrors resolved for a specific sf dir
     * (q38/q70 centroid literals are per-trained-dir; see

@@ -1,101 +1,63 @@
 package graft
 
+import java.io.File
+
 import graft.queries._
 
 /** Driver-contract invariants: the query map must not silently lose
   * entries (Map ++ overrides on key collision) and every oracle key must
   * name a real query.
+  *
+  * Round-12 hardening: this spec iterates `SparkEntry.groups` — the SAME
+  * list the production `queries`/`oracleSql` maps are built from — so a
+  * group registered for the driver is covered here by construction (the
+  * round-11 red suite was a hand-maintained copy of that list going
+  * stale). A classpath scan additionally proves no `QueryGroup` module
+  * exists outside the registry at all.
   */
 class ContractSpec extends SparkSpecBase {
 
-  private val groups = Seq(
-    "relational" -> (RelationalQueries.queries.keySet, RelationalQueries.oracle.keySet),
-    "scoring" -> (ScoringQueries.queries.keySet, ScoringQueries.oracle.keySet),
-    "relational2" -> (RelationalQueries2.queries.keySet, RelationalQueries2.oracle.keySet),
-    "relational3" -> (RelationalQueries3.queries.keySet, RelationalQueries3.oracle.keySet),
-    "relational4" -> (RelationalQueries4.queries.keySet, RelationalQueries4.oracle.keySet),
-    "relational5" -> (RelationalQueries5.queries.keySet, RelationalQueries5.oracle.keySet),
-    "streaming" -> (StreamingQueries.queries.keySet, StreamingQueries.oracle.keySet),
-    "extension" -> (ExtensionQueries.queries.keySet, ExtensionQueries.oracle.keySet),
-    "extension2" -> (ExtensionQueries2.queries.keySet, ExtensionQueries2.oracle.keySet),
-    "extension3" -> (ExtensionQueries3.queries.keySet, ExtensionQueries3.oracle.keySet),
-    "extension4" -> (ExtensionQueries4.queries.keySet, ExtensionQueries4.oracle.keySet),
-    "extension5" -> (ExtensionQueries5.queries.keySet, ExtensionQueries5.oracle.keySet),
-    "sketch" -> (SketchQueries.queries.keySet, SketchQueries.oracle.keySet),
-    "extension6" -> (ExtensionQueries6.queries.keySet, ExtensionQueries6.oracle.keySet),
-    "extension7" -> (ExtensionQueries7.queries.keySet, ExtensionQueries7.oracle.keySet),
-    "extension8" -> (ExtensionQueries8.queries.keySet, ExtensionQueries8.oracle.keySet),
-    "extension9" -> (ExtensionQueries9.queries.keySet, ExtensionQueries9.oracle.keySet),
-    "extension10" -> (ExtensionQueries10.queries.keySet, ExtensionQueries10.oracle.keySet),
-    "extension11" -> (ExtensionQueries11.queries.keySet, ExtensionQueries11.oracle.keySet),
-    "extension12" -> (ExtensionQueries12.queries.keySet, ExtensionQueries12.oracle.keySet),
-    "extension13" -> (ExtensionQueries13.queries.keySet, ExtensionQueries13.oracle.keySet),
-    "extension14" -> (ExtensionQueries14.queries.keySet, ExtensionQueries14.oracle.keySet),
-    "extension15" -> (ExtensionQueries15.queries.keySet, ExtensionQueries15.oracle.keySet),
-    "extension16" -> (ExtensionQueries16.queries.keySet, ExtensionQueries16.oracle.keySet),
-    "extension17" -> (ExtensionQueries17.queries.keySet, ExtensionQueries17.oracle.keySet),
-    "extension18" -> (ExtensionQueries18.queries.keySet, ExtensionQueries18.oracle.keySet),
-    "extension19" -> (ExtensionQueries19.queries.keySet, ExtensionQueries19.oracle.keySet),
-    "extension20" -> (ExtensionQueries20.queries.keySet, ExtensionQueries20.oracle.keySet),
-    "extension21" -> (ExtensionQueries21.queries.keySet, ExtensionQueries21.oracle.keySet),
-    "extension22" -> (ExtensionQueries22.queries.keySet, ExtensionQueries22.oracle.keySet),
-    "extension23" -> (ExtensionQueries23.queries.keySet, ExtensionQueries23.oracle.keySet),
-    "extension24" -> (ExtensionQueries24.queries.keySet, ExtensionQueries24.oracle.keySet),
-    "extension25" -> (ExtensionQueries25.queries.keySet, ExtensionQueries25.oracle.keySet),
-    "extension26" -> (ExtensionQueries26.queries.keySet, ExtensionQueries26.oracle.keySet),
-    "extension27" -> (ExtensionQueries27.queries.keySet, ExtensionQueries27.oracle.keySet),
-    "extension28" -> (ExtensionQueries28.queries.keySet, ExtensionQueries28.oracle.keySet),
-    "extension29" -> (ExtensionQueries29.queries.keySet, ExtensionQueries29.oracle.keySet),
-    "extension30" -> (ExtensionQueries30.queries.keySet, ExtensionQueries30.oracle.keySet),
-    "extension31" -> (ExtensionQueries31.queries.keySet, ExtensionQueries31.oracle.keySet),
-    "extension32" -> (ExtensionQueries32.queries.keySet, ExtensionQueries32.oracle.keySet),
-    "extension33" -> (ExtensionQueries33.queries.keySet, ExtensionQueries33.oracle.keySet),
-    "extension34" -> (ExtensionQueries34.queries.keySet, ExtensionQueries34.oracle.keySet),
-    "extension35" -> (ExtensionQueries35.queries.keySet, ExtensionQueries35.oracle.keySet),
-    "extension36" -> (ExtensionQueries36.queries.keySet, ExtensionQueries36.oracle.keySet),
-    "extension37" -> (ExtensionQueries37.queries.keySet, ExtensionQueries37.oracle.keySet),
-    "extension38" -> (ExtensionQueries38.queries.keySet, ExtensionQueries38.oracle.keySet),
-    "extension39" -> (ExtensionQueries39.queries.keySet, ExtensionQueries39.oracle.keySet),
-    "extension40" -> (ExtensionQueries40.queries.keySet, ExtensionQueries40.oracle.keySet),
-    "extension41" -> (ExtensionQueries41.queries.keySet, ExtensionQueries41.oracle.keySet),
-    "extension42" -> (ExtensionQueries42.queries.keySet, ExtensionQueries42.oracle.keySet),
-    "extension43" -> (ExtensionQueries43.queries.keySet, ExtensionQueries43.oracle.keySet),
-    "extension44" -> (ExtensionQueries44.queries.keySet, ExtensionQueries44.oracle.keySet),
-    "extension45" -> (ExtensionQueries45.queries.keySet, ExtensionQueries45.oracle.keySet),
-    "extension46" -> (ExtensionQueries46.queries.keySet, ExtensionQueries46.oracle.keySet),
-    "extension47" -> (ExtensionQueries47.queries.keySet, ExtensionQueries47.oracle.keySet),
-    "extension48" -> (ExtensionQueries48.queries.keySet, ExtensionQueries48.oracle.keySet),
-    "extension49" -> (ExtensionQueries49.queries.keySet, ExtensionQueries49.oracle.keySet),
-    "extension50" -> (ExtensionQueries50.queries.keySet, ExtensionQueries50.oracle.keySet),
-    "extension51" -> (ExtensionQueries51.queries.keySet, ExtensionQueries51.oracle.keySet),
-    "extension52" -> (ExtensionQueries52.queries.keySet, ExtensionQueries52.oracle.keySet),
-    "extension53" -> (ExtensionQueries53.queries.keySet, ExtensionQueries53.oracle.keySet),
-    "extension54" -> (ExtensionQueries54.queries.keySet, ExtensionQueries54.oracle.keySet),
-    "extension55" -> (ExtensionQueries55.queries.keySet, ExtensionQueries55.oracle.keySet),
-    "extension56" -> (ExtensionQueries56.queries.keySet, ExtensionQueries56.oracle.keySet),
-    "extension57" -> (ExtensionQueries57.queries.keySet, ExtensionQueries57.oracle.keySet),
-    "extension58" -> (ExtensionQueries58.queries.keySet, ExtensionQueries58.oracle.keySet),
-    "extension59" -> (ExtensionQueries59.queries.keySet, ExtensionQueries59.oracle.keySet),
-    "extension60" -> (ExtensionQueries60.queries.keySet, ExtensionQueries60.oracle.keySet),
-    "extension61" -> (ExtensionQueries61.queries.keySet, ExtensionQueries61.oracle.keySet),
-    "extension62" -> (ExtensionQueries62.queries.keySet, ExtensionQueries62.oracle.keySet),
-    "extension63" -> (ExtensionQueries63.queries.keySet, ExtensionQueries63.oracle.keySet),
-    "extension64" -> (ExtensionQueries64.queries.keySet, ExtensionQueries64.oracle.keySet),
-    "extension65" -> (ExtensionQueries65.queries.keySet, ExtensionQueries65.oracle.keySet),
-    "extension66" -> (ExtensionQueries66.queries.keySet, ExtensionQueries66.oracle.keySet),
-    "extension67" -> (ExtensionQueries67.queries.keySet, ExtensionQueries67.oracle.keySet),
-    "extension68" -> (ExtensionQueries68.queries.keySet, ExtensionQueries68.oracle.keySet),
-    "extension69" -> (ExtensionQueries69.queries.keySet, ExtensionQueries69.oracle.keySet),
-    "extension70" -> (ExtensionQueries70.queries.keySet, ExtensionQueries70.oracle.keySet),
-    "extension71" -> (ExtensionQueries71.queries.keySet, ExtensionQueries71.oracle.keySet),
-    "extension72" -> (ExtensionQueries72.queries.keySet, ExtensionQueries72.oracle.keySet),
-    "extension73" -> (ExtensionQueries73.queries.keySet, ExtensionQueries73.oracle.keySet))
+  private def groups: Seq[(String, QueryGroup)] = SparkEntry.groups
 
   test("no query-name collisions across groups (Map ++ would drop silently)") {
-    val all = groups.flatMap(_._2._1)
+    val all = groups.flatMap(_._2.queries.keySet)
     assert(all.size == all.distinct.size,
       s"duplicate names: ${all.diff(all.distinct)}")
     assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every QueryGroup module on the classpath is registered in SparkEntry.groups") {
+    // Scan the compiled-classes directory for graft.queries module classes
+    // and assert each QueryGroup instance appears in the registry BY
+    // REFERENCE. A new group file that compiles but was never added to
+    // SparkEntry.groups fails here — the invariant cannot silently narrow.
+    val pkgDir = new File(
+      classOf[QueryGroup].getProtectionDomain.getCodeSource.getLocation.toURI)
+    val queriesDir = new File(pkgDir, "graft/queries")
+    assert(queriesDir.isDirectory, s"expected compiled package dir at $queriesDir")
+    val moduleNames = queriesDir.listFiles()
+      .map(_.getName)
+      .filter(n => n.endsWith("$.class") && !n.contains("$$"))
+      .map(n => "graft.queries." + n.stripSuffix(".class"))
+      .toSeq
+    assert(moduleNames.nonEmpty)
+    val onClasspath = moduleNames.flatMap { cn =>
+      val cls = Class.forName(cn)
+      val inst = cls.getField("MODULE$").get(null)
+      inst match {
+        case qg: QueryGroup => Some(qg)
+        case _ => None
+      }
+    }
+    assert(onClasspath.size >= 82, s"classpath scan degraded: ${onClasspath.size}")
+    val registered = groups.map(_._2).toSet
+    val unregistered = onClasspath.filterNot(registered.contains)
+    assert(unregistered.isEmpty,
+      s"QueryGroup modules missing from SparkEntry.groups: " +
+        unregistered.map(_.getClass.getName).mkString(", "))
+    // and the registry holds no duplicates / phantom entries
+    assert(registered.size == groups.size, "duplicate group registration")
+    assert(groups.map(_._1).distinct.size == groups.size, "duplicate group name")
   }
 
   test("every oracle key names a registered query; q38's oracle appears once trained") {
