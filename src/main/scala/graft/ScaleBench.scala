@@ -27,18 +27,15 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def statsOf(f: => Unit): (Double, Double, Double) = {
-      val ts = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      val s = ts.sorted
-      (s.head, s(1), s.last)
+    def timedReleased(f: => Unit): Double = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val times = sizes.map { n =>
       System.gc()
-      val t = Bench.pipelineBench(spark, statsOf, n).full._2
+      val samples = Bench.pipelineBench(spark, timedReleased, n)
+      val t = samples.map(_.full).sorted.apply(samples.size / 2)
       println(f"pipeline rows=$n%d median=$t%.2f sec")
       n -> t
     }

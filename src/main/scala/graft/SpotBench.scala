@@ -37,9 +37,17 @@ object SpotBench {
       spark.stop(); return
     }
     if (args.head == "pipeline") {
-      val p = Bench.pipelineBench(spark, statsOf)
-      println(f"pipeline_1m=${p.full._2}%.2f sec  csv_scan=${p.csvScan._2}%.2f  " +
-        f"merge_from_parquet=${p.mergeFromParquet._2}%.2f")
+      def timedReleased(f: => Unit): Double = {
+        release(); val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val samples = Bench.pipelineBench(spark, timedReleased)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        println(f"round ${i + 1}: csv=${s.csv}%.2f merge=${s.merge}%.2f " +
+          f"full=${s.full}%.2f canary=${s.canary}%.2f full/sum=${s.full / (s.csv + s.merge)}%.2f")
+      }
+      def med(f: Bench.PipeSample => Double) = samples.map(f).sorted.apply(samples.size / 2)
+      println(f"pipeline_1m=${med(_.full)}%.2f sec  csv_scan=${med(_.csv)}%.2f  " +
+        f"merge_from_parquet=${med(_.merge)}%.2f  canary=${med(_.canary)}%.2f")
       spark.stop(); return
     }
     SparkEntry.queries(args.head)(spark, sfDir)

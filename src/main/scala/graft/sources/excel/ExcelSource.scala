@@ -84,9 +84,14 @@ object ExcelTable {
     }
     raw.flatMap { p =>
       val f = new File(p)
-      if (f.isDirectory)
-        f.listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")).map(_.getPath).sorted.toSeq
-      else Seq(p)
+      if (f.isDirectory) {
+        // listFiles returns null (not empty) on an unreadable dir or an IO
+        // race — surface a descriptive error instead of an NPE
+        val listed = Option(f.listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
+        require(listed.isDefined,
+          s"graft.sources.excel: cannot list directory $p (unreadable or IO race)")
+        listed.get.map(_.getPath).sorted.toSeq
+      } else Seq(p)
     }
   }
 }
@@ -99,8 +104,13 @@ class ExcelTable(tableSchema: StructType, files: Seq[String], dir: Option[String
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExcelScanBuilder(tableSchema, files, dir)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val retention = Option(options.get("streamRetentionMs")).map(_.toLong)
+      .getOrElse(ExcelMicroBatchStream.DefaultRetentionMs)
+    val startAtLatest = Option(options.get("streamStartingPosition"))
+      .exists(_.equalsIgnoreCase("latest"))
+    new ExcelScanBuilder(tableSchema, files, dir, retention, startAtLatest)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val d = dir.getOrElse(throw new IllegalArgumentException(
       "graft.sources.excel: write target must be an existing (primed) directory"))
@@ -108,17 +118,21 @@ class ExcelTable(tableSchema: StructType, files: Seq[String], dir: Option[String
   }
 }
 
-class ExcelScanBuilder(fullSchema: StructType, files: Seq[String], dir: Option[String])
+class ExcelScanBuilder(fullSchema: StructType, files: Seq[String], dir: Option[String],
+    retentionMs: Long = ExcelMicroBatchStream.DefaultRetentionMs,
+    startAtLatest: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ExcelScan(files, required, dir)
+  override def build(): Scan = new ExcelScan(files, required, dir, retentionMs, startAtLatest)
 }
 
 case class ExcelFilePartition(path: String) extends InputPartition
 
 class ExcelScan(files: Seq[String], requiredSchema: StructType,
-    dir: Option[String] = None)
+    dir: Option[String] = None,
+    retentionMs: Long = ExcelMicroBatchStream.DefaultRetentionMs,
+    startAtLatest: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -126,7 +140,7 @@ class ExcelScan(files: Seq[String], requiredSchema: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ExcelMicroBatchStream(dir.getOrElse(throw new IllegalArgumentException(
       "graft.sources.excel: streaming needs a directory path")),
-      requiredSchema.fieldNames)
+      requiredSchema.fieldNames, retentionMs, startAtLatest)
   override def description(): String =
     s"graft-excel [${files.length} files, cols=${requiredSchema.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
@@ -177,13 +191,25 @@ class ExcelPartitionReader(path: String, requiredCols: Array[String])
 /** V2 write: append (`mode("append")`) and truncate-overwrite
   * (`mode("overwrite")`, via [[SupportsTruncate]]). The unit of write is
   * one workbook PER NON-EMPTY PARTITION, built task-side and committed
-  * through the standard two-phase protocol: tasks write
-  * `.part-<p>-<task>.xlsx.tmp` (invisible to the reader's `*.xlsx`
-  * listing), the commit-coordinated winner renames to
-  * `part-<p>.xlsx`, and driver commit (for overwrite) deletes every
-  * part not in the committed set — `_header.xlsx` (the table's schema
-  * record) always survives. Abort deletes the task's temp file, so a
-  * failed job leaves the directory readable at its prior state.
+  * through the standard two-phase protocol, with every filename scoped
+  * by the write's `queryId` so concurrent and successive jobs can never
+  * clobber each other (round-11 advice: `part-<p>.xlsx` names made a
+  * second append silently overwrite the first's workbooks, and abort
+  * deleted EVERY job's temp files):
+  *
+  *   1. tasks write `.part-<jobId>-<p>-<task>.xlsx.tmp`;
+  *   2. task commit renames to the STAGED `.part-<jobId>-<p>.xlsx.staged`
+  *      — still invisible to the reader's `*.xlsx` listing, so a reader
+  *      never sees a job's output before the job-level commit;
+  *   3. job commit publishes each staged file to `part-<jobId>-<p>.xlsx`
+  *      (rename — atomic per file) and, for truncate, deletes every part
+  *      not in the committed set; `_header.xlsx` (the table's schema
+  *      record) always survives. Truncate publishes the new parts first
+  *      and then deletes the stale ones, so the mixed-visibility window
+  *      is the commit instant itself, never a failed job;
+  *   4. job/task abort deletes only THIS job's `.part-<jobId>-*` temp and
+  *      staged files — a concurrent writer's in-flight state is untouched
+  *      and the directory stays readable at its prior contents.
   */
 class ExcelWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -191,43 +217,61 @@ class ExcelWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ExcelBatchWrite(dir, info.schema().fieldNames, doTruncate)
+      new ExcelBatchWrite(dir, info.schema().fieldNames, doTruncate, info.queryId())
   }
 }
 
-case class ExcelCommit(file: Option[String]) extends WriterCommitMessage
+/** `staged` = the task-committed hidden name; final visible name is
+  * derived by the driver commit ([[ExcelBatchWrite.finalName]]).
+  */
+case class ExcelCommit(staged: Option[String]) extends WriterCommitMessage
 
-class ExcelBatchWrite(dir: String, cols: Array[String], truncate: Boolean)
-    extends BatchWrite {
+object ExcelBatchWrite {
+  def finalName(staged: String): String =
+    staged.stripPrefix(".").stripSuffix(".staged")
+}
+
+class ExcelBatchWrite(dir: String, cols: Array[String], truncate: Boolean,
+    jobId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ExcelWriterFactory(dir, cols)
+    new ExcelWriterFactory(dir, cols, jobId)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // publish: staged -> visible, atomically per file
+    val committed = messages.collect { case ExcelCommit(Some(s)) =>
+      val fin = new File(dir, ExcelBatchWrite.finalName(s))
+      if (fin.exists()) fin.delete() // idempotent re-commit of a retried job commit
+      require(new File(dir, s).renameTo(fin), s"publish $s -> $fin failed")
+      fin.getName
+    }.toSet
     if (truncate) {
-      val committed = messages.collect { case ExcelCommit(Some(f)) => f }.toSet
       Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx") &&
           n != "_header.xlsx" && !committed.contains(n)))
         .foreach(_.foreach(_.delete()))
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach { case ExcelCommit(Some(f)) => new File(dir, f).delete(); case _ => }
-    Option(new File(dir).listFiles((_, n) => n.endsWith(".xlsx.tmp")))
+    // only THIS job's in-flight state — never another writer's
+    Option(new File(dir).listFiles((_, n) => n.startsWith(s".part-$jobId-") &&
+        (n.endsWith(".xlsx.tmp") || n.endsWith(".xlsx.staged"))))
       .foreach(_.foreach(_.delete()))
   }
 }
 
-class ExcelWriterFactory(dir: String, cols: Array[String]) extends DataWriterFactory {
+class ExcelWriterFactory(dir: String, cols: Array[String], jobId: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ExcelDataWriter(dir, partitionId, taskId, cols)
+    new ExcelDataWriter(dir, partitionId, taskId, cols, jobId)
 }
 
 /** Buffers its partition's rows (export-scale by contract — one
-  * workbook's worth) and materializes the file only at task commit.
+  * workbook's worth) and materializes the file only at task commit —
+  * into the job-scoped STAGED name; publication to a reader-visible
+  * `*.xlsx` happens only at the job-level commit.
   */
-class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[String])
-    extends DataWriter[InternalRow] {
+class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[String],
+    jobId: String = "nojob") extends DataWriter[InternalRow] {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-  private val tmp = new File(dir, s".part-$partitionId-$taskId.xlsx.tmp")
+  private val tmp = new File(dir, s".part-$jobId-$partitionId-$taskId.xlsx.tmp")
 
   override def write(row: InternalRow): Unit =
     buf += cols.indices.map(i =>
@@ -237,10 +281,10 @@ class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[S
     if (buf.isEmpty) ExcelCommit(None) // empty partition -> no file
     else {
       graft.sinks.XlsxWrite.writeXlsx(tmp.getPath, cols.toIndexedSeq, buf)
-      val fin = new File(dir, f"part-$partitionId%05d.xlsx")
-      if (fin.exists()) fin.delete() // idempotent re-commit of a retried job
-      require(tmp.renameTo(fin), s"rename $tmp -> $fin failed")
-      ExcelCommit(Some(fin.getName))
+      val staged = new File(dir, f".part-$jobId-$partitionId%05d.xlsx.staged")
+      if (staged.exists()) staged.delete() // re-commit of a retried task, same job
+      require(tmp.renameTo(staged), s"rename $tmp -> $staged failed")
+      ExcelCommit(Some(staged.getName))
     }
 
   override def abort(): Unit = { if (tmp.exists()) tmp.delete(); () }
@@ -249,45 +293,130 @@ class ExcelDataWriter(dir: String, partitionId: Int, taskId: Long, cols: Array[S
 
 // ----------------------------------------------------------------- streaming
 
-/** Offset = the sorted set of workbooks already ingested, serialized as
-  * a JSON string array. Suited to drop directories of up to ~thousands
-  * of files (the offset is re-logged per batch — same order of driver
-  * state as FileStreamSource's seen-files map, without its compaction;
-  * the bound is documented, not silent). Files are immutable-once-
-  * dropped by contract: a batch is the set difference end − start, one
-  * input partition per NEW file.
+/** COMPACTED streaming offset (round-11 verdict task #5 — the v1 offset
+  * was the full sorted ingested-file list, re-logged per batch, so a
+  * year-long drop directory grew the offset and the per-batch set diff
+  * without bound). V2 semantics, FileStreamSource's maxFileAge shape
+  * re-expressed as an offset invariant:
+  *
+  *   ingested(offset) = { every file with mtime < cutoff }  ∪  files
+  *
+  * `files` holds (dir-relative name, mtime) pairs only for the RETENTION
+  * WINDOW — names with mtime ≥ cutoff — so the offset's size is bounded
+  * by the window's drop rate, not the directory's lifetime, and a batch
+  * plan is O(window), not O(history). `cutoff` advances monotonically to
+  * `max(mtime) − retention` as new drops arrive; files older than the
+  * window are implied-ingested and drop out of the explicit list.
+  *
+  * Contract (same as FileStreamSource's maxFileAge): a dropped file's
+  * mtime is its drop time; a file that APPEARS bearing an mtime older
+  * than `max-seen-mtime − retention` is treated as already processed and
+  * ignored. Size the retention option above any possible drop-time skew
+  * (default 7 days).
+  *
+  * Names are dir-RELATIVE (round-11 advice: absolute paths made a
+  * relocated drop directory re-ingest everything). Legacy v1 offsets
+  * (plain JSON string array of absolute paths) still parse: entries get
+  * mtime 0 and no cutoff, which preserves their exactly-once meaning.
   */
-case class ExcelFilesOffset(files: Seq[String])
+case class ExcelFilesOffset(cutoff: Long, files: Seq[(String, Long)])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+  def names: Set[String] = files.iterator.map(_._1).toSet
+  override def json(): String = {
+    val fs = files.sortBy(_._1).map { case (n, m) =>
+      "[\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"," + m + "]"
+    }.mkString("[", ",", "]")
+    s"""{"v":2,"cutoff":$cutoff,"files":$fs}"""
+  }
 }
 
 object ExcelFilesOffset {
-  def parse(json: String): ExcelFilesOffset = ExcelFilesOffset(
-    "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq)
+  /** Sentinel "no cutoff": nothing is implied-ingested. */
+  val NoCutoff: Long = Long.MinValue
+  val empty: ExcelFilesOffset = ExcelFilesOffset(NoCutoff, Seq.empty)
+
+  private val Str = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  private val Entry = "\\[\"((?:[^\"\\\\]|\\\\.)*)\",(-?\\d+)\\]".r
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  def parse(json: String): ExcelFilesOffset = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val cutoff = "\"cutoff\":(-?\\d+)".r.findFirstMatchIn(t)
+        .map(_.group(1).toLong).getOrElse(NoCutoff)
+      ExcelFilesOffset(cutoff,
+        Entry.findAllMatchIn(t).map(m => unesc(m.group(1)) -> m.group(2).toLong).toSeq)
+    } else // legacy v1: JSON string array of ingested (absolute) paths
+      ExcelFilesOffset(NoCutoff,
+        Str.findAllMatchIn(t).map(m => unesc(m.group(1)) -> 0L).toSeq)
+  }
 }
 
-class ExcelMicroBatchStream(dir: String, cols: Array[String])
+class ExcelMicroBatchStream(dir: String, cols: Array[String],
+    retentionMs: Long = ExcelMicroBatchStream.DefaultRetentionMs,
+    startAtLatest: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def listNow(): Seq[String] =
-    Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
-      .map(_.map(_.getPath).sorted.toSeq).getOrElse(Seq.empty)
+  /** Monotonic floor for the compaction cutoff — never regresses within a
+    * run or across a restart (deserializeOffset raises it from the
+    * checkpoint), so an offset's implied-ingested set only grows.
+    */
+  @volatile private var cutoffFloor: Long = ExcelFilesOffset.NoCutoff
 
-  override def initialOffset(): Offset = ExcelFilesOffset(Seq.empty)
-  override def latestOffset(): Offset = ExcelFilesOffset(listNow())
-  override def deserializeOffset(json: String): Offset = ExcelFilesOffset.parse(json)
+  private def listNow(): Seq[(String, Long)] =
+    Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
+      .map(_.map(f => f.getName -> f.lastModified()).sortBy(_._1).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Advance the cutoff to max(mtime) − retention (never below the floor)
+    * and keep only the retention window explicit.
+    */
+  private def compact(entries: Seq[(String, Long)]): ExcelFilesOffset = {
+    val cut =
+      if (entries.isEmpty) cutoffFloor
+      else math.max(cutoffFloor, entries.iterator.map(_._2).max - retentionMs)
+    cutoffFloor = cut
+    ExcelFilesOffset(cut, entries.filter(_._2 >= cut))
+  }
+
+  /** `startAtLatest`: treat the directory's current contents as already
+    * ingested (Kafka's startingOffsets=latest analog) — the offset they
+    * compact to is the stream's starting point, so a pre-existing backlog
+    * of e.g. 100k historical exports is never parsed.
+    */
+  override def initialOffset(): Offset =
+    if (startAtLatest) compact(listNow()) else ExcelFilesOffset.empty
+
+  override def latestOffset(): Offset = compact(listNow())
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = ExcelFilesOffset.parse(json)
+    // legacy v1 names were absolute — files are direct children, so the
+    // basename is the dir-relative name
+    val rel = o.copy(files = o.files.map { case (n, m) => new File(n).getName -> m })
+    cutoffFloor = math.max(cutoffFloor, rel.cutoff)
+    rel
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[ExcelFilesOffset].files.toSet
-    end.asInstanceOf[ExcelFilesOffset].files.filterNot(seen)
-      .map(f => ExcelFilePartition(f): InputPartition).toArray
+    val s = start.asInstanceOf[ExcelFilesOffset]
+    val seen = s.names
+    // new = end's explicit window minus start's ingested set (explicit
+    // names ∪ implied mtime<cutoff) — O(window), never O(history)
+    end.asInstanceOf[ExcelFilesOffset].files
+      .collect { case (n, m) if m >= s.cutoff && !seen(n) =>
+        ExcelFilePartition(new File(dir, n).getPath): InputPartition }
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ExcelReaderFactory(cols)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+object ExcelMicroBatchStream {
+  /** Default drop-time-skew tolerance; see the offset contract above. */
+  val DefaultRetentionMs: Long = 7L * 24 * 3600 * 1000
 }

@@ -19,9 +19,64 @@ class ExcelStreamSpec extends SparkSpecBase {
       rows.map { case (l, n) => Seq(l, n.toString) })
 
   test("offset round trip: json() -> parse is identity incl. escapes") {
-    val o = ExcelFilesOffset(Seq("/a/b.xlsx", """/weird"dir\x.xlsx"""))
+    val o = ExcelFilesOffset(1723700000000L,
+      Seq("b.xlsx" -> 1723700001000L, """weird"name\x.xlsx""" -> 1723700002000L))
     assert(ExcelFilesOffset.parse(o.json()) == o)
-    assert(ExcelFilesOffset.parse(ExcelFilesOffset(Nil).json()) == ExcelFilesOffset(Nil))
+    assert(ExcelFilesOffset.parse(ExcelFilesOffset.empty.json()) == ExcelFilesOffset.empty)
+  }
+
+  test("legacy v1 offsets (plain string array) still parse: entries ingested, no cutoff") {
+    val legacy = """["/drop/a.xlsx","/drop/weird\"name.xlsx"]"""
+    val o = ExcelFilesOffset.parse(legacy)
+    assert(o.cutoff == ExcelFilesOffset.NoCutoff)
+    assert(o.files == Seq("/drop/a.xlsx" -> 0L, "/drop/weird\"name.xlsx" -> 0L))
+  }
+
+  test("compacted offsets: 10k pre-ingested files -> bounded offset, O(new) batch") {
+    val d = Files.createTempDirectory("graft_xlsx_compact_").toString
+    // 10k historical drops: names + old mtimes are all the lister touches —
+    // they are never parsed (start-at-latest implies them ingested), so
+    // plain placeholder files stand in for real workbooks
+    val oldMtime = System.currentTimeMillis() - 3600L * 1000
+    (1 to 10000).foreach { i =>
+      val f = new File(d, f"hist-$i%05d.xlsx")
+      Files.createFile(f.toPath)
+      assert(f.setLastModified(oldMtime))
+    }
+    // one real workbook, named to sort FIRST so schema inference reads it
+    // (the placeholders are not valid zip archives)
+    drop(d, "_seed", "en" -> 1)
+    new File(d, "_seed.xlsx").setLastModified(oldMtime)
+    val q = spark.readStream.format("graft.sources.excel")
+      .option("streamStartingPosition", "latest") // backlog = already ingested
+      .option("streamRetentionMs", (60L * 1000).toString) // 1 min window
+      .load(d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("chars_sum"))
+      .writeStream.format("memory").queryName("xlcompact")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("xlcompact").isEmpty, "backlog must not be parsed")
+      drop(d, "fresh1", "en" -> 3)
+      drop(d, "fresh2", "fr" -> 4)
+      q.processAllAvailable()
+      val r = spark.table("xlcompact").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(r == Map("en" -> 3L, "fr" -> 4L))
+      // the checkpointed offset is BOUNDED: the 10k backlog compacted away
+      // behind the cutoff, only the retention window stays explicit
+      val prog = q.lastProgress.sources.head
+      val endOffset = Option(prog.endOffset).getOrElse("")
+      assert(endOffset.contains("cutoff"), s"not a v2 offset: $endOffset")
+      assert(endOffset.length < 2000,
+        s"offset grew with history (len=${endOffset.length}): ${endOffset.take(200)}...")
+      assert(!endOffset.contains("hist-00001"), "backlog leaked into the offset")
+      // and the batches planned only the new files: 2 input rows total
+      // across the whole run — the 10,001-file backlog contributed zero
+      val totalRows = q.recentProgress.map(_.numInputRows).sum
+      assert(totalRows == 2, s"read $totalRows rows, expected the 2 fresh ones")
+    } finally q.stop()
   }
 
   test("drop dir streams: new workbooks arrive as new micro-batches, counted once") {

@@ -68,6 +68,44 @@ class ExcelWriteSpec extends SparkSpecBase {
     assert(spark.read.format("graft.sources.excel").load(d).count() == 2)
   }
 
+  test("two successive append jobs both survive (round-11 advice: unique per-job names)") {
+    val d = primed(Seq("id"))
+    spark.range(3).select(col("id").cast("string").as("id"))
+      .coalesce(1).write.format("graft.sources.excel").mode("append").save(d)
+    spark.range(3, 5).select(col("id").cast("string").as("id"))
+      .coalesce(1).write.format("graft.sources.excel").mode("append").save(d)
+    assert(parts(d).size == 2, s"second append clobbered the first: ${parts(d)}")
+    assert(spark.read.format("graft.sources.excel").load(d).count() == 5)
+  }
+
+  test("job commit publishes atomically; abort is scoped to the failing job") {
+    val d = primed(Seq("x"))
+    def row(s: String) = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // a concurrent writer's in-flight temp — must survive this job's abort
+    val other = new File(d, ".part-otherjob-0-7.xlsx.tmp")
+    Files.createFile(other.toPath)
+    val bw = new graft.sources.excel.ExcelBatchWrite(d, Array("x"),
+      truncate = false, jobId = "thisjob")
+    val w = new ExcelDataWriter(d, 0, 1L, Array("x"), "thisjob")
+    w.write(row("v"))
+    val msg = w.commit() // task-committed -> STAGED, not yet reader-visible
+    assert(parts(d).isEmpty, "staged output leaked to readers before job commit")
+    bw.abort(Array(msg))
+    assert(other.exists(), "abort deleted another job's in-flight temp")
+    assert(!new File(d).listFiles().exists(_.getName.startsWith(".part-thisjob-")),
+      "abort left this job's staged/temp files")
+    assert(parts(d).isEmpty)
+    // and a successful job publishes exactly its staged parts
+    val w2 = new ExcelDataWriter(d, 0, 2L, Array("x"), "job2")
+    w2.write(row("w"))
+    val msg2 = w2.commit()
+    new graft.sources.excel.ExcelBatchWrite(d, Array("x"), truncate = false,
+      jobId = "job2").commit(Array(msg2))
+    assert(parts(d) == Seq("part-job2-00000.xlsx"))
+    other.delete()
+  }
+
   test("task abort leaves no temp or part files") {
     val d = primed(Seq("x"))
     val w = new ExcelDataWriter(d, 0, 42L, Array("x"))
