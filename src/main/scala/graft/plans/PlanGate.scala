@@ -168,6 +168,62 @@ object PlanGate {
           !ObjectNodeAllow.keys.exists(name.startsWith) =>
         out += Violation(name, "object-node",
           s"${n.nodeName} outside the allowlist — per-row/group lambda in the plan")
+
+      // Recursive CTEs (round-11 verdict task #7): the scale-killers of a
+      // UnionLoop are (a) a joining recursive member with NO per-level
+      // dedup — every level multiplies paths instead of visiting nodes
+      // (path enumeration: rows grow as walks, not vertices), and (b) a
+      // recursive member with NO guard predicate on the loop's own
+      // columns — each level re-emits at least as many rows forever, and
+      // the only stop is the engine's cteRecursionLevelLimit error. Both
+      // checks are STRUCTURAL proxies (presence, not sufficiency — a
+      // non-shrinking filter still passes), same contract as the rest of
+      // the gate: the class is pinned by fixtures, the engine's real
+      // queries document their actual bounds in scaladoc. Joins INSIDE
+      // the loop body are additionally swept by the non-equi rule above
+      // (collectWithSubqueries descends into anchor and recursion).
+      case ul: UnionLoop =>
+        // Walk the path from the recursion root down to the UnionLoopRef.
+        // If a Join sits on that path (the frontier fans out), a dedup
+        // must sit ABOVE the topmost such join — a DISTINCT inlined in
+        // the OTHER join branch (the edge list's own dedup) or below the
+        // join does not cap the level: the fan-out itself must be
+        // deduplicated before it becomes the next frontier.
+        def isDedup(p: LogicalPlan): Boolean = p match {
+          case _: Aggregate | _: Deduplicate | _: Distinct => true
+          case _ => false
+        }
+        // Some(ok): subtree contains the loop ref; ok = no join on the
+        // path, or dedup seen above the topmost one
+        def levelCapped(p: LogicalPlan, dedupAbove: Boolean): Option[Boolean] =
+          p match {
+            case _: UnionLoopRef => Some(true)
+            case j: Join if j.exists(_.isInstanceOf[UnionLoopRef]) =>
+              Some(dedupAbove)
+            case _ =>
+              val d = dedupAbove || isDedup(p)
+              p.children.flatMap(c => levelCapped(c, d)).headOption
+          }
+        if (levelCapped(ul.recursion, dedupAbove = false).contains(false))
+          out += Violation(name, "recursive-join-no-dedup",
+            "recursive member joins the loop frontier with no dedup above " +
+              "the join — path enumeration: level sizes grow with walk " +
+              "counts, not vertex counts; add DISTINCT (or an aggregate) " +
+              "per level")
+        val loopRefAttrs = ul.recursion.collect {
+          case r: UnionLoopRef => r.output.map(_.exprId)
+        }.flatten.toSet
+        val guarded = ul.maxDepth.isDefined || ul.limit.isDefined ||
+          ul.recursion.exists {
+            case f: Filter =>
+              f.condition.references.exists(a => loopRefAttrs.contains(a.exprId))
+            case _ => false
+          }
+        if (!guarded)
+          out += Violation(name, "recursive-no-guard",
+            "recursive member has no filter on the loop's own columns (and " +
+              "no MAX RECURSION LEVEL) — nothing shrinks the frontier; the " +
+              "only stop is the cteRecursionLevelLimit error at depth 100")
     }
 
     val udfs = plan.collectWithSubqueries {
@@ -238,7 +294,11 @@ object PlanGate {
         case _: EventTimeWatermark => true
         case _ => false
       }
-      val allowed = StreamStateAllow.keys.exists(name.startsWith)
+      // EXACT key match (round-11 advice): a prefix match would let any
+      // future pipeline whose name merely extends an allowlisted one
+      // (s_zscore_experimental) inherit the exemption without its own
+      // written bound — the _v2 tiers carry their own explicit entries
+      val allowed = StreamStateAllow.contains(name)
       plan.foreach {
         case a: Aggregate if a.isStreaming =>
           if (a.groupingExpressions.isEmpty)

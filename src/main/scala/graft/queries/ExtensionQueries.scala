@@ -13,7 +13,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
   * LSH path (q29) and the hyperplane-LCG ANN path (q31), whose SQL is
   * generated programmatically.
   */
-object ExtensionQueries {
+object ExtensionQueries extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -129,6 +129,16 @@ object ExtensionQueries {
     * top-k, tiny merge) and the rank window then runs over only the 50
     * survivors; a global row_number window here would funnel EVERY candidate
     * pair through one task.
+    *
+    * REGIME BOUND (round-11 10×-rung kc≈0.90-0.91): every document must
+    * be shingled — Ω(total text bytes) map work before the index exists —
+    * and the hot-shingle frequency cap (Dedup.jaccardPairs) keeps the
+    * candidate join sub-quadratic, so the surviving term is the per-row
+    * shingle explosion + hash, embarrassingly parallel. kc climbing
+    * toward 1.0 at bigger rungs is that per-byte floor, not candidate
+    * blowup (the capped posting lists bound pairs per shingle by a
+    * constant; candidate growth is audited the q109 way via SetSimAudit
+    * for the uncapped PPJoin family).
     */
   def q26_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)

@@ -20,7 +20,7 @@ import graft.core.Tables
   *    survivorship (latest value per event type) folded into a single
   *    user-keyed aggregation — no windows, no self-joins.
   */
-object ExtensionQueries14 {
+object ExtensionQueries14 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -171,6 +171,17 @@ object ExtensionQueries14 {
     * sf0.1). The scan stays single-pass, which is the point — profiling
     * 100 TB must not scan per column; q81's HLL is the sketch
     * alternative when exact NDV is not required.
+    *
+    * REGIME BOUND (round-11 10×-rung kc=0.93): EXACT NDV is Ω(n) by
+    * contract — every value must reach the (col_name, value) aggregate
+    * once (any value not hashed could be the one new distinct). The
+    * linear term is the map-side-combined hash of the 7× stack fan-out;
+    * the reduce side is NDV-sized, and l_orderkey's NDV grows ∝ n, so
+    * the exchange itself tracks data size — per-row work end to end,
+    * embarrassingly parallel, nothing quadratic. The passes are already
+    * fused (one scan, long-buffer HashAggregate; the two-phase split is
+    * the MEASURED optimum vs SortAggregate — see above). Sub-linear
+    * profiling = q81's HLL sketch tier, at the cost of exactness.
     */
   def q135_table_profile(s: SparkSession, dir: String): DataFrame = {
     val stackArgs = ProfileCols

@@ -18,7 +18,7 @@ import graft.ops.PrefixScan
   *    complementing q167's KS (which only says how much, at the worst
   *    point).
   */
-object ExtensionQueries29 {
+object ExtensionQueries29 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -34,13 +34,14 @@ object ExtensionQueries29 {
     * `N·(ad−bc)²·10⁶ > 3841459·R₁·R₂·C₁·C₂` (χ²₍₀.₀₅,1₎ = 3.841459).
     *
     * Exactness: the cells fold distributed (map-side combined 1-row
-    * aggregate); the chi-square arithmetic then runs at the DRIVER in
-    * BigInt over the four collected scalars ([[chiSquareExact]]) — exact
-    * at ANY magnitude, matching DuckDB's HUGEINT→unbounded path with no
-    * ceiling. (Through round 10 this tail was chained DECIMAL(20,0)
-    * products, which Spark caps at DECIMAL(38,0) — NULL past num ≈ 1e38,
-    * i.e. ~3·10⁸ rows per cell. A 1-row, 4-scalar driver fold removes
-    * the cliff at zero data-plane cost; round-10 verdict task #6.)
+    * aggregate); the chi-square arithmetic then runs IN THE PLAN via the
+    * [[graft.functions.ChiSq2x2]] BigInteger expressions over the 1-row
+    * aggregate ([[chiSquareExact]]) — exact at ANY magnitude, matching
+    * DuckDB's HUGEINT→unbounded path with no ceiling. (Through round 10
+    * this tail was chained DECIMAL(20,0) products, which Spark caps at
+    * DECIMAL(38,0) — NULL past num ≈ 1e38, i.e. ~3·10⁸ rows per cell;
+    * round 11 moved it to a driver BigInt fold, which broke plan
+    * laziness — round-11 advice returned it to the data plane.)
     *
     * Scale shape: one events scan folds to per-user (variant, bought);
     * the table is a single 1-row aggregate (map-side combined); the
@@ -65,33 +66,23 @@ object ExtensionQueries29 {
   }
 
   /** Exact 2×2 Pearson chi-square over an (a, b, c, d) 1-row cell frame:
-    * collects the four longs (a bounded 1-row collect — the cells are a
-    * global aggregate by construction) and computes
-    * `chi2_micro = N·(ad−bc)²·10⁶ div margins` and the 5% verdict in
-    * BigInt at the driver. Truncating division toward zero on
+    * `chi2_micro = N·(ad−bc)²·10⁶ div margins` and the 5% verdict,
+    * computed by the [[graft.functions.ChiSq2x2]] BigInteger expressions
+    * INSIDE the plan — exact at any magnitude (the round-10 DECIMAL(38)
+    * ceiling stays gone) while the scan stays lazy: constructing the
+    * query no longer executes it, and PlanGate/FleetPlanShapeSpec audit
+    * the real aggregate instead of a pre-folded 1-row LocalRelation
+    * (round-11 advice, medium). Truncating division toward zero on
     * non-negative quantities ≡ DuckDB `//`; a degenerate zero margin
     * yields NULL chi2 (never hit on real data — a margin of zero means a
     * constant factor). Shared by q181 and q280.
     */
   private[graft] def chiSquareExact(s: SparkSession, cells: DataFrame): DataFrame = {
-    val r = cells.collect()(0) // 1 row by construction (global aggregate)
-    val Seq(a, b, c, d) = (0 to 3).map(r.getLong)
-    def bi(x: Long) = BigInt(x)
-    val n = bi(a) + bi(b) + bi(c) + bi(d)
-    val det = bi(a) * bi(d) - bi(b) * bi(c)
-    val num = n * det * det * 1000000
-    val den = (bi(a) + bi(b)) * (bi(c) + bi(d)) * (bi(a) + bi(c)) * (bi(b) + bi(d))
-    val chi2: java.lang.Long =
-      if (den == 0) null else java.lang.Long.valueOf((num / den).longValue)
-    val signif = num > den * 3841459
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("a", LongType), StructField("b", LongType),
-      StructField("c", LongType), StructField("d", LongType),
-      StructField("chi2_micro", LongType),
-      StructField("significant", BooleanType)))
-    s.createDataFrame(java.util.Arrays.asList(
-      org.apache.spark.sql.Row(a, b, c, d, chi2, signif)), schema)
+    import graft.functions.ChiSq2x2
+    val (a, b, c, d) = (col("a"), col("b"), col("c"), col("d"))
+    cells.select(a, b, c, d,
+      ChiSq2x2.chi2Micro(a, b, c, d).as("chi2_micro"),
+      ChiSq2x2.significant(a, b, c, d).as("significant"))
   }
 
   val q181Sql: String =

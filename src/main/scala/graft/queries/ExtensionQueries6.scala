@@ -6,7 +6,7 @@ import graft.core.{CacheScope, Tables}
 import graft.ops.RangeJoin
 
 /** Round-5 widening batch. */
-object ExtensionQueries6 {
+object ExtensionQueries6 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -74,6 +74,16 @@ object ExtensionQueries6 {
     * (auditable training subsets). The cumsum window is per group — the
     * production shape is many strata (sources × quality bands), so state
     * per partition stays bounded; no global window exists here.
+    *
+    * REGIME BOUND (round-11 10×-rung kc=0.87): weighted systematic
+    * sampling is Ω(n) by contract — every row's weight enters the group
+    * cumsum (skip a row and every later boundary shifts), and every
+    * row's md5 fixes the shuffle order. The dominating stage is the
+    * per-group sort under the cumsum window — n·log n with fixed group
+    * count — which parallelizes by strata in the production shape
+    * (many sources × bands). kc approaching 1.0 at bigger rungs is this
+    * per-row floor surfacing as fixed costs wash out, the same regime
+    * as q84; the output side stays ∝ total-weight/step by construction.
     */
   def q87_weighted_sample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -9,7 +9,7 @@ import graft.ops.KCore
 /** Round-6 third batch: k-core decomposition (graph family) and the
   * prefix-filtered exact similarity join (dedup/similarity family).
   */
-object ExtensionQueries9 {
+object ExtensionQueries9 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -118,17 +118,24 @@ object ExtensionQueries9 {
     * against the naive full-index join; the oracle replays prefix
     * construction, candidates, and verification bit-exactly.
     */
-  def q109_prefix_jaccard(s: SparkSession, dir: String): DataFrame = {
+  def q109_prefix_jaccard(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardJoin(q109Shingles(s, dir), "doc_id", "sh", JaccPpm)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q109's (doc_id, 3-shingle) element frame — shared with
+    * [[graft.SetSimAudit]] so the candidate-growth audit counts the
+    * exact frames the query joins.
+    */
+  private[graft] def q109Shingles(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val toks = split(col("text"), " ")
-    val shingles = d
-      .filter(size(toks) >= 3)
+    d.filter(size(toks) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(toks) - 3),
           i => array_join(slice(toks, i + 1, lit(3)), " "))).as("sh"))
-    SetSimJoin.jaccardJoin(shingles, "doc_id", "sh", JaccPpm)
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private[graft] def q109Threshold: Long = JaccPpm
 
   val q109Sql: String = {
     val toks = "string_split(text, ' ')"

@@ -8,7 +8,7 @@ import graft.ops.AsofJoin
 /** Final relational coverage batch: banker's rounding with provable ties,
   * backward as-of join, pivot, distinct counts.
   */
-object RelationalQueries3 {
+object RelationalQueries3 extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame
@@ -18,6 +18,15 @@ object RelationalQueries3 {
     * cases occur and distinguish bround (HALF_EVEN, pandas-faithful) from
     * round (HALF_UP). The oracle implements half-even explicitly via floor
     * parity — DuckDB's own round() is half-away and would NOT match.
+    *
+    * REGIME BOUND (round-11 10×-rung kc=0.93): output = input — every
+    * row is projected, rounded, sorted, and EMITTED, so the query is
+    * Ω(n) on its own output alone; the global sort adds n·log n range
+    * exchange. The projection is pure codegen arithmetic riding the
+    * columnar scan (ExplainAudit: one WholeStageCodegen span over
+    * scan→project; the sort is the output ORDER contract, rows/log-rows
+    * deep). kc≈0.93 IS the per-row asymptote surfacing — same regime
+    * as q13/q14, nothing to fix without dropping the total-order output.
     */
   def q33_bround_ties(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

@@ -12,7 +12,7 @@ import graft.ops.Scoring.{Bucket, ScoringConfig}
   * url_normalize UDF and the data-dependent CTR normalizer — each with a
   * closed-form DuckDB oracle.
   */
-object ScoringQueries {
+object ScoringQueries extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame
@@ -181,6 +181,15 @@ object ScoringQueries {
     * (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
     * (~24% of pairs duplicate), so the full key is the cheapest total
     * order available.
+    *
+    * REGIME BOUND (round-11 10×-rung kc=0.90): output = input — the
+    * normalize_ctr contract emits every row (per-row normalized value),
+    * plus the data-dependent decision needs one full-column aggregate
+    * pass BEFORE any output row is computable (two-pass by semantics,
+    * etl_merge.py's normalize_ctr reads the whole column too). Both
+    * passes are codegen scan→project/agg work that parallelizes with
+    * partitions; the sort is the output-order contract. Same per-row
+    * asymptote regime as q14 (documented k≈1.0) and q33.
     */
   def q13_normalize_ctr_percent(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

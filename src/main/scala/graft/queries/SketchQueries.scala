@@ -24,7 +24,7 @@ import graft.ops.Sketches
   * query carries is the CERTIFICATION cost (a second aggregate at
   * verify-time scale), not the serving path — the q97 precedent.
   */
-object SketchQueries {
+object SketchQueries extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -250,6 +250,18 @@ object SketchQueries {
     * needs). The rank-≤-k filter directly under the window lets Spark
     * plan WindowGroupLimit: each map task pre-prunes to ≤10 rows per
     * group before the shuffle, so the window never sees the full table.
+    *
+    * REGIME BOUND (round-11 10×-rung kc=1.05, ExplainAudit re-verified
+    * WindowGroupLimit present): deterministic sampling is Ω(n) BY
+    * CONTRACT — every row's md5 must be computed before any row can be
+    * excluded (a sample that skips hashing rows is not a pure function
+    * of the data). The shuffle is pre-pruned to ≤10 rows/group/task, so
+    * the linear term is embarrassingly parallel map work (hash + local
+    * top-k) that rides executor count; nothing accumulates
+    * super-linearly. kc≈1.0 here is the information-theoretic floor,
+    * not a plan defect — the sub-linear alternative is sketch sampling
+    * (q82's GK quantiles / reservoir-style), which gives up exact
+    * reproducibility of WHICH rows.
     */
   def q84_bottomk_sample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

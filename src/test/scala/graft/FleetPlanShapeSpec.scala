@@ -198,5 +198,57 @@ class FleetPlanShapeSpec extends SparkSpecBase {
     // a batch frame is not a streaming registration
     assert(kinds("fixture_batch",
       graft.core.Tables.events(spark, sf)).contains("not-streaming"))
+
+    // EXACT allowlist match (round-11 advice): a name that merely EXTENDS
+    // an allowlisted one must NOT inherit its written bound
+    assert(kinds("s_milestones_experimental", fmgws)
+      .contains("keyed-state-no-timeout"),
+      "prefix-extended name inherited the s_milestones exemption")
+  }
+
+  test("the gate rejects unbounded recursive-CTE shapes (fixtures)") {
+    def kinds(name: String, df: org.apache.spark.sql.DataFrame) =
+      graft.plans.PlanGate.audit(name, df).map(_.kind)
+
+    // path enumeration: the recursive member JOINS the frontier but never
+    // dedups a level — rows grow as walks, not vertices
+    val noDedup = spark.sql(
+      s"""WITH RECURSIVE e AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM parquet.`$sf/lineitem.parquet` a
+         |  JOIN parquet.`$sf/lineitem.parquet` b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |), walk(id, dist) AS (
+         |  SELECT p_partkey, 0 FROM parquet.`$sf/part.parquet` WHERE p_partkey < 3
+         |  UNION ALL
+         |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+         |  WHERE w.dist < 4
+         |)
+         |SELECT dist, count(*) AS n FROM walk GROUP BY dist""".stripMargin)
+    assert(kinds("fixture_rec_nodedup", noDedup).contains("recursive-join-no-dedup"),
+      "joining recursive member without per-level DISTINCT must flag")
+
+    // guard-less recursion: no filter on the loop's own columns — each
+    // level re-emits every row forever; only the engine's depth-100 error
+    // stops it. (The audit only OPTIMIZES the plan — nothing executes.)
+    val noGuard = spark.sql(
+      s"""WITH RECURSIVE w(id, d) AS (
+         |  SELECT p_partkey, 0 FROM parquet.`$sf/part.parquet` WHERE p_partkey < 3
+         |  UNION ALL
+         |  SELECT id, d + 1 FROM w
+         |)
+         |SELECT max(d) AS md FROM w""".stripMargin)
+    assert(kinds("fixture_rec_noguard", noGuard).contains("recursive-no-guard"),
+      "recursion with no frontier guard must flag")
+
+    // the three registered recursive queries pass (their guards: q314
+    // cur > 0 value convergence, q315 bal > 0 AND months < 99 belt, q316
+    // DISTINCT-per-level + dist < 4) — also covered by the full sweep,
+    // pinned here so a gate regression is attributable
+    Seq("q314_recursive_hierarchy", "q315_recursive_payoff",
+        "q316_recursive_bfs").foreach { q =>
+      val vs = graft.plans.PlanGate.audit(q, SparkEntry.queries(q)(spark, sf))
+      assert(vs.isEmpty, s"$q: $vs")
+    }
   }
 }

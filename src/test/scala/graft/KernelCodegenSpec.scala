@@ -39,9 +39,17 @@ class KernelCodegenSpec extends SparkSpecBase {
         graft.functions.BandKeys.bandKeys(
           Dedup.minhashFromHashes(col("hashes"), 8), 4).as("bands"),
         graft.functions.VectorOps.hamming(
-          array(lit(0x0F0F), lit(0xFFFF)), array(lit(0x00FF), lit(0))).as("ham"))
+          array(lit(0x0F0F), lit(0xFFFF)), array(lit(0x00FF), lit(0))).as("ham"),
+        // cells depend on a column so constant folding cannot skip codegen;
+        // rows stay proportional (a/b == c/d) -> exactly independent
+        graft.functions.ChiSq2x2.chi2Micro(col("id") * 10, col("id") * 20,
+          col("id") * 30, col("id") * 60).as("chi2"),
+        graft.functions.ChiSq2x2.significant(col("id") * 10, col("id") * 20,
+          col("id") * 30, col("id") * 60).as("sig"))
         .collect()
       assert(out.length == 2)
+      // exactly independent 2x2: chi2 = 0, not significant
+      assert(out.head.getLong(12) == 0L && !out.head.getBoolean(13))
       assert(out.head.getDouble(6) == 1.0 * 4 + 2 * 5 + 3 * 6) // dot sanity
       assert(out.head.getBoolean(0) && !out(1).getBoolean(0)) // bloom: no false negative on 1L
       // hamming: popcount(0x0F0F^0x00FF) + popcount(0xFFFF^0) = 8 + 16
