@@ -103,7 +103,9 @@ object SparkEntry {
     "extension71" -> ExtensionQueries71,
     "extension72" -> ExtensionQueries72,
     "extension73" -> ExtensionQueries73,
-    "extension74" -> ExtensionQueries74)
+    "extension74" -> ExtensionQueries74,
+    "extension75" -> ExtensionQueries75,
+    "extension76" -> ExtensionQueries76)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
