@@ -105,7 +105,8 @@ object SparkEntry {
     "extension73" -> ExtensionQueries73,
     "extension74" -> ExtensionQueries74,
     "extension75" -> ExtensionQueries75,
-    "extension76" -> ExtensionQueries76)
+    "extension76" -> ExtensionQueries76,
+    "extension77" -> ExtensionQueries77)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

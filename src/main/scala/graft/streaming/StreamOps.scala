@@ -290,6 +290,21 @@ object StreamOps {
       .withWatermark("event_ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** `dropDuplicatesWithinWatermark` variant of [[dedupStream]]: the
+    * dedup KEYS carry no event-time column, so plain streaming
+    * dropDuplicates would hold every (user, type) key forever; the
+    * within-watermark contract (Spark 3.5+) evicts a key's state once
+    * the watermark passes its first-seen time + delay — the right
+    * spelling for at-least-once re-delivery dedup where duplicates
+    * arrive within bounded lateness but keys recur over an unbounded
+    * horizon. State is O(keys active inside one watermark window), not
+    * O(all keys ever seen).
+    */
+  def dedupWithinWatermarkStream(events: DataFrame, watermark: String): DataFrame =
+    events.withColumn("event_ts", tsCol)
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Daily active users as a streaming pipeline: per-(user, day) dedup
     * (watermark-bounded dropDuplicates state) feeding a tumbling daily
     * count — CHAINED stateful operators, the streaming form of the q134
@@ -601,6 +616,7 @@ object StreamOps {
       "s_event_window_left" -> eventWindowLeftJoin(ev),
       "s_window_coverage" -> windowCoverageLeftJoin(ev),
       "s_dedup" -> dedupStream(ev, "30 minutes"),
+      "s_dedup_wm" -> dedupWithinWatermarkStream(ev, "30 minutes"),
       "s_dau" -> dailyActiveUsers(ev, "1 hour"),
       "s_milestones" -> spendMilestones(ev, 10000L).toDF(),
       "s_milestones_v2" -> StateV2.spendMilestonesV2(ev, 10000L).toDF(),
