@@ -1,0 +1,97 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Physical-cost audit (`runMain graft.ShuffleAudit <query ...>
+  * [--dirs=d1,d2]`): runs each named query to the noop sink at each SF
+  * dir while a SparkListener accumulates executor metrics, then prints
+  * per-(query, dir) BYTES — shuffle write, shuffle read, input, memory/
+  * disk spill — plus task time, and the cross-dir growth factors.
+  *
+  * Wall clock measures this host; bytes through the shuffle measure the
+  * PLAN. At 1000 executors the shuffle-byte curve (not the local
+  * seconds) decides whether a query rides a 100× scale-up, so the PLANS
+  * evidence for an exponent audit should quote both: t~n^k from
+  * QueryScaleBench and bytes~n^k from here. A query whose wall clock
+  * creeps but whose shuffle bytes grow linearly is floor/host noise; a
+  * query whose shuffle bytes grow super-linearly is a real candidate
+  * blowup no matter what the clock says.
+  */
+object ShuffleAudit {
+
+  final class MetricsAcc extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val input = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val taskTimeMs = new AtomicLong
+    def reset(): Unit = Seq(shuffleWrite, shuffleRead, input, memSpill,
+      diskSpill, taskTimeMs).foreach(_.set(0L))
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        taskTimeMs.addAndGet(m.executorRunTime)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val qs = args.filterNot(_.startsWith("--")).toSeq
+    require(qs.nonEmpty, "usage: ShuffleAudit <query ...> [--dirs=d1,d2]")
+    val dirs = args.find(_.startsWith("--dirs="))
+      .map(_.stripPrefix("--dirs=").split(',').toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new MetricsAcc
+    spark.sparkContext.addSparkListener(acc)
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    def mb(x: Long): String = f"${x / 1048576.0}%.1f"
+    val rows = for (q <- qs) yield q -> (for (d <- dirs) yield {
+      release(); acc.reset()
+      SparkEntry.queries(q)(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      org.apache.spark.graft.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val r = Map(
+        "shufW" -> acc.shuffleWrite.get, "shufR" -> acc.shuffleRead.get,
+        "input" -> acc.input.get, "memSpill" -> acc.memSpill.get,
+        "diskSpill" -> acc.diskSpill.get, "taskMs" -> acc.taskTimeMs.get)
+      println(f"$q%-30s $d  shufW=${mb(r("shufW"))}MB shufR=${mb(r("shufR"))}MB " +
+        f"input=${mb(r("input"))}MB spillMem=${mb(r("memSpill"))}MB " +
+        f"spillDisk=${mb(r("diskSpill"))}MB taskTime=${r("taskMs")}ms")
+      d -> r
+    })
+    rows.foreach { case (q, perDir) =>
+      perDir.sliding(2).foreach {
+        case Seq((d1, a), (d2, b)) =>
+          def g(k: String) =
+            if (a(k) == 0L) "na" else f"${b(k).toDouble / a(k)}%.2f"
+          println(s"growth $q $d1 -> $d2: " +
+            s"shufW=${g("shufW")} shufR=${g("shufR")} input=${g("input")} " +
+            s"taskTime=${g("taskMs")}")
+        case _ =>
+      }
+    }
+    spark.stop()
+  }
+}

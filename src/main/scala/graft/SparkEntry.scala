@@ -106,7 +106,8 @@ object SparkEntry {
     "extension74" -> ExtensionQueries74,
     "extension75" -> ExtensionQueries75,
     "extension76" -> ExtensionQueries76,
-    "extension77" -> ExtensionQueries77)
+    "extension77" -> ExtensionQueries77,
+    "extension78" -> ExtensionQueries78)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
