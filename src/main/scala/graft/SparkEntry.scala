@@ -107,7 +107,8 @@ object SparkEntry {
     "extension75" -> ExtensionQueries75,
     "extension76" -> ExtensionQueries76,
     "extension77" -> ExtensionQueries77,
-    "extension78" -> ExtensionQueries78)
+    "extension78" -> ExtensionQueries78,
+    "extension79" -> ExtensionQueries79)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -24,7 +24,7 @@ import graft.core.Tables
   *  - q132: int8 scalar quantization of embeddings (FAISS SQ8) with a
   *    certified round-to-nearest reconstruction bound.
   */
-object ExtensionQueries13 {
+object ExtensionQueries13 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -78,8 +78,8 @@ object ExtensionQueries13 {
     * and it is identical either way.
     */
   val HashDim = 1024
-  private val WeightMul = 2654435761L // Knuth's 2^32/φ
-  private val WeightMod = 1001L
+  private[queries] val WeightMul = 2654435761L // Knuth's 2^32/φ
+  private[queries] val WeightMod = 1001L
 
   /** q130: per-document linear margin under the hashing trick. Tokens
     * (whitespace, q124's tokenizer) hash through graft_polyhash into
