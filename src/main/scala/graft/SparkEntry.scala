@@ -108,7 +108,8 @@ object SparkEntry {
     "extension76" -> ExtensionQueries76,
     "extension77" -> ExtensionQueries77,
     "extension78" -> ExtensionQueries78,
-    "extension79" -> ExtensionQueries79)
+    "extension79" -> ExtensionQueries79,
+    "extension80" -> ExtensionQueries80)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
