@@ -109,7 +109,8 @@ object SparkEntry {
     "extension77" -> ExtensionQueries77,
     "extension78" -> ExtensionQueries78,
     "extension79" -> ExtensionQueries79,
-    "extension80" -> ExtensionQueries80)
+    "extension80" -> ExtensionQueries80,
+    "extension81" -> ExtensionQueries81)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
