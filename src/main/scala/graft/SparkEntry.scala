@@ -110,7 +110,8 @@ object SparkEntry {
     "extension78" -> ExtensionQueries78,
     "extension79" -> ExtensionQueries79,
     "extension80" -> ExtensionQueries80,
-    "extension81" -> ExtensionQueries81)
+    "extension81" -> ExtensionQueries81,
+    "extension82" -> ExtensionQueries82)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
