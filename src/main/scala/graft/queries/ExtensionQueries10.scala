@@ -12,7 +12,7 @@ import graft.ext.{Bpe, IvfIndex, Similarity, TextAnalysis}
   * merge loop with a recursive CTE over the corpus's DISTINCT pre-tokens
   * — bounded-iteration integer arithmetic, bit-exact cross-engine.
   */
-object ExtensionQueries10 {
+object ExtensionQueries10 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -18,7 +18,7 @@ import graft.ops.LinkPredict
   * blocking artifacts) — green rows prove each scheme's pruning is
   * result-invisible, the same proof shape as q98/q109.
   */
-object ExtensionQueries11 {
+object ExtensionQueries11 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

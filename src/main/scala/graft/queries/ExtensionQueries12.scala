@@ -16,7 +16,7 @@ import graft.ext.{Similarity, Winnowing}
   *    2009) of the BM25 lexical ranking with a cosine vector ranking —
   *    the standard hybrid-search combiner, integer-exact.
   */
-object ExtensionQueries12 {
+object ExtensionQueries12 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

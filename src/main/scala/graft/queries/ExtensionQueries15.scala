@@ -19,7 +19,7 @@ import graft.core.Tables
   *  - q140: seasonal anomaly detection — hourly activity vs the
   *    (weekday, hour) median baseline, flagged by robust MAD bands.
   */
-object ExtensionQueries15 {
+object ExtensionQueries15 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

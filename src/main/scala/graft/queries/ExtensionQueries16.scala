@@ -15,7 +15,7 @@ import graft.ext.Multimodal
   *    survivorship DECISION a dedup pipeline emits (keep the
   *    highest-quality member, drop the rest).
   */
-object ExtensionQueries16 {
+object ExtensionQueries16 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

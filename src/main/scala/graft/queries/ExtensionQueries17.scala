@@ -18,7 +18,7 @@ import graft.core.Tables
   *    embeddings BELOW the positive band: the contrastive-training pair
   *    builder (SimCLR/DPR shape).
   */
-object ExtensionQueries17 {
+object ExtensionQueries17 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q149: funnel conversion-time order statistics — how long signup →
   *    first purchase takes, as exact rank-selected percentiles.
   */
-object ExtensionQueries18 {
+object ExtensionQueries18 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

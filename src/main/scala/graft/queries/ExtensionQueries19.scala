@@ -22,7 +22,7 @@ import graft.ops.{Bfs, DenseIds}
   *  - q155: multi-snapshot time travel — per-user as-of state at K
   *    derived instants in one events pass.
   */
-object ExtensionQueries19 {
+object ExtensionQueries19 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

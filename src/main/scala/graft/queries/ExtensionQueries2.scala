@@ -8,7 +8,7 @@ import graft.ext.{IvfIndex, Similarity}
 /** Embedding-dedup and learned-index ANN — the remaining north-star
   * similarity operators.
   */
-object ExtensionQueries2 {
+object ExtensionQueries2 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

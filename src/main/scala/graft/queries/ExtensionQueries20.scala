@@ -17,7 +17,7 @@ import graft.ext.{Dedup, TextAnalysis}
   *    [[graft.streaming.StreamOps.rollingZscoreAlerts]] (streaming ==
   *    batch pinned in StreamingSpec; batch == DuckDB here).
   */
-object ExtensionQueries20 {
+object ExtensionQueries20 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

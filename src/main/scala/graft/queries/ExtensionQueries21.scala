@@ -16,7 +16,7 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
   *  - q161: LSH band-geometry sweep — q157's quality certificate across
   *    three (bands, rows) configurations in one plan.
   */
-object ExtensionQueries21 {
+object ExtensionQueries21 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -16,7 +16,7 @@ import graft.ops.{DenseIds, PageRank, PrefixScan}
   *  - q164: weighted PageRank over the co-purchase graph — mass splits
   *    by co-purchase multiplicity instead of uniformly.
   */
-object ExtensionQueries22 {
+object ExtensionQueries22 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

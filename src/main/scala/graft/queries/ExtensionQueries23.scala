@@ -14,7 +14,7 @@ import graft.ops.PrefixScan
   *  - q167: exact Kolmogorov–Smirnov drift between order-value halves —
   *    the distribution-shift alarm, via two-phase prefix sums.
   */
-object ExtensionQueries23 {
+object ExtensionQueries23 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -13,7 +13,7 @@ import graft.core.Tables
   *  - q170: co-purchase degree distribution in power-of-two buckets —
   *    graph shape observability without a single float.
   */
-object ExtensionQueries24 {
+object ExtensionQueries24 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -13,7 +13,7 @@ import graft.core.Tables
   *  - q172: foreign-key orphan audit across the star schema — the
   *    integrity gate a warehouse load runs before publishing.
   */
-object ExtensionQueries25 {
+object ExtensionQueries25 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

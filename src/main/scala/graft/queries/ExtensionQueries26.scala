@@ -14,7 +14,7 @@ import graft.ops.DenseIds
   *    distinct pattern, certified against plain COUNT(DISTINCT).
   *  - q175: decile lift table — the classic propensity-model eval.
   */
-object ExtensionQueries26 {
+object ExtensionQueries26 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

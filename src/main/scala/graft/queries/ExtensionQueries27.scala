@@ -15,7 +15,7 @@ import graft.plans.AsofJoinPhysical
   *  - q177: revenue Lorenz curve at decile points — cumulative spend
   *    share via the two-phase prefix-sum scan.
   */
-object ExtensionQueries27 {
+object ExtensionQueries27 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

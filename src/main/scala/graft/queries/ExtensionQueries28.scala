@@ -16,7 +16,7 @@ import graft.ops.{DenseIds, PrefixScan}
   *    "A … then later B" sequential-pattern miner q122's ADJACENT
   *    transition matrix cannot express.
   */
-object ExtensionQueries28 {
+object ExtensionQueries28 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

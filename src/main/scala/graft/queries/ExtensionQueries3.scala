@@ -9,7 +9,7 @@ import graft.ext.{Contamination, TextAnalysis}
   * Gopher-style repetition/quality filtering — the remaining first-class
   * ops a 100 TB pretraining pipeline runs besides dedup/similarity.
   */
-object ExtensionQueries3 {
+object ExtensionQueries3 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -18,7 +18,7 @@ import graft.ops.PrefixScan
   *  - q189: session co-visitation — which pages share sessions, the
   *    related-content signal, bounded by per-session page sets.
   */
-object ExtensionQueries31 {
+object ExtensionQueries31 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

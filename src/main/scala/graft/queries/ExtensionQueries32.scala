@@ -16,7 +16,7 @@ import graft.core.Tables
   *  - q192: per-page dwell time from session islands — the engagement
   *    metric next to q186's entry/exit paths.
   */
-object ExtensionQueries32 {
+object ExtensionQueries32 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -16,7 +16,7 @@ import graft.core.Tables
   *  - q195: lexical diversity per source (TTR, hapax rate) — the
   *    corpus-quality signal behind dedup/quality gates.
   */
-object ExtensionQueries33 {
+object ExtensionQueries33 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

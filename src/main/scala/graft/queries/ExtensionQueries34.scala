@@ -16,7 +16,7 @@ import graft.ops.DenseIds
   *  - q198: Spearman rank correlation — the model-eval tier's monotone
   *    association measure beside q178's AUC and q181's chi-square.
   */
-object ExtensionQueries34 {
+object ExtensionQueries34 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

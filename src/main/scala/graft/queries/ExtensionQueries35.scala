@@ -16,7 +16,7 @@ import graft.core.Tables
   *  - q200: year-over-year monthly revenue growth — the calendar-aligned
   *    BI staple, exact ppm.
   */
-object ExtensionQueries35 {
+object ExtensionQueries35 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

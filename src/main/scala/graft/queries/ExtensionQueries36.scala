@@ -16,7 +16,7 @@ import graft.core.Tables
   *  - q203: join skew diagnosis — per-key fan-out report that feeds the
   *    SkewJoin salting decision.
   */
-object ExtensionQueries36 {
+object ExtensionQueries36 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

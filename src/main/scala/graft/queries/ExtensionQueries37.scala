@@ -14,7 +14,7 @@ import graft.core.Tables
   *  - q205: top-N with OTHERS — the BI rollup that never loses mass.
   *  - q206: hierarchy share-of-parent — region→nation revenue shares.
   */
-object ExtensionQueries37 {
+object ExtensionQueries37 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -15,7 +15,7 @@ import graft.core.Tables
   *  - q209: weekday seasonality index — mean-normalized integer index
   *    per event type.
   */
-object ExtensionQueries38 {
+object ExtensionQueries38 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -16,7 +16,7 @@ import graft.ops.PrefixScan
   *  - q212: functional-dependency discovery — TANE-style A→B checks
   *    with exact violation counts.
   */
-object ExtensionQueries39 {
+object ExtensionQueries39 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -8,7 +8,7 @@ import graft.core.Tables
   * mixture rebalancing — two ops every pretraining pipeline runs between
   * dedup (q25-q29) and packing (q54).
   */
-object ExtensionQueries4 {
+object ExtensionQueries4 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

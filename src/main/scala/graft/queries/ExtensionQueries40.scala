@@ -13,7 +13,7 @@ import graft.ops.{DenseIds, PrefixScan}
   *  - q214: ABC revenue classification of parts (the 80/15/5 split).
   *  - q215: fulfillment latency percentiles per order priority.
   */
-object ExtensionQueries40 {
+object ExtensionQueries40 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

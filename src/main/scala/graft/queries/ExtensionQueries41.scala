@@ -15,7 +15,7 @@ import graft.core.Tables
   *  - q218: abuse heuristic report — burst-rate flags from exact
   *    per-user inter-arrival statistics.
   */
-object ExtensionQueries41 {
+object ExtensionQueries41 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q221: duplicate payment detection — same user, same amount,
   *    within 5 minutes.
   */
-object ExtensionQueries42 {
+object ExtensionQueries42 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

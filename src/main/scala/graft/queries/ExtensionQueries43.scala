@@ -13,7 +13,7 @@ import graft.core.Tables
   *  - q223: dead-dimension screen — per-dimension variance floor.
   *  - q224: truncation loss at context K — docs and tokens lost.
   */
-object ExtensionQueries43 {
+object ExtensionQueries43 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

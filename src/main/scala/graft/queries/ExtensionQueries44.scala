@@ -15,7 +15,7 @@ import graft.core.Tables
   *  - q227: mutual-kNN reciprocity — the neighborhood-quality metric of
   *    the kNN graph behind every embedding tier.
   */
-object ExtensionQueries44 {
+object ExtensionQueries44 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

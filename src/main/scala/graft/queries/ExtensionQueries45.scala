@@ -14,7 +14,7 @@ import graft.ext.Similarity
   *  - q229: kNN confusion matrix — WHERE the q159 classifier errs.
   *  - q230: Cohen's kappa between two quality raters.
   */
-object ExtensionQueries45 {
+object ExtensionQueries45 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

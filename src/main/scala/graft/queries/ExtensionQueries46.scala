@@ -14,7 +14,7 @@ import graft.core.Tables
   *  - q233: codec advisor — run counts and NDV ratios per column, with
   *    block-edge-corrected two-phase run counting.
   */
-object ExtensionQueries46 {
+object ExtensionQueries46 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

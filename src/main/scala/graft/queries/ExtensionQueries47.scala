@@ -16,7 +16,7 @@ import graft.ops.DenseIds
   *  - q236: index of dispersion — Poisson-ness of the per-order line
   *    count.
   */
-object ExtensionQueries47 {
+object ExtensionQueries47 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

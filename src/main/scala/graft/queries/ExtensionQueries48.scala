@@ -11,7 +11,7 @@ import graft.core.Tables
   *  - q238: hourly load factor per event type.
   *  - q239: signed φ² association matrix between event types.
   */
-object ExtensionQueries48 {
+object ExtensionQueries48 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -16,7 +16,7 @@ import graft.core.Tables
   *  - q242: error-recovery rate — errors followed by activity within
   *    a minute vs abandoned.
   */
-object ExtensionQueries49 {
+object ExtensionQueries49 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

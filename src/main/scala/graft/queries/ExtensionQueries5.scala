@@ -14,7 +14,7 @@ import graft.functions.BloomMightContain
   * contract: long-only sums, integer `div`, interpolated percentiles, and
   * per-row IEEE arithmetic that both engines execute identically.
   */
-object ExtensionQueries5 {
+object ExtensionQueries5 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

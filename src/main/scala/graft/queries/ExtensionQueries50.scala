@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q244: Heaps'-law curve — vocabulary growth at corpus prefixes.
   *  - q245: round-number bias — the fabricated-amounts screen.
   */
-object ExtensionQueries50 {
+object ExtensionQueries50 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -14,7 +14,7 @@ import graft.core.Tables
   *  - q248: cluster transitivity drift — the weakest pairwise Jaccard
   *    inside each near-dup cluster.
   */
-object ExtensionQueries51 {
+object ExtensionQueries51 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

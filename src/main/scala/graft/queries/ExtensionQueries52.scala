@@ -14,7 +14,7 @@ import graft.core.Tables
   *    (entry, exit) path.
   *  - q251: encoding health — UTF-8 byte overhead per source.
   */
-object ExtensionQueries52 {
+object ExtensionQueries52 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -14,7 +14,7 @@ import graft.ops.{DenseIds, PrefixScan}
   *  - q254: autocomplete prefix table — top completion per 3-char
   *    prefix.
   */
-object ExtensionQueries53 {
+object ExtensionQueries53 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

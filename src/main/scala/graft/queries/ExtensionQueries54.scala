@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q257: NDV interaction factor — how far column pairs sit from
   *    statistical independence.
   */
-object ExtensionQueries54 {
+object ExtensionQueries54 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

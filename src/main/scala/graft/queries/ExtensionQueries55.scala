@@ -13,7 +13,7 @@ import graft.ops.PrefixScan
   *  - q260: line-position effects — does item value drift along the
   *    order?
   */
-object ExtensionQueries55 {
+object ExtensionQueries55 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -16,7 +16,7 @@ import graft.ops.DenseIds
   *  - q263: rank movers — parts whose revenue rank shifted most
   *    between halves.
   */
-object ExtensionQueries56 {
+object ExtensionQueries56 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

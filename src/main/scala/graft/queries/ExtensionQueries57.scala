@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q265: first-session conversion effect.
   *  - q266: vocabulary emergence leaderboard between corpus halves.
   */
-object ExtensionQueries57 {
+object ExtensionQueries57 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -12,7 +12,7 @@ import graft.ops.{DenseIds, PrefixScan}
   *  - q268: cohort activity half-life.
   *  - q269: ABC × XYZ inventory matrix.
   */
-object ExtensionQueries58 {
+object ExtensionQueries58 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -13,7 +13,7 @@ import graft.core.Tables
   *  - q271: cluster provenance audit over the q42 clusters.
   *  - q272: 10%-trimmed mean per segment.
   */
-object ExtensionQueries59 {
+object ExtensionQueries59 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

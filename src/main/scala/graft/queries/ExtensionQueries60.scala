@@ -12,7 +12,7 @@ import graft.core.Tables
   *  - q274: whale-order dependence per customer.
   *  - q275: within-session event-type lift.
   */
-object ExtensionQueries60 {
+object ExtensionQueries60 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

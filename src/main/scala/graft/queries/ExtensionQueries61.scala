@@ -13,7 +13,7 @@ import graft.core.Tables
   *    session.
   *  - q278: naive forecast backtest over weekly event volume.
   */
-object ExtensionQueries61 {
+object ExtensionQueries61 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -14,7 +14,7 @@ import graft.core.Tables
   *  - q281: weekly volume persistence — the lag-1 autocovariance
   *    numerator.
   */
-object ExtensionQueries62 {
+object ExtensionQueries62 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -25,7 +25,7 @@ import graft.core.Tables
   * `time_bucket`'s 2000-01-01 origin is hour-aligned with the epoch, so
   * hour/30-min buckets agree; the session mirror uses pure integer µs).
   */
-object ExtensionQueries63 {
+object ExtensionQueries63 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

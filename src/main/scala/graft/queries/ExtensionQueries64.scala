@@ -23,7 +23,7 @@ import graft.ext.{Bpe, ModelStore, PqIndex, TextAnalysis}
   * as literals exactly like a trained one; store I/O is a few KB of
   * parquet per model, once per session.
   */
-object ExtensionQueries64 {
+object ExtensionQueries64 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -18,7 +18,7 @@ import graft.ext.TextAnalysis
   * All three stay exact-integer end to end (ppm arithmetic, no
   * transcendentals) so the DuckDB mirrors hash bit-exactly.
   */
-object ExtensionQueries65 {
+object ExtensionQueries65 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -24,7 +24,7 @@ import graft.core.Tables
   * All three stay exact-integer/string so the mirrors hash bit-exactly;
   * none introduces a new shuffle shape (plain hash aggregations).
   */
-object ExtensionQueries66 {
+object ExtensionQueries66 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

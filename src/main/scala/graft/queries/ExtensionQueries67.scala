@@ -24,7 +24,7 @@ import graft.sinks.XlsxWrite
   * drops, not lake data) — so q296 declares `broadcast()` on the Excel
   * side of its join against the lake table, the plan PlanGate expects.
   */
-object ExtensionQueries67 {
+object ExtensionQueries67 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

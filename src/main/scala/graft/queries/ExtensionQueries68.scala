@@ -18,7 +18,7 @@ import graft.core.Tables
   * sorted-entries → "k:v,k:v" idiom, which is also the deterministic
   * cross-engine spelling (string_agg ... ORDER BY in DuckDB).
   */
-object ExtensionQueries68 {
+object ExtensionQueries68 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -25,7 +25,7 @@ import graft.core.Tables
   * All mirrors recompute from the source columns — the gate is "typed
   * extraction returns exactly what the source wrote".
   */
-object ExtensionQueries69 {
+object ExtensionQueries69 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

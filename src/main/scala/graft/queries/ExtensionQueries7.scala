@@ -9,7 +9,7 @@ import graft.ext.{Dedup, PcaProject, Similarity, TextAnalysis}
   * File-per-round keeps the query modules reviewable (see
   * ExtensionQueries..6 for rounds 2-5).
   */
-object ExtensionQueries7 {
+object ExtensionQueries7 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

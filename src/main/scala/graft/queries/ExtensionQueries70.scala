@@ -18,7 +18,7 @@ import graft.sources.excel.ExcelTable
   * fan-out, temp-file + rename commit, truncate semantics — all sits
   * between the lake table and the hash.
   */
-object ExtensionQueries70 {
+object ExtensionQueries70 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -21,7 +21,7 @@ import graft.core.Tables
   * column is computed per-row with no coordination (that's the point:
   * coordination-free reproducible assignment).
   */
-object ExtensionQueries71 {
+object ExtensionQueries71 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

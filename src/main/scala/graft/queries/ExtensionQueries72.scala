@@ -13,7 +13,7 @@ import graft.ops.PrefixScan
   * cumulative sums ride [[PrefixScan.prefixSumsInclusive]] (two-phase
   * range-partitioned scan), top-k rides per-epoch TakeOrdered limits.
   */
-object ExtensionQueries72 {
+object ExtensionQueries72 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -19,7 +19,7 @@ import graft.core.Tables
   * (lowercase hex in both engines), aggregated as distinct/min/max per
   * group so no raw text reaches the result.
   */
-object ExtensionQueries73 {
+object ExtensionQueries73 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

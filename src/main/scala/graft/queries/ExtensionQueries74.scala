@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the recursive-CTE tier is the data-plane analogue a SQL-first user
   * expects from an analytics engine.
   */
-object ExtensionQueries74 {
+object ExtensionQueries74 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

@@ -10,7 +10,7 @@ import graft.ops.{CountMin, Triangles}
   * sketch tier, corpus-frequency surprisal scoring, and triangle
   * counting — each with a bit-exact DuckDB mirror.
   */
-object ExtensionQueries8 {
+object ExtensionQueries8 extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 

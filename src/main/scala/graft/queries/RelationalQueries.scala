@@ -18,7 +18,7 @@ import graft.core.{FpSafe, PandasCompat, Tables}
   *    across engines AND across partitionings — at extreme row counts these
   *    would be upgraded to DecimalType(38,4) sums, which Spark vectorizes).
   */
-object RelationalQueries {
+object RelationalQueries extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame

@@ -10,7 +10,7 @@ import graft.core.{FpSafe, Tables}
   * operations, analytic windows with frames, date bucketing, JSON
   * extraction, join variants, rollup, sessionization.
   */
-object RelationalQueries2 {
+object RelationalQueries2 extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame

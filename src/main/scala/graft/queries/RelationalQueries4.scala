@@ -8,7 +8,7 @@ import graft.core.{FpSafe, Tables}
 /** Coverage batch 4: RANGE window frames, rank-distribution functions,
   * and the scalar string library.
   */
-object RelationalQueries4 {
+object RelationalQueries4 extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{FpSafe, Tables}
 
 /** Coverage batch 5: collection/conditional aggregates and unpivot. */
-object RelationalQueries5 {
+object RelationalQueries5 extends QueryGroup {
   import FpSafe._
 
   type Q = (SparkSession, String) => DataFrame

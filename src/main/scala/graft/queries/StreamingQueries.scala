@@ -10,7 +10,7 @@ import graft.core.Tables
   * (streaming == batch is pinned in StreamingSpec; batch == DuckDB here —
   * the standard two-hop certification for Structured Streaming).
   */
-object StreamingQueries {
+object StreamingQueries extends QueryGroup {
 
   type Q = (SparkSession, String) => DataFrame
 
