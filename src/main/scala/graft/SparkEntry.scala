@@ -111,7 +111,8 @@ object SparkEntry {
     "extension79" -> ExtensionQueries79,
     "extension80" -> ExtensionQueries80,
     "extension81" -> ExtensionQueries81,
-    "extension82" -> ExtensionQueries82)
+    "extension82" -> ExtensionQueries82,
+    "extension83" -> ExtensionQueries83)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
