@@ -112,7 +112,8 @@ object SparkEntry {
     "extension80" -> ExtensionQueries80,
     "extension81" -> ExtensionQueries81,
     "extension82" -> ExtensionQueries82,
-    "extension83" -> ExtensionQueries83)
+    "extension83" -> ExtensionQueries83,
+    "extension84" -> ExtensionQueries84)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
