@@ -70,13 +70,16 @@ object ExtensionQueries78 extends QueryGroup {
 
   // --------------------------------------------------------------- q327
 
-  /** q327: a SQL-scripting compound statement — 1%/month compound
-    * growth on 10000 cents until it doubles, one row per month from a
-    * WHILE loop into a session-scoped temp view the script's final
-    * SELECT returns. The mirror derives the identical schedule with a
-    * recursive CTE — procedural and declarative spellings certified
-    * equal. (Integer cents with truncating div, so the trajectories are
-    * bit-identical.)
+  /** q327: a SQL-scripting compound statement — 5%/month compound
+    * growth on 10000 cents until it doubles (~15 months), one row per
+    * month from a WHILE loop the script's final SELECT returns. The
+    * mirror derives the identical schedule with a recursive CTE —
+    * procedural and declarative spellings certified equal. (Integer
+    * cents with truncating div, so the trajectories are bit-identical.
+    * Scripting cost note: each loop statement is a driver-side
+    * interpreter step, SF-independent — ~0.1 s per iteration; the rate
+    * is chosen so the cert costs ~1.5 s, not the 1%/month spelling's
+    * ~5.5 s of pure interpreter time.)
     */
   def q327_sql_scripting(s: SparkSession, dir: String): DataFrame =
     s.sql(
@@ -87,7 +90,7 @@ object ExtensionQueries78 extends QueryGroup {
         |    DEFAULT ARRAY(NAMED_STRUCT('month', 0L, 'bal_cents', 10000L));
         |  WHILE bal < 20000 DO
         |    SET m = m + 1;
-        |    SET bal = bal + bal DIV 100;
+        |    SET bal = bal + (bal * 5) DIV 100;
         |    SET rows_acc = ARRAY_APPEND(rows_acc,
         |      NAMED_STRUCT('month', m, 'bal_cents', bal));
         |  END WHILE;
@@ -100,7 +103,7 @@ object ExtensionQueries78 extends QueryGroup {
     """WITH RECURSIVE g(month, bal_cents) AS (
       |  SELECT CAST(0 AS BIGINT), CAST(10000 AS BIGINT)
       |  UNION ALL
-      |  SELECT month + 1, bal_cents + bal_cents // 100
+      |  SELECT month + 1, bal_cents + (bal_cents * 5) // 100
       |  FROM g WHERE bal_cents < 20000
       |)
       |SELECT month, bal_cents FROM g ORDER BY month""".stripMargin

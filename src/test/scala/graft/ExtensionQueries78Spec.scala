@@ -39,7 +39,7 @@ class ExtensionQueries78Spec extends SparkSpecBase {
   test("q327: the scripted schedule equals the driver loop") {
     val sched = scala.collection.mutable.ArrayBuffer((0L, 10000L))
     var (m, b) = (0L, 10000L)
-    while (b < 20000) { m += 1; b = b + b / 100; sched += ((m, b)) }
+    while (b < 20000) { m += 1; b = b + b * 5 / 100; sched += ((m, b)) }
     val rows = ExtensionQueries78.q327_sql_scripting(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows == sched.toSeq)
