@@ -113,7 +113,8 @@ object SparkEntry {
     "extension81" -> ExtensionQueries81,
     "extension82" -> ExtensionQueries82,
     "extension83" -> ExtensionQueries83,
-    "extension84" -> ExtensionQueries84)
+    "extension84" -> ExtensionQueries84,
+    "extension85" -> ExtensionQueries85)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
