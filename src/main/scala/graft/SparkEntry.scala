@@ -114,7 +114,8 @@ object SparkEntry {
     "extension82" -> ExtensionQueries82,
     "extension83" -> ExtensionQueries83,
     "extension84" -> ExtensionQueries84,
-    "extension85" -> ExtensionQueries85)
+    "extension85" -> ExtensionQueries85,
+    "extension86" -> ExtensionQueries86)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
