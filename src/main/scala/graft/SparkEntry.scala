@@ -115,7 +115,8 @@ object SparkEntry {
     "extension83" -> ExtensionQueries83,
     "extension84" -> ExtensionQueries84,
     "extension85" -> ExtensionQueries85,
-    "extension86" -> ExtensionQueries86)
+    "extension86" -> ExtensionQueries86,
+    "extension87" -> ExtensionQueries87)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
