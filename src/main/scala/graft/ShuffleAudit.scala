@@ -29,17 +29,33 @@ object ShuffleAudit {
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
     val taskTimeMs = new AtomicLong
-    def reset(): Unit = Seq(shuffleWrite, shuffleRead, input, memSpill,
-      diskSpill, taskTimeMs).foreach(_.set(0L))
+    /** attempts NOT counted (failed, or a later attempt of an
+      * already-counted stage) — a nonzero value means this sample saw
+      * retries and should be flagged, not silently inflated.
+      */
+    val skippedAttempts = new AtomicLong
+    private val counted =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    def reset(): Unit = {
+      Seq(shuffleWrite, shuffleRead, input, memSpill,
+        diskSpill, taskTimeMs, skippedAttempts).foreach(_.set(0L))
+      counted.clear()
+    }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
+      val info = sc.stageInfo
+      val m = info.taskMetrics
+      // count each stage ONCE, from its first successful attempt — a
+      // retried stage otherwise double-counts its shuffle/input bytes
+      // and skews the cross-dir growth factors this tool exists to report
       if (m != null) {
-        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        input.addAndGet(m.inputMetrics.bytesRead)
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        taskTimeMs.addAndGet(m.executorRunTime)
+        if (info.failureReason.isEmpty && counted.add(info.stageId)) {
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          input.addAndGet(m.inputMetrics.bytesRead)
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          taskTimeMs.addAndGet(m.executorRunTime)
+        } else skippedAttempts.incrementAndGet()
       }
     }
   }
@@ -76,9 +92,13 @@ object ShuffleAudit {
         "shufW" -> acc.shuffleWrite.get, "shufR" -> acc.shuffleRead.get,
         "input" -> acc.input.get, "memSpill" -> acc.memSpill.get,
         "diskSpill" -> acc.diskSpill.get, "taskMs" -> acc.taskTimeMs.get)
+      val retryNote =
+        if (acc.skippedAttempts.get > 0)
+          s" [${acc.skippedAttempts.get} retried/failed stage attempts excluded]"
+        else ""
       println(f"$q%-30s $d  shufW=${mb(r("shufW"))}MB shufR=${mb(r("shufR"))}MB " +
         f"input=${mb(r("input"))}MB spillMem=${mb(r("memSpill"))}MB " +
-        f"spillDisk=${mb(r("diskSpill"))}MB taskTime=${r("taskMs")}ms")
+        f"spillDisk=${mb(r("diskSpill"))}MB taskTime=${r("taskMs")}ms$retryNote")
       d -> r
     })
     rows.foreach { case (q, perDir) =>

@@ -86,7 +86,11 @@ object ExtensionQueries87 extends QueryGroup {
         max(col("disp")).as("max_disp"),
         sum(when(col("disp") === 0, 1L).otherwise(0L)).as("fixed_points"))
       .select(col("n"), col("sum_disp"), col("max_disp"), col("fixed_points"),
-        expr("sum_disp * 1000000L div (n * n)").as("mean_disp_ppm_of_n"))
+        // widen to DECIMAL(38,0) before the ×1e6: sum_disp ≈ n²/3 overflows
+        // LongType at n ≈ 5e6 docs, while the DuckDB mirror promotes to
+        // HUGEINT; decimal keeps both exact to n ≈ 1.7e16 (product < 1e38)
+        expr("CAST(CAST(sum_disp AS DECIMAL(38,0)) * 1000000 div (n * n) AS BIGINT)")
+          .as("mean_disp_ppm_of_n"))
   }
 
   val q354Sql: String =

@@ -238,9 +238,17 @@ class ExcelBatchWrite(dir: String, cols: Array[String], truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // publish: staged -> visible, atomically per file
     val committed = messages.collect { case ExcelCommit(Some(s)) =>
+      val staged = new File(dir, s)
       val fin = new File(dir, ExcelBatchWrite.finalName(s))
-      if (fin.exists()) fin.delete() // idempotent re-commit of a retried job commit
-      require(new File(dir, s).renameTo(fin), s"publish $s -> $fin failed")
+      if (staged.exists()) { // first commit: publish staged -> visible
+        if (fin.exists()) fin.delete()
+        require(staged.renameTo(fin), s"publish $s -> $fin failed")
+      } else {
+        // retried job commit: the staged file was already renamed away by
+        // the first attempt — the published part IS the committed state;
+        // deleting it here would lose the data and then fail the rename
+        require(fin.exists(), s"neither staged $s nor published $fin exists")
+      }
       fin.getName
     }.toSet
     if (truncate) {
@@ -365,6 +373,19 @@ class ExcelMicroBatchStream(dir: String, cols: Array[String],
     */
   @volatile private var cutoffFloor: Long = ExcelFilesOffset.NoCutoff
 
+  /** Earliest-start contract: the FIRST listing of a fresh stream is
+    * emitted UNCOMPACTED (cutoff stays [[ExcelFilesOffset.NoCutoff]],
+    * every file explicit), so a pre-existing backlog older than
+    * max(mtime) − retention is planned into batch 0 instead of being
+    * implied-ingested by an advanced cutoff — `FileStreamSource` parity,
+    * whose SeenFilesMap accepts everything in the first listing
+    * regardless of maxFileAge. Compaction arms from the second listing
+    * on; a restart is safe because deserializeOffset restores the
+    * checkpointed cutoff into [[cutoffFloor]] before latestOffset runs.
+    * startAtLatest=true arms immediately (its initialOffset compacts).
+    */
+  @volatile private var compactionArmed: Boolean = startAtLatest
+
   private def listNow(): Seq[(String, Long)] =
     Option(new File(dir).listFiles((_, n) => n.toLowerCase.endsWith(".xlsx")))
       .map(_.map(f => f.getName -> f.lastModified()).sortBy(_._1).toSeq)
@@ -389,7 +410,16 @@ class ExcelMicroBatchStream(dir: String, cols: Array[String],
   override def initialOffset(): Offset =
     if (startAtLatest) compact(listNow()) else ExcelFilesOffset.empty
 
-  override def latestOffset(): Offset = compact(listNow())
+  override def latestOffset(): Offset = {
+    val entries = listNow()
+    if (!compactionArmed && cutoffFloor == ExcelFilesOffset.NoCutoff) {
+      compactionArmed = true
+      ExcelFilesOffset(ExcelFilesOffset.NoCutoff, entries)
+    } else {
+      compactionArmed = true
+      compact(entries)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val o = ExcelFilesOffset.parse(json)

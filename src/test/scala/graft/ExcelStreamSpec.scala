@@ -79,6 +79,41 @@ class ExcelStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("earliest start plans a pre-retention backlog into batch 0, then compacts (round-12 advice)") {
+    val d = Files.createTempDirectory("graft_xlsx_earliest_").toString
+    // a backlog file whose mtime is FAR behind (newest mtime − retention):
+    // before the fix the first listing already compacted, implying this
+    // file ingested — silent data loss on the default earliest position
+    drop(d, "backlog", "en" -> 11)
+    assert(new File(d, "backlog.xlsx")
+      .setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    drop(d, "newest", "fr" -> 2)
+    val q = spark.readStream.format("graft.sources.excel")
+      .option("streamRetentionMs", "1000") // 1 s — backlog is 1 h outside it
+      .load(d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("chars_sum"))
+      .writeStream.format("memory").queryName("xlearliest")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("xlearliest").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(r == Map("en" -> 11L, "fr" -> 2L), s"backlog skipped: $r")
+      // compaction arms from the second listing on: a later drop still
+      // ingests exactly once and the offset now carries a real cutoff
+      drop(d, "later", "de" -> 5)
+      q.processAllAvailable()
+      val r2 = spark.table("xlearliest").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(r2 == Map("en" -> 11L, "fr" -> 2L, "de" -> 5L))
+      val endOffset = Option(q.lastProgress.sources.head.endOffset).getOrElse("")
+      assert(endOffset.contains("cutoff"), s"not a v2 offset: $endOffset")
+      assert(!endOffset.contains("\"cutoff\":" + ExcelFilesOffset.NoCutoff),
+        s"compaction never armed: $endOffset")
+    } finally q.stop()
+  }
+
   test("drop dir streams: new workbooks arrive as new micro-batches, counted once") {
     val d = Files.createTempDirectory("graft_xlsx_stream_").toString
     drop(d, "a", "en" -> 10, "en" -> 20, "fr" -> 5)

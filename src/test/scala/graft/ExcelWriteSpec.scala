@@ -106,6 +106,27 @@ class ExcelWriteSpec extends SparkSpecBase {
     other.delete()
   }
 
+  test("retried job commit is idempotent: published part survives (round-12 advice)") {
+    val d = primed(Seq("x"))
+    val w = new ExcelDataWriter(d, 0, 3L, Array("x"), "jobR")
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("v")))
+    val msg = w.commit()
+    val bw = new graft.sources.excel.ExcelBatchWrite(d, Array("x"),
+      truncate = false, jobId = "jobR")
+    bw.commit(Array(msg))
+    assert(parts(d) == Seq("part-jobR-00000.xlsx"))
+    val published = new File(d, "part-jobR-00000.xlsx")
+    val bytes = Files.readAllBytes(published.toPath)
+    // driver-side commit retry: the staged file was already renamed away —
+    // the published part must be treated as the committed state, not deleted
+    bw.commit(Array(msg))
+    assert(parts(d) == Seq("part-jobR-00000.xlsx"), "retry lost the published part")
+    assert(java.util.Arrays.equals(bytes, Files.readAllBytes(published.toPath)),
+      "retry corrupted the published part")
+    assert(spark.read.format("graft.sources.excel").load(d).count() == 1)
+  }
+
   test("task abort leaves no temp or part files") {
     val d = primed(Seq("x"))
     val w = new ExcelDataWriter(d, 0, 42L, Array("x"))
