@@ -116,7 +116,8 @@ object SparkEntry {
     "extension84" -> ExtensionQueries84,
     "extension85" -> ExtensionQueries85,
     "extension86" -> ExtensionQueries86,
-    "extension87" -> ExtensionQueries87)
+    "extension87" -> ExtensionQueries87,
+    "extension88" -> ExtensionQueries88)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
