@@ -117,7 +117,8 @@ object SparkEntry {
     "extension85" -> ExtensionQueries85,
     "extension86" -> ExtensionQueries86,
     "extension87" -> ExtensionQueries87,
-    "extension88" -> ExtensionQueries88)
+    "extension88" -> ExtensionQueries88,
+    "extension89" -> ExtensionQueries89)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
