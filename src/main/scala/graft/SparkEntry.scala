@@ -118,7 +118,8 @@ object SparkEntry {
     "extension86" -> ExtensionQueries86,
     "extension87" -> ExtensionQueries87,
     "extension88" -> ExtensionQueries88,
-    "extension89" -> ExtensionQueries89)
+    "extension89" -> ExtensionQueries89,
+    "extension90" -> ExtensionQueries90)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
