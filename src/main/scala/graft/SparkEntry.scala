@@ -119,7 +119,8 @@ object SparkEntry {
     "extension87" -> ExtensionQueries87,
     "extension88" -> ExtensionQueries88,
     "extension89" -> ExtensionQueries89,
-    "extension90" -> ExtensionQueries90)
+    "extension90" -> ExtensionQueries90,
+    "extension91" -> ExtensionQueries91)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
