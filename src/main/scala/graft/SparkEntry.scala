@@ -120,7 +120,8 @@ object SparkEntry {
     "extension88" -> ExtensionQueries88,
     "extension89" -> ExtensionQueries89,
     "extension90" -> ExtensionQueries90,
-    "extension91" -> ExtensionQueries91)
+    "extension91" -> ExtensionQueries91,
+    "extension92" -> ExtensionQueries92)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
