@@ -121,7 +121,8 @@ object SparkEntry {
     "extension89" -> ExtensionQueries89,
     "extension90" -> ExtensionQueries90,
     "extension91" -> ExtensionQueries91,
-    "extension92" -> ExtensionQueries92)
+    "extension92" -> ExtensionQueries92,
+    "extension93" -> ExtensionQueries93)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
