@@ -122,7 +122,8 @@ object SparkEntry {
     "extension90" -> ExtensionQueries90,
     "extension91" -> ExtensionQueries91,
     "extension92" -> ExtensionQueries92,
-    "extension93" -> ExtensionQueries93)
+    "extension93" -> ExtensionQueries93,
+    "extension94" -> ExtensionQueries94)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
