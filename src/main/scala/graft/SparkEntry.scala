@@ -123,7 +123,8 @@ object SparkEntry {
     "extension91" -> ExtensionQueries91,
     "extension92" -> ExtensionQueries92,
     "extension93" -> ExtensionQueries93,
-    "extension94" -> ExtensionQueries94)
+    "extension94" -> ExtensionQueries94,
+    "extension95" -> ExtensionQueries95)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
