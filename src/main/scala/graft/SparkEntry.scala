@@ -124,7 +124,8 @@ object SparkEntry {
     "extension92" -> ExtensionQueries92,
     "extension93" -> ExtensionQueries93,
     "extension94" -> ExtensionQueries94,
-    "extension95" -> ExtensionQueries95)
+    "extension95" -> ExtensionQueries95,
+    "extension96" -> ExtensionQueries96)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
