@@ -120,12 +120,13 @@ object ExtensionQueries94 extends QueryGroup {
 
   /** q375: per-priority fulfillment proportion with the 95% Wilson
     * score interval, all in exact ppm. z = 1.96 enters as the pinned
-    * micro literals z²·1e6 = 3841600 and z·1e6 = 1960000; the radicand
-    * k(n−k)·1e12 div n + 9.604e11 ≤ n/4·1e12 + 9.604e11 stays < 2⁵³
-    * for per-group n ≲ 3.6e4 (holds through sf0.1's 30k rows/group),
-    * so floor(sqrt) is correctly rounded and cross-engine exact.
-    * Documented bound: beyond n ≈ 3.6e4 per group, drop the µ scale to
-    * nano−3 (1e9) to stay under 2⁵³ — the q181/q280 convention.
+    * micro literals z²·1e6 = 3841600 and z·1e6 = 1960000; the product
+    * k(n−k)·1e12 runs in DECIMAL(38,0)/HUGEINT (it passes 2⁶³ already
+    * at n ≈ 3e4) and the radicand quotient ≤ n/4·1e12 + 9.604e11 stays
+    * < 2⁵³ for per-group n ≲ 3.6e4 (holds through sf0.1's 30k
+    * rows/group), so floor(sqrt) is correctly rounded and cross-engine
+    * exact. Documented bound: beyond that n, drop the µ scale to 1e9 —
+    * the q181/q280 convention.
     * Scale shape: one 5-group map-combined shuffle; everything after
     * is per-group scalar math.
     */
@@ -138,7 +139,7 @@ object ExtensionQueries94 extends QueryGroup {
       .withColumn("center_ppm",
         expr("(k * 1000000 + 3841600 div 2) * 1000000 div (n * 1000000 + 3841600)"))
       .withColumn("half_ppm",
-        expr("1960000 * CAST(floor(sqrt(CAST(k * (n - k) * 1000000000000 div n " +
+        expr("1960000 * CAST(floor(sqrt(CAST(CAST(k AS DECIMAL(38,0)) * (n - k) * 1000000000000 div n " +
           "+ 960400000000 AS DOUBLE))) AS BIGINT) " +
           "div (n * 1000000 + 3841600)"))
       .select(col("o_orderpriority"), col("n"), col("k"), col("phat_ppm"),
@@ -156,7 +157,7 @@ object ExtensionQueries94 extends QueryGroup {
       |    CAST(k * 1000000 // n AS BIGINT) AS phat_ppm,
       |    CAST((k * 1000000 + 3841600 // 2) * 1000000
       |      // (n * 1000000 + 3841600) AS BIGINT) AS center_ppm,
-      |    CAST(1960000 * CAST(floor(sqrt(CAST(k * (n - k) * 1000000000000 // n
+      |    CAST(1960000 * CAST(floor(sqrt(CAST(CAST(k AS HUGEINT) * (n - k) * 1000000000000 // n
       |        + 960400000000 AS DOUBLE))) AS BIGINT)
       |      // (n * 1000000 + 3841600) AS BIGINT) AS half_ppm
       |  FROM agg
