@@ -125,7 +125,8 @@ object SparkEntry {
     "extension93" -> ExtensionQueries93,
     "extension94" -> ExtensionQueries94,
     "extension95" -> ExtensionQueries95,
-    "extension96" -> ExtensionQueries96)
+    "extension96" -> ExtensionQueries96,
+    "extension97" -> ExtensionQueries97)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
