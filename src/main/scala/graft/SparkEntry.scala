@@ -126,7 +126,8 @@ object SparkEntry {
     "extension94" -> ExtensionQueries94,
     "extension95" -> ExtensionQueries95,
     "extension96" -> ExtensionQueries96,
-    "extension97" -> ExtensionQueries97)
+    "extension97" -> ExtensionQueries97,
+    "extension98" -> ExtensionQueries98)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
