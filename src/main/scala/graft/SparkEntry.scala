@@ -127,7 +127,8 @@ object SparkEntry {
     "extension95" -> ExtensionQueries95,
     "extension96" -> ExtensionQueries96,
     "extension97" -> ExtensionQueries97,
-    "extension98" -> ExtensionQueries98)
+    "extension98" -> ExtensionQueries98,
+    "extension99" -> ExtensionQueries99)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
