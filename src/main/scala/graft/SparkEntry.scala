@@ -128,7 +128,8 @@ object SparkEntry {
     "extension96" -> ExtensionQueries96,
     "extension97" -> ExtensionQueries97,
     "extension98" -> ExtensionQueries98,
-    "extension99" -> ExtensionQueries99)
+    "extension99" -> ExtensionQueries99,
+    "extension100" -> ExtensionQueries100)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
