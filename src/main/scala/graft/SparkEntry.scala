@@ -129,7 +129,8 @@ object SparkEntry {
     "extension97" -> ExtensionQueries97,
     "extension98" -> ExtensionQueries98,
     "extension99" -> ExtensionQueries99,
-    "extension100" -> ExtensionQueries100)
+    "extension100" -> ExtensionQueries100,
+    "extension101" -> ExtensionQueries101)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
