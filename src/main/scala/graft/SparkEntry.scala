@@ -130,7 +130,8 @@ object SparkEntry {
     "extension98" -> ExtensionQueries98,
     "extension99" -> ExtensionQueries99,
     "extension100" -> ExtensionQueries100,
-    "extension101" -> ExtensionQueries101)
+    "extension101" -> ExtensionQueries101,
+    "extension102" -> ExtensionQueries102)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
