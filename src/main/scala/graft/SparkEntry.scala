@@ -131,7 +131,8 @@ object SparkEntry {
     "extension99" -> ExtensionQueries99,
     "extension100" -> ExtensionQueries100,
     "extension101" -> ExtensionQueries101,
-    "extension102" -> ExtensionQueries102)
+    "extension102" -> ExtensionQueries102,
+    "extension103" -> ExtensionQueries103)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
