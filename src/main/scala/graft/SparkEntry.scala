@@ -132,7 +132,8 @@ object SparkEntry {
     "extension100" -> ExtensionQueries100,
     "extension101" -> ExtensionQueries101,
     "extension102" -> ExtensionQueries102,
-    "extension103" -> ExtensionQueries103)
+    "extension103" -> ExtensionQueries103,
+    "extension104" -> ExtensionQueries104)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
