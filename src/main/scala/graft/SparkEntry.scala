@@ -133,7 +133,8 @@ object SparkEntry {
     "extension101" -> ExtensionQueries101,
     "extension102" -> ExtensionQueries102,
     "extension103" -> ExtensionQueries103,
-    "extension104" -> ExtensionQueries104)
+    "extension104" -> ExtensionQueries104,
+    "extension105" -> ExtensionQueries105)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
