@@ -121,8 +121,10 @@ object Bench {
     } catch { case _: Throwable => }
 
     // Previous round's full artifact, read BEFORE this run overwrites it —
-    // the reference point for delta-triggered re-measure.
-    val prevMedians: Map[String, Double] = try {
+    // the reference point for delta-triggered re-measure, plus the prior
+    // canary median (the session-level contention yardstick; sf-invariant
+    // by construction, so it reads regardless of the sf gate below).
+    val (prevMedians, prevCanary): (Map[String, Double], Double) = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (java.nio.file.Files.exists(p)) {
         import org.json4s._
@@ -135,16 +137,25 @@ object Bench {
           case JString(s) => s == sfDir
           case _ => false
         }
-        if (!sameSf) Map.empty
+        val medians = if (!sameSf) Map.empty[String, Double]
         else parsed \ "queries" match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
           }.toMap
-          case _ => Map.empty
+          case _ => Map.empty[String, Double]
         }
-      } else Map.empty
-    } catch { case _: Throwable => Map.empty }
+        val canary = parsed \ "pipeline_phases" \ "canary" match {
+          case JArray(xs) if xs.size == 3 => xs(1) match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case _ => -1.0
+          }
+          case _ => -1.0
+        }
+        (medians, canary)
+      } else (Map.empty, -1.0)
+    } catch { case _: Throwable => (Map.empty, -1.0) }
 
     /** One released+timed execution — the per-phase building block the
       * pipeline rounds use (round-11 verdict task #2: attribution must be
@@ -235,8 +246,24 @@ object Bench {
       f"""{"csv":${s.csv}%.3f,"merge":${s.merge}%.3f,"full":${s.full}%.3f,""" +
         f""""canary":${s.canary}%.3f,"full_over_sum":$ratio%.2f,"verdict":"$verdict"}"""
     }.mkString("[", ",", "]")
+    // Session-level contention verdict (round-13 verdict task #5): the
+    // canary is a constant file scanned by constant code, so its median
+    // moving round-over-round measures the HOST, not any plan. The r13
+    // bench ran on a contended host and only the per-sample pipeline
+    // attribution caught it — the 406 per-query medians carried no flag,
+    // so mover analysis needed judge inference (q112's 2.5× "regression"
+    // was the contention). host_factor = this canary median / previous;
+    // movers_discounted flips when the canary itself moved ≥1.3× either
+    // way — read the movers map through that flag.
+    val canaryMed = pstats(_.canary)._2
+    val hostFactor =
+      if (canaryMed > 0 && prevCanary > 0) canaryMed / prevCanary else -1.0
+    val moversDiscounted =
+      hostFactor > 0 && (hostFactor >= 1.3 || hostFactor <= 1.0 / 1.3)
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
+      f""""host_factor":$hostFactor%.3f,"prev_canary_median":$prevCanary%.3f,""" +
+      s""""movers_discounted":$moversDiscounted,""" +
       s""""movers":$moversJson,"memoized":$memoJson,""" +
       s""""pipeline_1m_sec":${pFull._2},"pipeline_1m_spread":${fmt(pFull)},""" +
       s""""pipeline_n":$PipeIters,"pipeline_phases":{"csv_scan":${fmt(pstats(_.csv))},""" +

@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Column-lineage CLI (`runMain graft.LineageAudit <query ...>
-  * [--dir=sfDir]`): prints, per query, each output column and the
-  * (table, column) leaves it derives from — the plan-derived answer to
-  * "what does this result actually read". Pairs with ShuffleAudit
-  * (physical cost) and PlanGateAudit (plan shape) as the third
-  * introspection surface.
+  * [--dir=sfDir] [--control]`): prints, per query, each output column
+  * and the (table, column) leaves it derives from — the plan-derived
+  * answer to "what does this result actually read". `--control`
+  * additionally prints the plan's control sources (columns read by
+  * filters/joins/sorts/grouping — the PII-scoping set; see
+  * [[graft.plans.Lineage]]). Pairs with ShuffleAudit (physical cost)
+  * and PlanGateAudit (plan shape) as the third introspection surface.
   */
 object LineageAudit {
   def main(args: Array[String]): Unit = {
@@ -23,9 +25,16 @@ object LineageAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val control = args.contains("--control")
     for (q <- qs) {
       println(s"== $q")
-      println(graft.plans.Lineage.render(SparkEntry.queries(q)(spark, dir)))
+      val df = SparkEntry.queries(q)(spark, dir)
+      println(graft.plans.Lineage.render(df))
+      if (control) {
+        val c = graft.plans.Lineage.controlSources(df).toSeq.sorted
+          .map { case (t, cl) => s"$t.$cl" }.mkString(", ")
+        println(s"control sources        <- ${if (c.isEmpty) "(none)" else c}")
+      }
       println()
     }
     spark.stop()

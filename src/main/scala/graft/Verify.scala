@@ -1,9 +1,61 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-14 hardening (CORRECTNESS_r13's q402 adjudication):
+  *  - every result is written through a deterministic final sort (all
+  *    columns, name order), so the file's row layout is identical across
+  *    runs / CPU counts / machines — a driver hash can never diverge on
+  *    row order;
+  *  - a `digests.json` sidecar records, per query, a canonical
+  *    order-independent sha256 of the rows as actually written (read
+  *    back from the parquet, not recomputed from the plan) plus the row
+  *    count. When a driver row goes red while local runs pass, diff the
+  *    digests instead of inferring: same digest ⇒ the bytes the driver
+  *    hashed are the bytes that pass locally ⇒ the divergence is in the
+  *    comparator (e.g. r13's HUGEINT→float64 oracle column), not the
+  *    data. `tools/check_oracle.py` recomputes and cross-checks the
+  *    digest with the same canonicalization.
+  */
 object Verify {
+
+  /** Canonical cell encoding shared (by contract) with
+    * tools/check_oracle.py: engine- and language-neutral, so a Python
+    * recompute over the same parquet yields the same digest. Doubles and
+    * floats canonicalize to raw IEEE-754 bits (hex), timestamps to epoch
+    * micros, dates to ISO strings, decimals to plain strings, binary to
+    * hex; NULL is a sentinel no string value can collide with. */
+  def canonCell(v: Any): String = v match {
+    case null => "\u0000NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case d: Double => "f:" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
+    case f: Float => "f:" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(f.toDouble))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      "t:" + (i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => "d:" + d.toString
+    case d: java.math.BigDecimal => "n:" + d.stripTrailingZeros.toPlainString
+    case b: Array[Byte] => "x:" + b.map(x => f"$x%02x").mkString
+    case n: Number => "i:" + n.toString
+    case s: String => "s:" + s
+    case other => "o:" + other.toString
+  }
+
+  /** Order-independent digest: columns sorted by name, rows rendered with
+    * unit separators, row strings sorted, sha256 over the sorted list. */
+  def digest(df: DataFrame): (String, Long) = {
+    val cols = df.columns.sorted
+    val sel = df.select(cols.map(c => df.col(s"`$c`")): _*)
+    val rows = sel.collect()
+    val rendered = rows.map(r => (0 until r.length).map(i => canonCell(r.get(i))).mkString("\u001f"))
+    java.util.Arrays.sort(rendered.asInstanceOf[Array[Object]])
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rendered.foreach { s => md.update(s.getBytes("UTF-8")); md.update('\n'.toByte) }
+    (md.digest().map(b => f"$b%02x").mkString, rows.length.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (local iteration only;
@@ -22,12 +74,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val digests = scala.collection.mutable.LinkedHashMap[String, (String, Long)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // deterministic row layout: sort by every column (name order) so
+        // repeated runs write byte-stable row sequences regardless of
+        // task scheduling; the driver sorts before hashing anyway, this
+        // removes the one degree of freedom it might not.
+        val sorted = df.sort(df.columns.sorted.map(c => df.col(s"`$c`")): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // digest what was actually written, not the plan's recompute
+        digests(name) = digest(spark.read.parquet(s"$outDir/$name"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +108,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val digJson = digests
+      .map { case (k, (h, n)) => s"${q(k)}: {\"sha256\": ${q(h)}, \"rows\": $n}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/digests.json"), digJson)
     spark.stop()
   }
 }

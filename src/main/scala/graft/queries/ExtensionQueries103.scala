@@ -33,6 +33,16 @@ object ExtensionQueries103 extends QueryGroup {
     * table. Scale shape: one scan + one count-style fold per table
     * (the pk-dup check is a distinct count, map-combined), 10-row
     * union.
+    *
+    * NULL-key semantics (pinned cross-engine, r13 advisory): a NULL in
+    * any pk column counts as a violation — Spark's
+    * `countDistinct(a, b)` excludes rows with a NULL in ANY key column,
+    * so `n_rows - n_pk` charges every null-key row as a dup. The DuckDB
+    * mirror therefore filters null-key rows out of its distinct count
+    * too (bare `count(DISTINCT (a, b))` would count a struct with NULL
+    * members as a value and silently diverge the day a key column goes
+    * nullable — the one query whose purpose is catching dirty keys must
+    * not depend on the corpus staying clean).
     */
   def q400_table_scorecard(s: SparkSession, dir: String): DataFrame = {
     def card(name: String, df: DataFrame, pk: Seq[String]): DataFrame = {
@@ -62,8 +72,13 @@ object ExtensionQueries103 extends QueryGroup {
     def card(name: String, pk: String, cols: Seq[String]): String = {
       val nulls = cols.map(c => s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)")
         .mkString(" + ")
+      // null-key rows are excluded from the distinct count on BOTH
+      // engines (mirrors Spark countDistinct) — see the scaladoc
+      val keyNotNull = pk.split(",").map(_.trim)
+        .map(c => s"$c IS NOT NULL").mkString(" AND ")
       s"""SELECT '$name' AS table_name, count(*) AS n_rows,
-         |  CAST(count(*) - count(DISTINCT ($pk)) AS BIGINT) AS pk_dups,
+         |  CAST(count(*) - count(DISTINCT ($pk)) FILTER (WHERE $keyNotNull)
+         |    AS BIGINT) AS pk_dups,
          |  CAST($nulls AS BIGINT) AS null_cells
          |FROM $name""".stripMargin
     }

@@ -88,12 +88,20 @@ object ExtensionQueries104 extends QueryGroup {
   }
 
   val q402Sql: String = {
+    // Root-caused round 14: the divisor sum MUST be cast to BIGINT too.
+    // DuckDB sums integers into HUGEINT, and `BIGINT * 1000 // HUGEINT`
+    // is HUGEINT, so the whole CASE/coalesce — and the output column
+    // rung1_mean_millicents — typed HUGEINT (int128). The repo's
+    // fetchall()-based mimic saw exact Python ints and passed, but the
+    // driver's pandas hasher sees HUGEINT → float64 vs Spark's int64
+    // and hash-fails (CORRECTNESS_r13's one red row). Both operands of
+    // every `//` whose quotient reaches the output must be BIGINT.
     def rung(r: Int): String = {
       val lim = 1L << (r - 1)
       s"""coalesce(CASE WHEN sum(CASE WHEN k < $lim THEN 1 ELSE 0 END) = 0
          |  THEN -4611686018427387904
          |  ELSE CAST(sum(CASE WHEN k < $lim THEN cents ELSE 0 END) AS BIGINT) * 1000
-         |    // sum(CASE WHEN k < $lim THEN 1 ELSE 0 END) END,
+         |    // CAST(sum(CASE WHEN k < $lim THEN 1 ELSE 0 END) AS BIGINT) END,
          |  -4611686018427387904) AS m$r""".stripMargin
     }
     s"""WITH ev AS (

@@ -54,6 +54,30 @@ class ExtensionQueries104Spec extends SparkSpecBase {
     assert(got.values.map(_._2).sum == 1L)
   }
 
+  test("q402: full output frame pinned literally (r13 driver-red adjudication)") {
+    // The r13 driver artifact red-rowed q402 on hash while every local
+    // sweep passed: the oracle SQL's un-cast `//` divisor made the
+    // DuckDB m-columns HUGEINT (→ pandas float64) against Spark's
+    // int64 — cell-equal, dtype-different. The SQL now casts both
+    // operands; this literal pin (values cross-computed in DuckDB from
+    // the corrected SQL) freezes the whole frame so any future drift —
+    // in the query, the reference model above, or the corpus — is a
+    // named failure, not an inference. sf0.001 has 15 of 16 residues.
+    val exp = Seq(
+      (0L, 4L, 0L, 7593571L, 60L), (1L, 2L, 0L, 7988333L, 51L),
+      (2L, 3L, 0L, 8073666L, 68L), (3L, 2L, 0L, 8725666L, 65L),
+      (4L, 1L, 0L, 4717714L, 71L), (5L, 1L, 0L, 2709600L, 62L),
+      (6L, 1L, 0L, 3508500L, 62L), (7L, 2L, 0L, 5070000L, 75L),
+      (8L, 1L, 0L, 3828000L, 69L), (9L, 1L, 0L, 4612571L, 67L),
+      (10L, 2L, 0L, 5703000L, 71L), (11L, 3L, 0L, 5956000L, 66L),
+      (12L, 1L, 0L, 3939545L, 73L), (13L, 4L, 1L, 11077600L, 52L),
+      (14L, 1L, 0L, 4341400L, 88L))
+    val got = ExtensionQueries104.q402_successive_halving(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == exp)
+  }
+
   test("q403: DiD equals the driver cell means; exchangeable halves read near zero") {
     val seg = graft.core.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")).collect()

@@ -49,9 +49,80 @@ class LineageSpec extends SparkSpecBase {
       s"recursive CTE lineage came back empty: $l")
   }
 
+  test("expand: rollup/cube grouping columns keep their lineage (r13 advisory)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val l = Lineage.columnLineage(
+      docs.rollup(col("lang")).agg(sum(col("n_chars")).as("s"))).toMap
+    assert(l("lang") == Set("documents" -> "lang"))
+    assert(l("s") == Set("documents" -> "n_chars"))
+    val lc = Lineage.columnLineage(
+      docs.cube(col("lang"), col("source")).agg(count(lit(1)).as("n"))).toMap
+    assert(lc("lang") == Set("documents" -> "lang"))
+    assert(lc("source") == Set("documents" -> "source"))
+    assert(lc("n") == Set.empty) // count(*): no column VALUES
+  }
+
+  test("uncorrelated scalar/IN subquery sources surface in the consuming column (r13 advisory)") {
+    graft.core.Tables.documents(spark, sf).createOrReplaceTempView("lin_docs")
+    graft.core.Tables.part(spark, sf).createOrReplaceTempView("lin_part")
+    val l = Lineage.columnLineage(spark.sql(
+      "SELECT doc_id + (SELECT max(p_partkey) FROM lin_part) AS x FROM lin_docs")).toMap
+    assert(l("x") == Set("documents" -> "doc_id", "part" -> "p_partkey"),
+      s"scalar subquery source dropped: ${l("x")}")
+    // IN-subquery in a FILTER is control, not value
+    val df = spark.sql(
+      "SELECT doc_id FROM lin_docs WHERE source IN (SELECT p_brand FROM lin_part)")
+    assert(Lineage.columnLineage(df).toMap.apply("doc_id") == Set("documents" -> "doc_id"))
+    val ctl = Lineage.controlSources(df)
+    assert(ctl.contains("documents" -> "source") && ctl.contains("part" -> "p_brand"),
+      s"predicate subquery missing from control set: $ctl")
+  }
+
+  test("set ops: Intersect merges both sides positionally; Except is left-value, right-control") {
+    import org.apache.spark.sql.functions._
+    val a = graft.core.Tables.documents(spark, sf).select(col("lang"))
+    val b = graft.core.Tables.part(spark, sf).select(col("p_brand"))
+    val li = Lineage.columnLineage(a.intersect(b)).toMap
+    assert(li("lang") == Set("documents" -> "lang", "part" -> "p_brand"),
+      s"Intersect lost the right side: $li")
+    val ex = a.except(b)
+    assert(Lineage.columnLineage(ex).toMap.apply("lang") == Set("documents" -> "lang"))
+    assert(Lineage.controlSources(ex).contains("part" -> "p_brand"))
+  }
+
+  test("control lineage: q313's quasi-identifier is invisible to value lineage, visible to control") {
+    val df = SparkEntry.queries("q313_k_anonymity")(spark, sf)
+    // value: the k-anonymity histogram is all counts — (near-)empty
+    val value = Lineage.columnLineage(df).toMap
+    assert(value("n_groups") == Set.empty)
+    // control: the grouping keys ARE the quasi-identifier under review
+    val ctl = Lineage.controlSources(df)
+    for (c <- Seq("lang", "source", "n_chars"))
+      assert(ctl.contains("documents" -> c), s"control set missing documents.$c: $ctl")
+    // columnLineage(_, true) unions the control set into every column
+    val both = Lineage.columnLineage(df, includeControl = true).toMap
+    assert(both("n_groups").contains("documents" -> "lang"))
+  }
+
+  test("control lineage: a filter column dropped from the output still registers (PII scoping)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.core.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0).select(col("c_name"))
+    assert(Lineage.columnLineage(df).toMap.apply("c_name") == Set("customer" -> "c_name"))
+    assert(Lineage.controlSources(df) == Set("customer" -> "c_acctbal"))
+    // the PII queries themselves: q311's per-source rollup touches source
+    val pii = Lineage.controlSources(SparkEntry.queries("q311_pii_detect")(spark, sf))
+    assert(pii.contains("documents" -> "source"), s"q311 control: $pii")
+  }
+
   test("fleet sweep: lineage computes for every registered query and covers every table") {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, build) =>
-      val out = try Right(Lineage.columnLineage(build(spark, sf)))
+      val out = try {
+        val df = build(spark, sf)
+        Lineage.controlSources(df) // control walk must not throw either
+        Right(Lineage.columnLineage(df))
+      }
       catch { case e: Throwable => Left(s"$name: ${e.toString.linesIterator.next()}") }
       name -> out
     }

@@ -7,15 +7,36 @@ For each <name> dir under verifyOutDir: load the Spark result parquet,
 run oracle_sql.json[<name>] in DuckDB against the sf tables, sort columns
 by name, sort rows, and compare cell-by-cell (exact; doubles also get a
 rel-tol report so near-misses are visible before the real gate runs).
+
+Round-14 additions (the q402 adjudication, CORRECTNESS_r13):
+ - PANDAS-DTYPE-KIND GATE: the driver's hasher works on pandas frames,
+   where DuckDB HUGEINT and DECIMAL become float64 while Spark's BIGINT
+   stays int64 — values can be cell-equal yet hash differently. Any
+   column whose pandas kind (int vs float) differs between the Spark
+   parquet and the oracle result is a FAIL here even when every cell
+   matches. (This is exactly how q402's un-cast `//` divisor slipped
+   through five local sweeps and then red-rowed the driver.)
+ - DIGEST CROSS-CHECK: Verify writes digests.json (per query: canonical
+   order-independent sha256 + row count of the rows as written). This
+   script recomputes the digest from the parquet with the same
+   canonicalization (see Verify.canonCell) and fails on drift, so the
+   sidecar stays trustworthy for offline driver-red adjudication.
 """
+import datetime
 import json
 import math
+import os
+import struct
 import sys
+from decimal import Decimal
+from hashlib import sha256
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+EPOCH = datetime.datetime(1970, 1, 1)
 
 
 def canon(rows, cols):
@@ -41,18 +62,74 @@ def cmp_cell(a, b):
     return a == b, 0.0 if a == b else math.inf
 
 
+def pandas_kind(ducktype):
+    """The dtype kind this DuckDB type becomes in a pandas frame — the
+    representation the driver's hasher actually sees. HUGEINT and
+    DECIMAL land as float64; integers as int64; everything else keyed
+    by its own name."""
+    t = str(ducktype).upper()
+    if t == "HUGEINT" or t.startswith("DECIMAL"):
+        return "f"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("FLOAT", "DOUBLE"):
+        return "f"
+    return t
+
+
+def canon_cell(v):
+    """Mirror of graft.Verify.canonCell — MUST stay in lockstep."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "f:" + format(struct.unpack("<Q", struct.pack("<d", v))[0], "x")
+    if isinstance(v, datetime.datetime):
+        return "t:" + str((v.replace(tzinfo=None) - EPOCH)
+                          // datetime.timedelta(microseconds=1))
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, Decimal):
+        return "n:" + format(v.normalize(), "f")
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + v.hex()
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, str):
+        return "s:" + v
+    return "o:" + str(v)
+
+
+def digest_rows(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    rendered = sorted("\x1f".join(canon_cell(r[i]) for i in idx)
+                      for r in rows)
+    h = sha256()
+    for s in rendered:
+        h.update(s.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest(), len(rows)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    digests = {}
+    dig_path = f"{out_dir}/digests.json"
+    if os.path.exists(dig_path):
+        digests = json.load(open(dig_path))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols, grows = canon(got.fetchall(), got.columns)
+            graw = got.fetchall()
+            gcols, grows = canon(graw, got.columns)
             exp = con.sql(sql)
             ecols, erows = canon(exp.fetchall(), exp.columns)
         except Exception as e:
@@ -78,6 +155,23 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
             continue
+        # pandas-dtype-kind gate: cell-equal but kind-different columns
+        # (int64 vs float64) hash-mismatch in the driver even though the
+        # exact compare below passes — q402's r13 failure mode.
+        kind_bad = [
+            (c, str(gt), str(et))
+            for c, gt, et in ((c,
+                               got.types[got.columns.index(c)],
+                               exp.types[exp.columns.index(c)])
+                              for c in gcols)
+            if pandas_kind(gt) != pandas_kind(et)]
+        if kind_bad:
+            print(f"FAIL {name}: pandas dtype-kind mismatch "
+                  f"(spark vs oracle): {kind_bad} — the driver hashes "
+                  f"pandas frames, so this red-rows even when cells match "
+                  f"(HUGEINT/DECIMAL -> float64; cast the oracle to BIGINT)")
+            n_fail += 1
+            continue
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
             n_fail += 1
@@ -95,9 +189,22 @@ def main(sf_dir, out_dir):
                   f"row={bad[0][0]} col={bad[0][1]} got={bad[0][2]!r} "
                   f"exp={bad[0][3]!r} rel={bad[0][4]:.2e}")
             n_fail += 1
-        else:
-            print(f"PASS {name} ({len(grows)} rows, worst_rel={worst_rel:.1e})")
-            n_pass += 1
+            continue
+        # digest cross-check: recompute from the parquet with the shared
+        # canonicalization and compare to Verify's sidecar.
+        if name in digests:
+            h, n = digest_rows(graw, got.columns)
+            want = digests[name]
+            if h != want.get("sha256") or n != want.get("rows"):
+                print(f"FAIL {name}: digest drift — recomputed "
+                      f"{h[:16]}…/{n} vs sidecar "
+                      f"{str(want.get('sha256'))[:16]}…/{want.get('rows')} "
+                      f"(canonicalization contract broken; see "
+                      f"Verify.canonCell)")
+                n_fail += 1
+                continue
+        print(f"PASS {name} ({len(grows)} rows, worst_rel={worst_rel:.1e})")
+        n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
