@@ -134,7 +134,8 @@ object SparkEntry {
     "extension102" -> ExtensionQueries102,
     "extension103" -> ExtensionQueries103,
     "extension104" -> ExtensionQueries104,
-    "extension105" -> ExtensionQueries105)
+    "extension105" -> ExtensionQueries105,
+    "extension106" -> ExtensionQueries106)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
