@@ -135,7 +135,11 @@ object SparkEntry {
     "extension103" -> ExtensionQueries103,
     "extension104" -> ExtensionQueries104,
     "extension105" -> ExtensionQueries105,
-    "extension106" -> ExtensionQueries106)
+    "extension106" -> ExtensionQueries106,
+    "extension107" -> ExtensionQueries107,
+    "extension108" -> ExtensionQueries108,
+    "extension109" -> ExtensionQueries109,
+    "extension110" -> ExtensionQueries110)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
