@@ -139,7 +139,8 @@ object SparkEntry {
     "extension107" -> ExtensionQueries107,
     "extension108" -> ExtensionQueries108,
     "extension109" -> ExtensionQueries109,
-    "extension110" -> ExtensionQueries110)
+    "extension110" -> ExtensionQueries110,
+    "extension111" -> ExtensionQueries111)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -77,6 +77,9 @@ object PlanGate {
     "q32_media_features" -> ("binary media codec (ext/Multimodal.scala): " +
       "mapPartitions is the only Catalyst-expressible shape for byte-level decode"),
     "q67_frame_sample" -> "binary frame sampler: same codec family as q32",
+    "q419_patch_grid" -> ("ViT patch budgeting consumes the q32 codec's " +
+      "decode stage (same ext/Multimodal mapPartitions); everything above " +
+      "the decode is declarative"),
     "q115_lsh_admission" -> ("streaming/LshAdmit batch twin: keyed " +
       "flatMapGroupsWithState admission state — state bounded by bands × index")
   )
