@@ -140,7 +140,8 @@ object SparkEntry {
     "extension108" -> ExtensionQueries108,
     "extension109" -> ExtensionQueries109,
     "extension110" -> ExtensionQueries110,
-    "extension111" -> ExtensionQueries111)
+    "extension111" -> ExtensionQueries111,
+    "extension112" -> ExtensionQueries112)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
