@@ -141,7 +141,8 @@ object SparkEntry {
     "extension109" -> ExtensionQueries109,
     "extension110" -> ExtensionQueries110,
     "extension111" -> ExtensionQueries111,
-    "extension112" -> ExtensionQueries112)
+    "extension112" -> ExtensionQueries112,
+    "extension113" -> ExtensionQueries113)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
