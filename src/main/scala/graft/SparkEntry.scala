@@ -142,7 +142,8 @@ object SparkEntry {
     "extension110" -> ExtensionQueries110,
     "extension111" -> ExtensionQueries111,
     "extension112" -> ExtensionQueries112,
-    "extension113" -> ExtensionQueries113)
+    "extension113" -> ExtensionQueries113,
+    "extension114" -> ExtensionQueries114)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
