@@ -143,7 +143,8 @@ object SparkEntry {
     "extension111" -> ExtensionQueries111,
     "extension112" -> ExtensionQueries112,
     "extension113" -> ExtensionQueries113,
-    "extension114" -> ExtensionQueries114)
+    "extension114" -> ExtensionQueries114,
+    "extension115" -> ExtensionQueries115)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
