@@ -37,6 +37,13 @@ object ExtensionQueries81 extends QueryGroup {
     * time span (µs), exact cents totals, and the history fingerprint
     * md5 over records `event_type|us|cents` joined by '#' in
     * (us, event_id) order.
+    *
+    * PII scoping (r13 verdict task #6): the export's column footprint
+    * is certified from the plan, not by hand —
+    * [[graft.plans.Lineage.controlSources]] reports the
+    * row-selecting reads (the `user_id` subject filter and the
+    * grouping key) alongside the value lineage; LineageSpec pins both
+    * for this query.
     */
   def q335_subject_access_export(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -114,6 +114,14 @@ class LineageSpec extends SparkSpecBase {
     // the PII queries themselves: q311's per-source rollup touches source
     val pii = Lineage.controlSources(SparkEntry.queries("q311_pii_detect")(spark, sf))
     assert(pii.contains("documents" -> "source"), s"q311 control: $pii")
+    // q335's subject-access export: the plan certifies which columns
+    // SELECT the subject (the user_id filter + grouping), so the export's
+    // column footprint is value lineage ∪ this set — no hand-audit
+    val df335 = SparkEntry.queries("q335_subject_access_export")(spark, sf)
+    val ctl335 = Lineage.controlSources(df335)
+    assert(ctl335.contains("events" -> "user_id"), s"q335 control: $ctl335")
+    val val335 = Lineage.columnLineage(df335).toMap
+    assert(val335("history_md5").contains("events" -> "event_type"))
   }
 
   test("fleet sweep: lineage computes for every registered query and covers every table") {
