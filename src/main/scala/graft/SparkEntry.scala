@@ -144,7 +144,8 @@ object SparkEntry {
     "extension112" -> ExtensionQueries112,
     "extension113" -> ExtensionQueries113,
     "extension114" -> ExtensionQueries114,
-    "extension115" -> ExtensionQueries115)
+    "extension115" -> ExtensionQueries115,
+    "extension116" -> ExtensionQueries116)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
