@@ -145,7 +145,8 @@ object SparkEntry {
     "extension113" -> ExtensionQueries113,
     "extension114" -> ExtensionQueries114,
     "extension115" -> ExtensionQueries115,
-    "extension116" -> ExtensionQueries116)
+    "extension116" -> ExtensionQueries116,
+    "extension117" -> ExtensionQueries117)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
