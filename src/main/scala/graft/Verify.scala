@@ -30,6 +30,9 @@ object Verify {
   def canonCell(v: Any): String = v match {
     case null => "\u0000NULL"
     case b: Boolean => if (b) "true" else "false"
+    // doubleToLongBits canonicalizes every NaN to 0x7ff8000000000000; the
+    // Python mirror (canon_cell) must do the same, not struct.pack the
+    // raw payload bits.
     case d: Double => "f:" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(d))
     case f: Float => "f:" + java.lang.Long.toHexString(java.lang.Double.doubleToLongBits(f.toDouble))
     case t: java.sql.Timestamp =>
@@ -50,11 +53,41 @@ object Verify {
     val sel = df.select(cols.map(c => df.col(s"`$c`")): _*)
     val rows = sel.collect()
     val rendered = rows.map(r => (0 until r.length).map(i => canonCell(r.get(i))).mkString("\u001f"))
-    java.util.Arrays.sort(rendered.asInstanceOf[Array[Object]])
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    rendered.foreach { s => md.update(s.getBytes("UTF-8")); md.update('\n'.toByte) }
-    (md.digest().map(b => f"$b%02x").mkString, rows.length.toLong)
+    digestRendered(rendered)
   }
+
+  /** Shared tail of the digest: sort rendered rows by their UTF-8 bytes
+    * (unsigned lexicographic — the ONE ordering Java and Python agree on;
+    * Java's String sort is UTF-16 code-unit order, which diverges from
+    * Python's code-point order for supplementary-plane chars vs
+    * U+E000–U+FFFF), then sha256. Split out so DigestParitySpec can feed
+    * the fixed cross-language vector. */
+  def digestRendered(rendered: Array[String]): (String, Long) = {
+    val bytes = rendered.map(_.getBytes("UTF-8"))
+    java.util.Arrays.sort(bytes, (a: Array[Byte], b: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(a, b))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    bytes.foreach { s => md.update(s); md.update('\n'.toByte) }
+    (md.digest().map(b => f"$b%02x").mkString, rendered.length.toLong)
+  }
+
+  /** Deterministic row layout: sort by every column (name order) so
+    * repeated runs write byte-stable row sequences regardless of task
+    * scheduling; the driver sorts before hashing anyway, this removes
+    * the one degree of freedom it might not. If a query emits an
+    * unorderable column (MapType), fall back to the unsorted frame
+    * instead of dropping the query from the dump — the digest is
+    * order-independent, only byte-stability of the file is lost. */
+  def stableSorted(df: DataFrame, name: String): DataFrame =
+    try {
+      val s = df.sort(df.columns.sorted.map(c => df.col(s"`$c`")): _*)
+      s.queryExecution.analyzed // force analysis so unorderable types fail HERE
+      s
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[verify] $name: all-column sort unplannable; writing unsorted")
+        df
+    }
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -80,11 +113,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // deterministic row layout: sort by every column (name order) so
-        // repeated runs write byte-stable row sequences regardless of
-        // task scheduling; the driver sorts before hashing anyway, this
-        // removes the one degree of freedom it might not.
-        val sorted = df.sort(df.columns.sorted.map(c => df.col(s"`$c`")): _*)
+        val sorted = stableSorted(df, name)
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         // digest what was actually written, not the plan's recompute
         digests(name) = digest(spark.read.parquet(s"$outDir/$name"))

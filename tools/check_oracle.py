@@ -75,6 +75,14 @@ def pandas_kind(ducktype):
         return "i"
     if t in ("FLOAT", "DOUBLE"):
         return "f"
+    # representational spellings that land as the same pandas dtype:
+    # TIMESTAMP / TIMESTAMP WITH TIME ZONE / TIMESTAMP_NS etc. are all
+    # datetime64; ENUM reads back as object like VARCHAR. Comparing the
+    # raw names would false-FAIL a benign spelling difference.
+    if t.startswith("TIMESTAMP"):
+        return "M"
+    if t.startswith("ENUM"):
+        return "VARCHAR"
     return t
 
 
@@ -85,6 +93,11 @@ def canon_cell(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        # Java's doubleToLongBits canonicalizes EVERY NaN to
+        # 0x7ff8000000000000; struct.pack preserves payload bits, so a
+        # non-canonical NaN would digest-drift. Canonicalize here too.
+        if math.isnan(v):
+            return "f:7ff8000000000000"
         return "f:" + format(struct.unpack("<Q", struct.pack("<d", v))[0], "x")
     if isinstance(v, datetime.datetime):
         return "t:" + str((v.replace(tzinfo=None) - EPOCH)
@@ -103,14 +116,41 @@ def canon_cell(v):
 
 
 def digest_rows(rows, cols):
+    # sort the UTF-8 ENCODED rows, not the str rows: Python str sort is
+    # code-point order while Java String sort is UTF-16 code-unit order —
+    # they disagree for supplementary-plane chars vs U+E000..U+FFFF. Byte
+    # order is the one ordering both sides share (Verify.digestRendered
+    # sorts with Arrays.compareUnsigned over the same UTF-8 bytes).
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     rendered = sorted("\x1f".join(canon_cell(r[i]) for i in idx)
-                      for r in rows)
+                      .encode("utf-8") for r in rows)
     h = sha256()
     for s in rendered:
-        h.update(s.encode("utf-8"))
+        h.update(s)
         h.update(b"\n")
     return h.hexdigest(), len(rows)
+
+
+# Cross-language parity vector: DigestParitySpec computes the same digest
+# in Scala via Verify.canonCell/digestRendered and pins the same constant.
+# Exercises the two historical divergence classes: a supplementary-plane
+# char (U+1F600) vs a private-use BMP char (U+E000) — opposite relative
+# order under UTF-16 code units vs code points — and NaN (canonical form).
+PARITY_ROWS = [
+    ("\U0001f600 grin", 1, 1.5),
+    (" private", 2, float("nan")),
+    ("ascii", 3, -0.0),
+    (None, 4, 2.0),
+]
+# "a_s" sorts first so the ROW sort is decided by the string cell — that
+# is where UTF-16-vs-code-point order diverges; doubles first would mask it.
+PARITY_COLS = ["a_s", "b_i", "c_d"]
+
+
+def selftest():
+    h, n = digest_rows(PARITY_ROWS, PARITY_COLS)
+    print(f"parity digest: {h} rows={n}")
+    return 0
 
 
 def main(sf_dir, out_dir):
@@ -210,4 +250,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--selftest"]:
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
