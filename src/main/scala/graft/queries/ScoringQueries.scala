@@ -108,12 +108,15 @@ object ScoringQueries extends QueryGroup {
       |         WHEN position BETWEEN 3 AND 4.5 THEN '3-4.5'
       |         WHEN position BETWEEN 4.51 AND 4.7 THEN '4.51-4.7'
       |         ELSE 'fallback_median' END AS expected_ctr_bucket,
-      |    CASE WHEN contains(url, '-bolt-') THEN 0.7
+      |    -- CAST: bare decimal literals make this CASE DECIMAL(2,1) in DuckDB
+      |    -- while Spark's column is DOUBLE — benign in pandas (both float64)
+      |    -- but the fleet type sweep's invariant is types agree EXACTLY
+      |    CAST(CASE WHEN contains(url, '-bolt-') THEN 0.7
       |         WHEN contains(url, '-widget-') THEN 1.4
       |         WHEN contains(lower(schema_types), 'product') THEN 1.4
       |         WHEN contains(lower(schema_types), 'article')
       |           OR contains(lower(schema_types), 'blogposting') THEN 0.7
-      |         ELSE 1.0 END AS intent_multiplier
+      |         ELSE 1.0 END AS DOUBLE) AS intent_multiplier
       |  FROM cand
       |), dfc AS (
       |  SELECT *,

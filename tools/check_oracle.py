@@ -153,6 +153,40 @@ def selftest():
     return 0
 
 
+def types_sweep(sf_dir, out_dir):
+    """Exact output-type parity sweep (r14 verdict task: the convention is
+    'Spark and oracle output types agree EXACTLY', not merely 'agree after
+    the pandas conversion'). Compares the DuckDB-reported type of every
+    result column between the Spark parquet and the oracle result; any
+    difference — even a benign-in-pandas one like DOUBLE vs DECIMAL —
+    is reported. Exit 0 only on zero divergences."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_div = n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gt = dict(zip(got.columns, (str(t) for t in got.types)))
+            exp = con.sql(sql)
+            et = dict(zip(exp.columns, (str(t) for t in exp.types)))
+        except Exception as e:
+            print(f"TYPES-ERR {name}: {e}")
+            n_div += 1
+            continue
+        diffs = [(c, gt.get(c), et.get(c))
+                 for c in sorted(set(gt) | set(et)) if gt.get(c) != et.get(c)]
+        if diffs:
+            print(f"TYPES-DIVERGE {name}: {diffs}")
+            n_div += 1
+        else:
+            n_ok += 1
+    print(f"== types sweep: {n_ok} exact / {n_div} divergent ==")
+    return 1 if n_div else 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -252,4 +286,6 @@ def main(sf_dir, out_dir):
 if __name__ == "__main__":
     if sys.argv[1:] == ["--selftest"]:
         sys.exit(selftest())
+    if sys.argv[1:2] == ["--types"]:
+        sys.exit(types_sweep(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
