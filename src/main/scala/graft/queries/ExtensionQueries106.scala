@@ -73,7 +73,7 @@ object ExtensionQueries106 extends QueryGroup {
     * joins in, so in-block pair work tracks the TRUE pair count, not
     * Σc²; the distinct collapses multi-band agreement.
     */
-  private def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
     val m = bandedPrefix(s, dir)
     m.as("a").join(m.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
@@ -100,8 +100,9 @@ object ExtensionQueries106 extends QueryGroup {
       .filter(col("edit_dist") <= 20)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Shared DuckDB CTE chain up to the banded candidate set. */
-  private val candSql: String = {
+  /** Shared DuckDB CTE chain up to the banded candidate set (also the
+    * feed of q430's transitivity audit in [[ExtensionQueries114]]). */
+  private[queries] val candSql: String = {
     val ph = ExtensionQueries.phSql("sh_s")
     s"""WITH d AS (
        |  SELECT doc_id, lang, n_chars // 100 AS band,

@@ -93,15 +93,27 @@ object ExtensionQueries114 extends QueryGroup {
 
   // -------------------------------------------------------------- q430
 
-  /** q430: closure audit of q358's near-dup pair graph. A wedge is an
+  /** q430: closure audit of the near-dup pair graph. A wedge is an
     * unordered neighbor pair (u, w) of a shared center; it is CLOSED
-    * when (u, w) is itself a q358 pair. closure_ppm = closed·10⁶ div
+    * when (u, w) is itself a pair. closure_ppm = closed·10⁶ div
     * wedges (10⁶ when there are no wedges — an empty obligation is
-    * met). Scale shape: the pair set is tiny relative to the corpus
-    * (q358c certifies it); adjacency joins run on it, never on docs.
+    * met).
+    *
+    * Feed (round-15, the r14 verdict's task #4): the pair set is
+    * q358b's BANDED path — the production dedup — not q358's exact
+    * Σc² block join the audit embedded in round 14 (which made this
+    * query's kc 0.56 by re-running the certificate-tier join it was
+    * auditing). q358c proves banded == exact pairs (recall_ppm =
+    * precision_ppm = 10⁶ at both SFs), and
+    * `ExtensionQueries114Spec` asserts the two pair SETS are equal
+    * outright, so the audited graph is unchanged — only its
+    * derivation now scales. Scale shape: banded candidates (ONE
+    * equi-join on the six-part compound key) + adjacency joins on
+    * the tiny pair set, never on docs.
     */
   def q430_dedup_transitivity(s: SparkSession, dir: String): DataFrame = {
-    val e = ExtensionQueries89.q358_edit_distance_dedup(s, dir)
+    val e = ExtensionQueries106.bandedCandidates(s, dir)
+      .filter(levenshtein(col("pa"), col("pb")) <= 20)
       .select(col("doc_a"), col("doc_b"))
     val adj = e.select(col("doc_a").as("ctr"), col("doc_b").as("nb"))
       .unionAll(e.select(col("doc_b").as("ctr"), col("doc_a").as("nb")))
@@ -121,15 +133,9 @@ object ExtensionQueries114 extends QueryGroup {
   }
 
   val q430Sql: String =
-    s"""WITH pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM (SELECT doc_id, lang, n_chars // 100 AS band,
-       |          string_split(text, ' ')[1] AS w1, text[:60] AS p FROM documents) a
-       |  JOIN (SELECT doc_id, lang, n_chars // 100 AS band,
-       |          string_split(text, ' ')[1] AS w1, text[:60] AS p FROM documents) b
-       |    ON a.lang = b.lang AND a.band = b.band AND a.w1 = b.w1
-       |    AND a.doc_id < b.doc_id
-       |  WHERE levenshtein(a.p, b.p) <= 20
+    s"""${ExtensionQueries106.candSql},
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand WHERE levenshtein(pa, pb) <= 20
        |), adj AS (
        |  SELECT doc_a AS ctr, doc_b AS nb FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs

@@ -42,6 +42,18 @@ class ExtensionQueries114Spec extends SparkSpecBase {
     val pairs = ExtensionQueries89.q358_edit_distance_dedup(spark, dir)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    // r15: q430's audit now FEEDS from q358b's banded candidates (the
+    // production path) — valid only while banded pairs == exact pairs.
+    // q358c certifies it by counts; this asserts SET equality outright,
+    // so the driver model below (built from the exact pairs) pins the
+    // banded-fed audit too.
+    val banded = graft.queries.ExtensionQueries106
+      .q358b_banded_edit_dedup(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.toSet == pairs.toSet,
+      s"banded pair set diverged from exact: ${banded.toSet.diff(pairs.toSet)} extra, " +
+        s"${pairs.toSet.diff(banded.toSet)} missing")
     val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
     var wedges = 0L; var closed = 0L
