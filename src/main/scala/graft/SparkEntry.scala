@@ -146,7 +146,8 @@ object SparkEntry {
     "extension114" -> ExtensionQueries114,
     "extension115" -> ExtensionQueries115,
     "extension116" -> ExtensionQueries116,
-    "extension117" -> ExtensionQueries117)
+    "extension117" -> ExtensionQueries117,
+    "extension118" -> ExtensionQueries118)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
