@@ -147,7 +147,8 @@ object SparkEntry {
     "extension115" -> ExtensionQueries115,
     "extension116" -> ExtensionQueries116,
     "extension117" -> ExtensionQueries117,
-    "extension118" -> ExtensionQueries118)
+    "extension118" -> ExtensionQueries118,
+    "extension119" -> ExtensionQueries119)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
