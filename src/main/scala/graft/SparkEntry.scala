@@ -148,7 +148,8 @@ object SparkEntry {
     "extension116" -> ExtensionQueries116,
     "extension117" -> ExtensionQueries117,
     "extension118" -> ExtensionQueries118,
-    "extension119" -> ExtensionQueries119)
+    "extension119" -> ExtensionQueries119,
+    "extension120" -> ExtensionQueries120)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
