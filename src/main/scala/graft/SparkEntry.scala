@@ -149,7 +149,8 @@ object SparkEntry {
     "extension117" -> ExtensionQueries117,
     "extension118" -> ExtensionQueries118,
     "extension119" -> ExtensionQueries119,
-    "extension120" -> ExtensionQueries120)
+    "extension120" -> ExtensionQueries120,
+    "extension121" -> ExtensionQueries121)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
