@@ -127,7 +127,7 @@ object ExtensionQueries113 extends QueryGroup {
       |  SELECT node, count(*) AS deg FROM (
       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
       |  ) GROUP BY node
-      |), ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+      |), ks AS (SELECT unnest([2, 4, 8, 16]::BIGINT[]) AS k),
       |nk AS (
       |  SELECT ks.k, count(*) AS n_k FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k
       |), ek AS (

@@ -160,7 +160,7 @@ object ExtensionQueries29 extends QueryGroup {
       |), act AS (
       |  SELECT DISTINCT user_id, day FROM e
       |), t AS (SELECT count(*) AS n_signups FROM s
-      |), offs AS (SELECT unnest([1, 7, 14]) AS day_n
+      |), offs AS (SELECT unnest([1, 7, 14]::BIGINT[]) AS day_n
       |), r AS (
       |  SELECT o.day_n, count(DISTINCT s.user_id) AS n_retained
       |  FROM offs o

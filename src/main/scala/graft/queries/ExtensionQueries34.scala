@@ -81,7 +81,7 @@ object ExtensionQueries34 extends QueryGroup {
       |  WHERE e.event_type = 'purchase'
       |    AND e.week - co.cweek BETWEEN 0 AND 3
       |  GROUP BY co.cweek, off
-      |), offs AS (SELECT unnest([0, 1, 2, 3]) AS week_offset
+      |), offs AS (SELECT unnest([0, 1, 2, 3]::BIGINT[]) AS week_offset
       |), cum AS (
       |  SELECT cweek, week_offset, CAST(sum(cents) AS BIGINT) AS cum_cents
       |  FROM rev JOIN offs ON off <= week_offset

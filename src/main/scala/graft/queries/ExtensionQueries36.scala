@@ -153,7 +153,7 @@ object ExtensionQueries36 extends QueryGroup {
       |  SELECT (cents - mn) * 20 // (mx - mn + 1) AS b, mn, mx, total,
       |    count(*) AS cnt
       |  FROM o, mm GROUP BY b, mn, mx, total
-      |), probes AS (SELECT unnest([25, 50, 75]) AS pct
+      |), probes AS (SELECT unnest([25, 50, 75]::BIGINT[]) AS pct
       |), wt AS (
       |  SELECT pct, mn + (mx - mn + 1) * pct // 100 AS t,
       |    mn + b * (mx - mn + 1) // 20 AS lo,

@@ -268,8 +268,8 @@ object ExtensionQueries4 extends QueryGroup {
     d.select(col("doc_id"),
         (comp === decomp).as("eq_raw"),
         (nfc(comp) === nfc(decomp)).as("eq_nfc"),
-        length(decomp).as("len_raw"),
-        length(nfc(decomp)).as("len_nfc"),
+        length(decomp).cast("long").as("len_raw"),
+        length(nfc(decomp)).cast("long").as("len_nfc"),
         nfc(decomp).as("canonical"))
       .orderBy(col("doc_id"))
   }

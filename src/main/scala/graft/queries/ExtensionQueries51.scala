@@ -56,8 +56,8 @@ object ExtensionQueries51 extends QueryGroup {
       |      AS cents
       |  FROM lineitem GROUP BY l_partkey
       |), t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM p)
-      |SELECT CASE WHEN n_supp >= 20 THEN 3
-      |    WHEN n_supp >= 10 THEN 2 ELSE 1 END AS supp_bucket,
+      |SELECT CAST(CASE WHEN n_supp >= 20 THEN 3
+      |    WHEN n_supp >= 10 THEN 2 ELSE 1 END AS BIGINT) AS supp_bucket,
       |  count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS cents,
       |  CAST(sum(cents) * 1000000 // t AS BIGINT) AS revenue_share_ppm
       |FROM p, t

@@ -62,8 +62,8 @@ object ExtensionQueries55 extends QueryGroup {
       |      AS disc_cents
       |  FROM lineitem
       |)
-      |SELECT CASE WHEN disc_pct = 0 THEN 0
-      |    WHEN disc_pct <= 5 THEN 1 ELSE 2 END AS band,
+      |SELECT CAST(CASE WHEN disc_pct = 0 THEN 0
+      |    WHEN disc_pct <= 5 THEN 1 ELSE 2 END AS BIGINT) AS band,
       |  count(*) AS n_lines, CAST(sum(qty) AS BIGINT) AS units,
       |  CAST(sum(cents) AS BIGINT) AS gross_cents,
       |  CAST(sum(disc_cents) AS BIGINT) AS discount_cents,

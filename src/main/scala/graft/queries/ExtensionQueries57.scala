@@ -62,8 +62,8 @@ object ExtensionQueries57 extends QueryGroup {
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents
       |  FROM orders JOIN l ON o_orderkey = l_orderkey
       |)
-      |SELECT CASE WHEN diff = 0 THEN 0
-      |    WHEN diff * 100 <= header_cents THEN 1 ELSE 2 END AS bucket,
+      |SELECT CAST(CASE WHEN diff = 0 THEN 0
+      |    WHEN diff * 100 <= header_cents THEN 1 ELSE 2 END AS BIGINT) AS bucket,
       |  count(*) AS n_orders, CAST(max(diff) AS BIGINT) AS worst_cents
       |FROM j
       |GROUP BY bucket
@@ -126,8 +126,8 @@ object ExtensionQueries57 extends QueryGroup {
       |      AS converted
       |  FROM g GROUP BY user_id, session_id
       |)
-      |SELECT CASE WHEN session_id = 0 THEN 1
-      |    WHEN session_id = 1 THEN 2 ELSE 3 END AS session_index,
+      |SELECT CAST(CASE WHEN session_id = 0 THEN 1
+      |    WHEN session_id = 1 THEN 2 ELSE 3 END AS BIGINT) AS session_index,
       |  count(*) AS n_sessions, CAST(sum(converted) AS BIGINT) AS n_conv,
       |  CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm
       |FROM sess

@@ -272,7 +272,7 @@ object SketchQueries extends QueryGroup {
       .orderBy(h, col("l_orderkey"), col("l_linenumber"))
     li.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         h.as("sample_key"),
-        row_number().over(w).as("sample_rank"))
+        row_number().over(w).cast("long").as("sample_rank"))
       .filter(col("sample_rank") <= 10)
       .orderBy(col("l_returnflag"), col("sample_rank"))
   }
