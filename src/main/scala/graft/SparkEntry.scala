@@ -150,7 +150,10 @@ object SparkEntry {
     "extension118" -> ExtensionQueries118,
     "extension119" -> ExtensionQueries119,
     "extension120" -> ExtensionQueries120,
-    "extension121" -> ExtensionQueries121)
+    "extension121" -> ExtensionQueries121,
+    "extension122" -> ExtensionQueries122,
+    "extension123" -> ExtensionQueries123,
+    "extension124" -> ExtensionQueries124)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

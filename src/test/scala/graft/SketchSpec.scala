@@ -133,7 +133,7 @@ class SketchSpec extends SparkSpecBase {
     assert(perGroup.values.forall(_ == 10), s"per-group sizes: $perGroup")
     // ranks within each group are 1..10 ordered by the md5 sample key
     for ((_, rows) <- a.groupBy(_.getString(0))) {
-      val keys = rows.sortBy(_.getInt(4)).map(_.getString(3))
+      val keys = rows.sortBy(_.getLong(4)).map(_.getString(3))
       assert(keys == keys.sorted, "sample_rank order must follow the hash order")
     }
   }
