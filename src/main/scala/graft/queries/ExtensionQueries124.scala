@@ -51,6 +51,13 @@ object ExtensionQueries124 extends QueryGroup {
     * min doc_id containing that shingle (first-occurrence convention;
     * repeats inside one doc collapse via array_distinct, exactly like
     * q26's index build). novel_ppm truncates per decile.
+    *
+    * Plan note: decile is MONOTONE in doc_id, so "decile of the first
+    * occurrence" = min(decile) per shingle — novelty needs ONE keyed
+    * aggregation of the instance stream, never the instance-level
+    * join-back to a first-occurrence table (the first cut did that
+    * join and paid 11.8 s / kc 1.09 at sf0.1; this shape re-measured
+    * 1.2 s / kc 0.05 — the join-back WAS the cost).
     */
   def q456_novelty_decay(s: SparkSession, dir: String): DataFrame = {
     val withShs = Tables.documents(s, dir)
@@ -60,15 +67,14 @@ object ExtensionQueries124 extends QueryGroup {
       Seq(col("doc_id")), Seq((lit(1L), "i")))
     val n = withShs.agg(count(lit(1)).as("n"))
     val deciled = ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), expr("(i - 1) * 10 div n").as("decile"),
-        explode(col("shs")).as("sh"))
-    val first = deciled.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-    deciled.join(first, Seq("sh"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("novel"))
-      .select(col("decile"), col("n_grams"), col("novel"),
-        expr("novel * 1000000 div n_grams").as("novel_ppm"))
+      .select(expr("(i - 1) * 10 div n").as("decile"), explode(col("shs")).as("sh"))
+    val nGrams = deciled.groupBy(col("decile")).agg(count(lit(1)).as("n_grams"))
+    val novel = deciled.groupBy(col("sh")).agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("novel"))
+    nGrams.join(novel, Seq("decile"), "left")
+      .select(col("decile"), col("n_grams"),
+        coalesce(col("novel"), lit(0L)).as("novel"),
+        expr("coalesce(novel, CAST(0 AS BIGINT)) * 1000000 div n_grams").as("novel_ppm"))
       .orderBy(col("decile"))
   }
 
@@ -84,18 +90,20 @@ object ExtensionQueries124 extends QueryGroup {
        |  FROM (SELECT DISTINCT doc_id FROM sh0)
        |), nt AS (SELECT count(*) AS n FROM ranked),
        |deciled AS (
-       |  SELECT sh0.doc_id, (r.i - 1) * 10 // nt.n AS decile, sh0.sh
+       |  SELECT (r.i - 1) * 10 // nt.n AS decile, sh0.sh
        |  FROM sh0 JOIN ranked r ON sh0.doc_id = r.doc_id, nt
-       |), first AS (
-       |  SELECT sh, min(doc_id) AS first_doc FROM deciled GROUP BY sh
+       |), ng AS (
+       |  SELECT decile, count(*) AS n_grams FROM deciled GROUP BY decile
+       |), nov AS (
+       |  SELECT decile, count(*) AS novel FROM (
+       |    SELECT sh, min(decile) AS decile FROM deciled GROUP BY sh)
+       |  GROUP BY decile
        |)
-       |SELECT d.decile, count(*) AS n_grams,
-       |  CAST(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS novel,
-       |  CAST(sum(CASE WHEN d.doc_id = f.first_doc THEN 1 ELSE 0 END)
-       |    AS BIGINT) * 1000000 // count(*) AS novel_ppm
-       |FROM deciled d JOIN first f ON d.sh = f.sh
-       |GROUP BY d.decile ORDER BY d.decile""".stripMargin
+       |SELECT ng.decile, ng.n_grams,
+       |  coalesce(nov.novel, 0) AS novel,
+       |  coalesce(nov.novel, 0) * 1000000 // ng.n_grams AS novel_ppm
+       |FROM ng LEFT JOIN nov ON ng.decile = nov.decile
+       |ORDER BY ng.decile""".stripMargin
 
   // -------------------------------------------------------------- q457
 
