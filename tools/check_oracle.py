@@ -187,7 +187,7 @@ def types_sweep(sf_dir, out_dir):
     return 1 if n_div else 0
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timeout_s=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -197,8 +197,19 @@ def main(sf_dir, out_dir):
     dig_path = f"{out_dir}/digests.json"
     if os.path.exists(dig_path):
         digests = json.load(open(dig_path))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracle.items()):
+        # Optional per-ORACLE timeout (scale sweeps): some DuckDB mirrors
+        # (recursive-CTE fixpoints, quadratic certificate joins) cost far
+        # more in the oracle engine than the Spark plan does at sf>=0.1.
+        # A timeout is recorded as ORACLE_TIMEOUT — an oracle-cost
+        # statement, NOT a correctness failure; those queries remain
+        # covered by the sf0.01 oracle plus the sf0.1 digest sidecar.
+        timer = None
+        if timeout_s:
+            import threading
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
         try:
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -206,10 +217,22 @@ def main(sf_dir, out_dir):
             gcols, grows = canon(graw, got.columns)
             exp = con.sql(sql)
             ecols, erows = canon(exp.fetchall(), exp.columns)
+        except KeyboardInterrupt:
+            raise
         except Exception as e:
+            if timer is not None:
+                expired = not timer.is_alive()
+                timer.cancel()
+                if expired:
+                    print(f"ORACLE_TIMEOUT {name} (> {timeout_s:.0f}s in DuckDB)")
+                    n_timeout += 1
+                    continue
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         # the driver's pandas comparator cannot hash/sort array cells
         # (q44 round-1 red row) — reject them here so the local recipe
         # never green-lights a query the real gate will fail. Checked on
@@ -279,7 +302,10 @@ def main(sf_dir, out_dir):
                 continue
         print(f"PASS {name} ({len(grows)} rows, worst_rel={worst_rel:.1e})")
         n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    if n_timeout:
+        print(f"== {n_pass} pass / {n_fail} fail / {n_timeout} oracle-timeout ==")
+    else:
+        print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
 
@@ -288,4 +314,9 @@ if __name__ == "__main__":
         sys.exit(selftest())
     if sys.argv[1:2] == ["--types"]:
         sys.exit(types_sweep(sys.argv[2], sys.argv[3]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    timeout = None
+    args = [a for a in sys.argv[1:] if not a.startswith("--timeout=")]
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
+    sys.exit(main(args[0], args[1], timeout))
