@@ -153,7 +153,9 @@ object SparkEntry {
     "extension121" -> ExtensionQueries121,
     "extension122" -> ExtensionQueries122,
     "extension123" -> ExtensionQueries123,
-    "extension124" -> ExtensionQueries124)
+    "extension124" -> ExtensionQueries124,
+    "extension125" -> ExtensionQueries125,
+    "extension126" -> ExtensionQueries126)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
