@@ -9,15 +9,22 @@ import graft.ops.AsofJoin
 /** Round-12 batch 9: sketch mergeability, tolerant as-of joins, and
   * integer trend smoothing.
   *
-  *  - q341 sketch merge identity: THE property that makes sketches the
-  *    100 TB answer — union-of-sketches must equal sketch-of-union.
-  *    Daily HLL sketches of active users union into weekly ones and the
-  *    estimate is pinned EQUAL (not merely close) to the direct weekly
-  *    sketch: HLL union takes register maxima, and folding the same
-  *    rows through one sketch or seven then max is the same register
-  *    state. Emitted as the q81 certified-row pattern (exact distinct
-  *    for the oracle, identity + error-bound booleans the mirror pins
-  *    TRUE).
+  *  - q341 sketch mergeability: THE property that makes sketches the
+  *    100 TB answer — unioning per-shard sketches must estimate the
+  *    union's cardinality within the sketch's error bound. Daily HLL
+  *    sketches of active users union into weekly ones and BOTH the
+  *    merged and the direct estimates are pinned within 5% of the
+  *    exact weekly distinct count. (The r1-r14 form pinned the merged
+  *    ESTIMATE bit-equal to the direct sketch's — true only in coupon
+  *    mode: the round-15 full sf0.1 sweep caught it red at ~1500
+  *    users/week, where the direct sketch still answers from its
+  *    order-dependent HIP estimator while the union gadget answers
+  *    from the composite estimate, and re-sharding the same rows 2-way
+  *    vs 5-way shifts the union estimate too. Bit-equality of
+  *    estimates across merge topologies is NOT a DataSketches
+  *    guarantee; bounded error after merge IS — so that is the pin.)
+  *    Emitted as the q81 certified-row pattern (exact distinct for the
+  *    oracle, both error-bound booleans the mirror pins TRUE).
   *  - q342 as-of join with TOLERANCE (pandas merge_asof's `tolerance`,
   *    polars join_asof's `tolerance`): the match is dropped when the
   *    picked signup is more than 1 hour stale — completing the as-of
@@ -37,8 +44,9 @@ object ExtensionQueries83 extends QueryGroup {
   // --------------------------------------------------------------- q341
 
   /** q341: per integer week — exact active users (the oracle row), the
-    * merge identity est(union of 7 daily sketches) == est(direct weekly
-    * sketch), and the 5% error bound (≈3σ at lgK=12).
+    * merge-accuracy bound |est(union of daily sketches) − exact| ≤ 5%,
+    * and the direct-sketch bound |est(weekly sketch) − exact| ≤ 5%
+    * (≈3σ at lgK=12 on both paths).
     */
   def q341_sketch_merge_identity(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -57,7 +65,8 @@ object ExtensionQueries83 extends QueryGroup {
       .groupBy(col("week")).agg(count(lit(1)).as("n_users_exact"))
     exact.join(merged, "week").join(direct, "week")
       .select(col("week"), col("n_days"), col("n_users_exact"),
-        (col("est_merged") === col("est_direct")).as("merge_identity"),
+        (abs(col("est_merged") - col("n_users_exact")).cast("double")
+          <= lit(0.05) * col("n_users_exact").cast("double")).as("merge_ok"),
         (abs(col("est_direct") - col("n_users_exact")).cast("double")
           <= lit(0.05) * col("n_users_exact").cast("double")).as("est_ok"))
       .orderBy(col("week"))
@@ -69,7 +78,7 @@ object ExtensionQueries83 extends QueryGroup {
       |), w AS (SELECT user_id, day, day // 7 AS week FROM e)
       |SELECT week, count(DISTINCT day) AS n_days,
       |  count(DISTINCT user_id) AS n_users_exact,
-      |  true AS merge_identity, true AS est_ok
+      |  true AS merge_ok, true AS est_ok
       |FROM w GROUP BY week ORDER BY week""".stripMargin
 
   // --------------------------------------------------------------- q342

