@@ -155,7 +155,8 @@ object SparkEntry {
     "extension123" -> ExtensionQueries123,
     "extension124" -> ExtensionQueries124,
     "extension125" -> ExtensionQueries125,
-    "extension126" -> ExtensionQueries126)
+    "extension126" -> ExtensionQueries126,
+    "extension127" -> ExtensionQueries127)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
