@@ -156,7 +156,8 @@ object SparkEntry {
     "extension124" -> ExtensionQueries124,
     "extension125" -> ExtensionQueries125,
     "extension126" -> ExtensionQueries126,
-    "extension127" -> ExtensionQueries127)
+    "extension127" -> ExtensionQueries127,
+    "extension128" -> ExtensionQueries128)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
