@@ -157,7 +157,8 @@ object SparkEntry {
     "extension125" -> ExtensionQueries125,
     "extension126" -> ExtensionQueries126,
     "extension127" -> ExtensionQueries127,
-    "extension128" -> ExtensionQueries128)
+    "extension128" -> ExtensionQueries128,
+    "extension129" -> ExtensionQueries129)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
