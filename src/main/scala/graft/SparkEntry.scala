@@ -158,7 +158,8 @@ object SparkEntry {
     "extension126" -> ExtensionQueries126,
     "extension127" -> ExtensionQueries127,
     "extension128" -> ExtensionQueries128,
-    "extension129" -> ExtensionQueries129)
+    "extension129" -> ExtensionQueries129,
+    "extension130" -> ExtensionQueries130)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
