@@ -159,7 +159,8 @@ object SparkEntry {
     "extension127" -> ExtensionQueries127,
     "extension128" -> ExtensionQueries128,
     "extension129" -> ExtensionQueries129,
-    "extension130" -> ExtensionQueries130)
+    "extension130" -> ExtensionQueries130,
+    "extension131" -> ExtensionQueries131)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
