@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   *    of query cost);
   *  - each query materializes fully through the `noop` sink (a bare count()
   *    can shortcut to metadata for scan-only plans);
-  *  - every query runs `n` times and reports the per-query MEDIAN (sub-2s
-  *    queries swing ±2× run-to-run; a single sample made round-over-round
-  *    deltas unattributable). `total` is the sum of medians; the artifact
-  *    also carries per-query [min, median, max] under "spread" so host
-  *    noise separates from plan regressions without forensics;
+  *  - STRATIFIED sampling (round-16): one n=1 pass over the full
+  *    registry, then n=[[Iters]] re-measures for the 50 slowest and for
+  *    queries new this round, and n=[[TopIters]]+warmup for single-sample
+  *    movers and the top-10 — every number that can flag a regression is
+  *    an n≥3 median, while the stable sub-second tail (whose ±2× swing
+  *    sits below the mover threshold's noise floor) costs one sample.
+  *    `total` is the sum of reported medians; the artifact also carries
+  *    per-query [min, median, max] under "spread" so host noise separates
+  *    from plan regressions without forensics;
   *  - cache cleared AND all persisted RDD blocks released before every run:
   *    `localCheckpoint` blocks (the PageRank / connected-components
   *    fixpoints) are persisted RDDs the SQL cache doesn't track, and left
@@ -53,6 +57,57 @@ object Bench {
   /** Pipeline phases sample count — same n + discarded-warmup pattern as
     * the top-10 queries (round-10 verdict task #1). */
   val PipeIters = 5
+
+  /** Rolling canary ledger (round-16 verdict tasks #1/#4): one committed
+    * JSON file of per-run canary medians — cpu = the constant-CSV parse
+    * canary, io = the constant parquet scan + full-width-shuffle canary.
+    * Factors compare against the MIN of the last [[HistoryWindow]]
+    * same-sf entries, so one contended committed run can never invert
+    * the discount logic the way a single-previous-artifact comparison
+    * did in r15. Seeded from the committed bench_out.json history
+    * (tools/seed_canary_history.py). */
+  val HistoryPath = "canary_history.json"
+  val HistoryKeep = 40
+  val HistoryWindow = 10
+
+  /** All ledger entries as (sf, cpu, io); absent/invalid fields read -1. */
+  def readHistoryAll(): Seq[(String, Double, Double)] = try {
+    val p = java.nio.file.Paths.get(HistoryPath)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      import org.json4s._
+      val parsed = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+      parsed \ "entries" match {
+        case JArray(xs) => xs.flatMap { e =>
+          def num(f: String): Double = e \ f match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case _ => -1.0
+          }
+          e \ "sf" match {
+            case JString(s) => Some((s, num("cpu"), num("io")))
+            case _ => None
+          }
+        }
+        case _ => Seq.empty
+      }
+    }
+  } catch { case _: Throwable => Seq.empty }
+
+  /** Same-sf (cpu, io) medians, oldest first. */
+  def readHistory(sf: String): Seq[(Double, Double)] =
+    readHistoryAll().collect { case (s, c, i) if s == sf => (c, i) }
+
+  def appendHistory(sf: String, cpu: Double, io: Double): Unit = try {
+    val all = (readHistoryAll() :+ ((sf, cpu, io))).takeRight(HistoryKeep)
+    val body = all.map { case (s, c, i) =>
+      f"""{"sf":"$s","cpu":$c%.4f,"io":$i%.4f}"""
+    }.mkString("{\"entries\":[", ",", "]}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(HistoryPath),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  } catch { case _: Throwable => }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,26 +224,61 @@ object Bench {
     val pipeSamples: Seq[PipeSample] = try pipelineBench(spark, timedReleased)
       catch { case _: Throwable => Seq.empty }
     release()
+    // Stratified measurement (round-16 verdict task #6): ~500 queries ×
+    // n=3 was 38 min of bench wall and rising linearly with the registry —
+    // that cost is why contended mid-round artifacts ended up committed.
+    // One n=1 pass over everything, then full spreads only where the
+    // detection power is needed:
+    //  - the 50 slowest by the single sample (the tail carries the total)
+    //    at n=Iters;
+    //  - queries with no previous-round median (new this round — no
+    //    reference point, so buy the full spread) at n=Iters;
+    //  - single-sample movers (>1.5× either way vs the previous artifact,
+    //    larger side ≥0.5 s) at n=TopIters with a discarded warmup —
+    //    a 1-sample trigger is noisier than the old 3-sample one, so
+    //    EVERY trigger gets the full treatment and the artifact's
+    //    "movers" map lists only queries still >1.5× AFTER it: a
+    //    reported mover always carries n=TopIters spread evidence;
+    //  - the 10 slowest re-measure at n=TopIters+warmup as before.
+    // Every number that can flag a regression is an n≥3 median; only the
+    // stable tail (whose sub-half-second ±2× swing was always below the
+    // mover threshold's floor) reports its single sample.
     val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> runToNoop(name)
+      name -> runToNoop(name, iters = 1)
     }
-    // tail stabilization: the 10 slowest re-measure at n=TopIters; their
-    // replacement stats supersede the first pass in every artifact field
-    val topNames = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
-      .take(10).map(_._1).toSet
-    // delta trigger: >1.5× move either way vs the previous artifact, with
-    // the larger side ≥0.5 s (the sub-half-second tier swings ±2× as pure
-    // noise; flagging it would re-measure dozens of queries for nothing)
-    val moverNames = firstPass.collect { case (k, v)
-        if !topNames(k) && v._2 >= 0 && prevMedians.get(k).exists(p =>
-          p > 0 && math.max(p, v._2) >= 0.5 &&
-          (v._2 / p > 1.5 || p / v._2 > 1.5)) => k }.toSet
-    val results = firstPass.map { case (k, v) =>
-      if (topNames(k) || moverNames(k)) {
+    val top50 = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
+      .take(50).map(_._1).toSet
+    val newcomers = firstPass.collect {
+      case (k, v) if v._2 >= 0 && !prevMedians.contains(k) => k }.toSet
+    def isMove(cur: Double, prev: Double): Boolean =
+      prev > 0 && math.max(prev, cur) >= 0.5 &&
+        (cur / prev > 1.5 || prev / cur > 1.5)
+    val moverCandidates = firstPass.collect { case (k, v)
+        if v._2 >= 0 && prevMedians.get(k).exists(isMove(v._2, _)) => k }.toSet
+    val results1 = firstPass.map { case (k, v) =>
+      if (moverCandidates(k)) {
         val r = runToNoop(k, TopIters, warmup = true)
         // a crashed re-measure must not erase a valid first-pass result
         k -> (if (r._2 >= 0) r else v)
+      } else if (top50(k) || newcomers(k)) {
+        val r = runToNoop(k, Iters)
+        k -> (if (r._2 >= 0) r else v)
       } else k -> v
+    }
+    // tail stabilization: the 10 slowest re-measure at n=TopIters; their
+    // replacement stats supersede the first pass in every artifact field
+    val topNames = results1.filter(_._2._2 >= 0).sortBy(-_._2._2)
+      .take(10).map(_._1).toSet
+    val results = results1.map { case (k, v) =>
+      if (topNames(k) && !moverCandidates(k)) {
+        val r = runToNoop(k, TopIters, warmup = true)
+        k -> (if (r._2 >= 0) r else v)
+      } else k -> v
+    }
+    val resMap = results.toMap
+    // reported movers: only those still >1.5× after the full re-measure
+    val moverNames = moverCandidates.filter { k =>
+      prevMedians.get(k).exists(isMove(resMap(k)._2, _))
     }
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
@@ -244,7 +334,8 @@ object Bench {
         else if (s.canary >= 1.5 * baseCanary || sum >= 1.5 * baseSum) "host"
         else "isolated"
       f"""{"csv":${s.csv}%.3f,"merge":${s.merge}%.3f,"full":${s.full}%.3f,""" +
-        f""""canary":${s.canary}%.3f,"full_over_sum":$ratio%.2f,""" +
+        f""""canary":${s.canary}%.3f,"io_canary":${s.ioc}%.3f,""" +
+        f""""full_over_sum":$ratio%.2f,""" +
         f""""gc_sec":${s.gcSec}%.3f,"cached_bytes":${s.cachedBytes},""" +
         f""""heap_mb":${s.heapMb},"verdict":"$verdict"}"""
     }.mkString("[", ",", "]")
@@ -258,24 +349,57 @@ object Bench {
     // movers_discounted flips when the canary itself moved ≥1.3× either
     // way — read the movers map through that flag.
     val canaryMed = pstats(_.canary)._2
+    val iocMed = pstats(_.ioc)._2
     val hostFactor =
       if (canaryMed > 0 && prevCanary > 0) canaryMed / prevCanary else -1.0
+    // Rolling reference (round-16 verdict task #4): host_factor compares
+    // against the single previous committed artifact, so one contended
+    // mid-round commit inverts the discount logic (r15: the final run's
+    // canary read 0.394 "much faster" vs a contended intermediate while
+    // actually running on a slower host than r14's artifact). The rolling
+    // ledger keeps the last HistoryKeep per-run canary medians; each
+    // factor compares against the MIN of the last HistoryWindow entries
+    // at the same sf — "vs the best host observed lately" — so a factor
+    // ≥ 1.3 always means "this run's host was slow", never "the previous
+    // run happened to be". cpu_factor reads the parse-bound CSV canary,
+    // io_factor the scan+shuffle parquet canary (task #1): a clean-cpu /
+    // dirty-io run is now visible in the artifact instead of inferred.
+    val history = readHistory(sfDir)
+    def rollFactor(cur: Double, past: Seq[Double]): Double = {
+      val w = past.filter(_ > 0).takeRight(HistoryWindow)
+      if (cur > 0 && w.nonEmpty) cur / w.min else -1.0
+    }
+    val cpuFactor = rollFactor(canaryMed, history.map(_._1))
+    val ioFactor = rollFactor(iocMed, history.map(_._2))
+    appendHistory(sfDir, canaryMed, iocMed)
     val moversDiscounted =
-      hostFactor > 0 && (hostFactor >= 1.3 || hostFactor <= 1.0 / 1.3)
+      (cpuFactor > 0 && cpuFactor >= 1.3) || (ioFactor > 0 && ioFactor >= 1.3) ||
+        (cpuFactor < 0 && ioFactor < 0 && hostFactor > 0 &&
+          (hostFactor >= 1.3 || hostFactor <= 1.0 / 1.3))
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
       f""""host_factor":$hostFactor%.3f,"prev_canary_median":$prevCanary%.3f,""" +
+      f""""cpu_factor":$cpuFactor%.3f,"io_factor":$ioFactor%.3f,""" +
+      s""""canary_history_n":${history.size},""" +
       s""""movers_discounted":$moversDiscounted,""" +
       s""""movers":$moversJson,"memoized":$memoJson,""" +
       s""""pipeline_1m_sec":${pFull._2},"pipeline_1m_spread":${fmt(pFull)},""" +
       s""""pipeline_n":$PipeIters,"pipeline_phases":{"csv_scan":${fmt(pstats(_.csv))},""" +
       s""""merge_from_parquet":${fmt(pstats(_.merge))},""" +
       s""""canary":${fmt(pstats(_.canary))},""" +
+      s""""io_canary":${fmt(pstats(_.ioc))},""" +
       s""""full":${fmt(pFull)}},"pipeline_samples":$samplesJson,"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,""" +
+    // n semantics post-stratification: "n" is the full-measure tier
+    // (top-50 + newcomers), "n_tail" the single-sample tier, "n_top10"
+    // the top-10/mover tier; "n_full_measured" counts queries whose
+    // reported stats come from an n≥3 re-measure.
+    val nFullMeasured = (top50 ++ newcomers ++ moverCandidates ++ topNames).size
+    val tiers = s""""n":$Iters,"n_tail":1,"n_top10":$TopIters,""" +
+      s""""n_full_measured":$nFullMeasured,"movers_checked":${moverCandidates.size},"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n":$Iters,"n_top10":$TopIters,"queries":$qs,""" +
-      s""""spread":$spreadAll,""" + suffix
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
+      s""""queries":$qs,"spread":$spreadAll,""" + suffix
     // LAST line must be a COMPLETE JSON object inside the driver's bounded
     // stdout tail capture. Measured r13/r14: the capture keeps the final
     // 2000 chars and sbt appends a ~70-char "[success]" line, so anything
@@ -289,8 +413,9 @@ object Bench {
     val ultraQs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v._2) }
       .mkString("{", ",", "}")
     val ultra = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""n":$Iters,"n_top10":$TopIters,"queries_total":${results.size},""" +
-      s""""host_factor":${r3(hostFactor)},"movers_discounted":$moversDiscounted,""" +
+      s""""n":$Iters,"n_tail":1,"n_top10":$TopIters,"queries_total":${results.size},""" +
+      s""""host_factor":${r3(hostFactor)},"cpu_factor":${r3(cpuFactor)},""" +
+      s""""io_factor":${r3(ioFactor)},"movers_discounted":$moversDiscounted,""" +
       s""""movers_n":${moverNames.size},"pipeline_1m_sec":${r3(pFull._2)},""" +
       s""""skew":{"unsalted":${r3(skew._1)},"salted":${r3(skew._2)},"aqe":${r3(skew._3)}},""" +
       s""""queries":$ultraQs,"sf":"$sfDir"}"""
@@ -326,7 +451,8 @@ object Bench {
     * contract in the other rounds of the same JVM.
     */
   final case class PipeSample(csv: Double, merge: Double, full: Double, canary: Double,
-      gcSec: Double = -1.0, cachedBytes: Long = -1L, heapMb: Long = -1L)
+      gcSec: Double = -1.0, cachedBytes: Long = -1L, heapMb: Long = -1L,
+      ioc: Double = -1.0)
 
   /** Total JVM GC time (ms) across all collectors — deltas around a timed
     * window attribute in-process interference (round-14 verdict task #5:
@@ -385,6 +511,20 @@ object Bench {
         pmod(col("id"), lit(9973)).as("cb"),
         (pmod(col("id"), lit(100000)) / 7.0).as("cc"))
       .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/canary")
+    // io canary (round-16 verdict task #1): the CSV canary is parse/CPU-
+    // bound — the r15 common surface drifted 1.14× while that canary read
+    // FASTER, so the artifact could not distinguish host I/O contention
+    // from a fleet regression. This one exercises the contended
+    // dimensions with constant code and data: a fixed ~190 MB
+    // INCOMPRESSIBLE parquet (xxhash64 columns defeat every encoding, so
+    // the scan is disk-bandwidth-bound, not decode-bound) pushed through
+    // one fixed full-width shuffle (repartition moves all bytes through
+    // shuffle write + disk + read) into a small aggregate.
+    spark.range(8 * n).select(
+        xxhash64(col("id")).as("h1"),
+        xxhash64(col("id"), lit(1L)).as("h2"),
+        (pmod(xxhash64(col("id"), lit(2L)), lit(1000000L)) / lit(10000.0)).as("x"))
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/iocanary")
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
@@ -416,17 +556,26 @@ object Bench {
           Pipeline.loadGa4From(spark.read.parquet(s"${cfg.ga4Path}_pq"), cfg)))
         finally spark.conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
       }
-      // I/O canary: schema-declared scan of the pre-staged constant
-      // file — no inference pass, no pipeline code; pure disk+parse cost
+      // CPU canary: schema-declared scan of the pre-staged constant
+      // file — no inference pass, no pipeline code; disk+parse cost
+      // (parse-dominated, so in practice a CPU yardstick)
       def runCanary(): Unit =
         noop(spark.read.schema("ca STRING, cb BIGINT, cc DOUBLE")
           .option("header", "true").csv(s"$dir/canary"))
+      // I/O canary: constant parquet scan + one constant full-width
+      // shuffle — the bytes-through-disk dimension the CSV canary is
+      // provably blind to (r15 root-cause analysis)
+      def runIoCanary(): Unit =
+        noop(spark.read.parquet(s"$dir/iocanary")
+          .repartition(32, col("h1"))
+          .groupBy(pmod(col("h1"), lit(9973)).as("g"))
+          .agg(sum(col("h2")).as("s"), sum(col("x")).as("sx")))
       // one DISCARDED warmup round (codegen/footers/JIT), then PipeIters
-      // measured rounds — each round times the four phases back-to-back so
+      // measured rounds — each round times the phases back-to-back so
       // every full sample carries its own adjacent attribution evidence
       System.gc()
       timedReleased(runCsv()); timedReleased(runMerge())
-      timedReleased(runFull()); timedReleased(runCanary())
+      timedReleased(runFull()); timedReleased(runCanary()); timedReleased(runIoCanary())
       (1 to Bench.PipeIters).map { _ =>
         System.gc()
         val csv = timedReleased(runCsv())
@@ -445,7 +594,8 @@ object Bench {
         val full = timedReleased(runFull())
         val gcSec = (gcMillis() - gc0) / 1000.0
         val canary = timedReleased(runCanary())
-        PipeSample(csv, merge, full, canary, gcSec, cachedBytes, heapMb)
+        val ioc = timedReleased(runIoCanary())
+        PipeSample(csv, merge, full, canary, gcSec, cachedBytes, heapMb, ioc)
       }
     } finally { // ~3×1M-row temp CSVs + parquet stages; don't leak them past the measurement
       import scala.jdk.CollectionConverters._
@@ -553,6 +703,7 @@ object PipeForkBench {
       val ratio = if (s.csv + s.merge > 0) s.full / (s.csv + s.merge) else -1.0
       println(f"""{"i":$i,"csv":${s.csv}%.3f,"merge":${s.merge}%.3f,""" +
         f""""full":${s.full}%.3f,"canary":${s.canary}%.3f,""" +
+        f""""io_canary":${s.ioc}%.3f,""" +
         f""""full_over_sum":$ratio%.2f,"gc_sec":${s.gcSec}%.3f,""" +
         f""""cached_bytes":${s.cachedBytes},"heap_mb":${s.heapMb}}""")
     }

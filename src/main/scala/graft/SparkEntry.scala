@@ -160,7 +160,8 @@ object SparkEntry {
     "extension128" -> ExtensionQueries128,
     "extension129" -> ExtensionQueries129,
     "extension130" -> ExtensionQueries130,
-    "extension131" -> ExtensionQueries131)
+    "extension131" -> ExtensionQueries131,
+    "extension132" -> ExtensionQueries132)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -182,5 +183,6 @@ object SparkEntry {
     (oracleSql - "q38_ann_ivf" - "q70_semdedup" - "q93_ann_ivfpq" - "q100_pca_project" -
       "q112_bpe_tokens" - "q54_token_packing" - "q113_ann_filtered") ++
       ExtensionQueries2.oracleFor(dir) ++ ExtensionQueries6.oracleFor(dir) ++
-      ExtensionQueries7.oracleFor(dir) ++ ExtensionQueries10.oracleFor(dir) ++ ExtensionQueries64.oracleFor(dir) ++ ExtensionQueries65.oracleFor(dir)
+      ExtensionQueries7.oracleFor(dir) ++ ExtensionQueries10.oracleFor(dir) ++ ExtensionQueries64.oracleFor(dir) ++ ExtensionQueries65.oracleFor(dir) ++
+      ExtensionQueries132.oracleFor(dir)
 }

@@ -80,6 +80,12 @@ object PlanGate {
     "q419_patch_grid" -> ("ViT patch budgeting consumes the q32 codec's " +
       "decode stage (same ext/Multimodal mapPartitions); everything above " +
       "the decode is declarative"),
+    "q488_ahash_band_dedup" -> ("perceptual-hash band dedup consumes the " +
+      "q32 codec family's aHash stage (ext/Multimodal.aHashBands " +
+      "mapPartitions — byte-level pixel fold); the band index, candidate " +
+      "join, and Hamming verify above it are declarative"),
+    "q489_ahash_band_audit" -> ("band-index health audit over the same " +
+      "ext/Multimodal.aHashBands codec stage as q488"),
     "q115_lsh_admission" -> ("streaming/LshAdmit batch twin: keyed " +
       "flatMapGroupsWithState admission state — state bounded by bands × index")
   )

@@ -75,18 +75,27 @@ object ExtensionQueries10 extends QueryGroup {
     * terminal token counts. Callers prefix `WITH RECURSIVE` and join
     * `bpe_wc` back to per-document pre-tokens.
     */
-  def bpeCtes(model: Bpe.Model): String = {
+  def bpeCtes(model: Bpe.Model): String = bpeCtes(model, "bpe")
+
+  /** Prefixed form: `p` namespaces every CTE so two encode chains (two
+    * tokenizer GENERATIONS — the q490 drift mirror) coexist in one
+    * statement. `bpeCtes(m)` ≡ `bpeCtes(m, "bpe")` except the recursive
+    * CTE keeps the historical bare name `enc` only under the default
+    * prefix for the committed q112/q54 mirrors' readability.
+    */
+  def bpeCtes(model: Bpe.Model, p: String): String = {
     val pat = sqlLit(TextAnalysis.BpeSplitPattern)
+    val enc = if (p == "bpe") "enc" else s"${p}_enc"
     // NOT stripped here: the callers embed this text in their own
     // stripMargin templates, and a double strip would eat the first pipe
     // of any line-leading `||` list concat (observed: binder error on
     // `|(VARCHAR[], VARCHAR[])`)
-    s"""bpe_words AS (
+    s"""${p}_words AS (
        |  SELECT DISTINCT unnest(regexp_extract_all(text, $pat)) AS tok
        |  FROM documents
-       |), enc AS (
+       |), $enc AS (
        |  SELECT tok, list_transform(range(1, length(tok)+1), bp_c -> tok[bp_c]) AS syms
-       |  FROM bpe_words
+       |  FROM ${p}_words
        |  UNION ALL
        |  SELECT tok,
        |    list_slice(syms, 1, bi - 1) || [syms[bi] || syms[bi + 1]]
@@ -96,17 +105,17 @@ object ExtensionQueries10 extends QueryGroup {
        |      CASE WHEN ${bestRankSql(model)} IS NULL THEN NULL
        |           ELSE list_position(${ranksSql(model)}, ${bestRankSql(model)})
        |      END AS bi
-       |    FROM enc
+       |    FROM $enc
        |  ) WHERE bi IS NOT NULL AND bi > 0
-       |), bpe_wc AS (
-       |  SELECT tok, len(syms) AS n FROM enc
+       |), ${p}_wc AS (
+       |  SELECT tok, len(syms) AS n FROM $enc
        |  WHERE ${bestRankSql(model)} IS NULL
-       |), bpe_doc_tok AS (
+       |), ${p}_doc_tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, $pat)) AS tok
        |  FROM documents
-       |), bpe_doc AS (
+       |), ${p}_doc AS (
        |  SELECT dt.doc_id, count(*) AS n_pretok, CAST(sum(w.n) AS BIGINT) AS n_bpe
-       |  FROM bpe_doc_tok dt JOIN bpe_wc w USING (tok)
+       |  FROM ${p}_doc_tok dt JOIN ${p}_wc w USING (tok)
        |  GROUP BY dt.doc_id
        |)"""
   }
