@@ -62,7 +62,14 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     val qs = args.filterNot(_.startsWith("--")).toSeq
-    require(qs.nonEmpty, "usage: ShuffleAudit <query ...> [--dirs=d1,d2]")
+    require(qs.nonEmpty,
+      "usage: ShuffleAudit <query ...> [--dirs=d1,d2 | --sf1x-content]")
+    // --sf1x-content: audit the sf0.1 → 10× rung for CONTENT-table
+    // queries by synthesizing the same sf1x corpus QueryScaleBench uses
+    // (documents/embeddings only — no relational replication), so the
+    // bytes-growth claim for the capped-pair-index family is measured at
+    // the rung where bucket caps are supposed to saturate.
+    val sf1x = args.contains("--sf1x-content")
     val dirs = args.find(_.startsWith("--dirs="))
       .map(_.stripPrefix("--dirs=").split(',').toSeq)
       .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
@@ -74,6 +81,12 @@ object ShuffleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val effDirs = if (!sf1x) dirs else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_audit_sf1x").toString
+      println(s"generating 10x content tables into $tmp ...")
+      CorpusGen.writeContent(spark, tmp)
+      Seq("/root/testdata/sf0.1", tmp)
+    }
     val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
     def release(): Unit = {
@@ -82,7 +95,7 @@ object ShuffleAudit {
         .foreach(_.unpersist(blocking = true))
     }
     def mb(x: Long): String = f"${x / 1048576.0}%.1f"
-    val rows = for (q <- qs) yield q -> (for (d <- dirs) yield {
+    val rows = for (q <- qs) yield q -> (for (d <- effDirs) yield {
       release(); acc.reset()
       SparkEntry.queries(q)(spark, d)
         .write.format("noop").mode("overwrite").save()

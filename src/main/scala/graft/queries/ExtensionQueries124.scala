@@ -109,15 +109,22 @@ object ExtensionQueries124 extends QueryGroup {
 
   /** q457: per policy threshold t ∈ {0.5, 0.6, 0.7, 0.8, 0.9} (ppm),
     * the exact-Jaccard pairs at j_ppm ≥ t, the distinct docs they
-    * implicate, and that doc share of the whole corpus (ppm). Pairs
-    * come from q26's hot-capped inverted index; j_ppm = inter·10⁶ div
-    * (na + nb − inter) keeps the sweep integer-exact.
+    * implicate, and that doc share of the whole corpus (ppm); j_ppm =
+    * inter·10⁶ div (na + nb − inter) keeps the sweep integer-exact.
+    *
+    * ROUND-16 REWORK (with q464/q478): every threshold in the grid is
+    * ≥ 0.5, so enumerating the FULL sub-cap pair index (measured
+    * ~quadratic at the sf1x rung) just to filter at 0.5 was the wrong
+    * generator; pairs now come from the PPJoin prefix-filtered exact
+    * join at t = 0.5 ([[graft.ext.SetSimJoin.jaccardJoin]]) — identical
+    * pair set over exact string shingles, candidate mass tracking true
+    * near-dup mass.
     */
   def q457_dedup_threshold_sweep(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val pairs = Dedup.jaccardPairs(d, "doc_id", col("text"), 3)
-      .select(col("id_a"), col("id_b"),
-        expr("inter * 1000000 div (na + nb - inter)").as("j_ppm"))
+    val pairs = graft.ext.SetSimJoin.jaccardJoin(
+        ExtensionQueries9.q109Shingles(s, dir), "doc_id", "sh", 500000L)
+      .select(col("id_a"), col("id_b"), col("jacc_ppm").as("j_ppm"))
     val grid = s.range(5, 10).select((col("id") * 100000L).as("t"))
     val hits = pairs.crossJoin(broadcast(grid)).filter(col("j_ppm") >= col("t"))
     val nPairs = hits.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
@@ -134,26 +141,22 @@ object ExtensionQueries124 extends QueryGroup {
   }
 
   val q457Sql: String =
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
-       |    list_transform(range(1, len(string_split(text,' ')) - 1),
-       |      sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')),
-       |    sh_s -> ${ExtensionQueries.phSql("sh_s")}))) AS sh
+       |    range(1, len(string_split(text,' ')) - 1),
+       |    sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')))) AS sh
        |  FROM documents WHERE len(string_split(text,' ')) >= 3
        |), sizes AS (
        |  SELECT id, count(*) AS nsh FROM sh GROUP BY id
-       |), hot AS (
-       |  SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000
-       |), shc AS (
-       |  SELECT id, sh.sh FROM sh LEFT JOIN hot ON sh.sh = hot.sh WHERE hot.sh IS NULL
        |), pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
        |  GROUP BY 1, 2
        |), jp AS (
        |  SELECT id_a, id_b,
        |    CAST(inter AS BIGINT) * 1000000 // (na.nsh + nb.nsh - inter) AS j_ppm
        |  FROM pairs JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+       |  WHERE CAST(inter AS BIGINT) * 1000000 >= 500000 * (na.nsh + nb.nsh - inter)
        |), grid AS (SELECT unnest(range(5, 10)) * 100000 AS t),
        |hits AS (
        |  SELECT g.t, jp.id_a, jp.id_b FROM jp JOIN grid g ON jp.j_ppm >= g.t

@@ -43,19 +43,56 @@ object ExtensionQueries126 extends QueryGroup {
 
   // -------------------------------------------------------------- q464
 
+  /** Calibration threshold for the exact-side pair generator (ppm). */
+  private val CalibTPpm = 500000L
+
   /** q464: per error bucket |est − exact| div 100000 (ppm deciles):
     * pair count and mean signed error est − exact (ppm, truncated div).
     * est_ppm = matches·10⁶ div 64 over the 64-component signatures.
+    *
+    * ROUND-16 REWORK (verdict task #5's audit found the defect): the r15
+    * form calibrated over the FULL sub-cap shingle pair index, and the
+    * sf1x ShuffleAudit rung measured that frame at 85× bytes for 10×
+    * docs (exp ≈ 1.9, 20 GB spill) — the hot-shingle cap does not bind
+    * below c = 1000, so mid-frequency shingles make the index
+    * quadratic. Calibration only matters where a DECISION can go wrong,
+    * so the pair frame is now the union of the two decision surfaces:
+    *  - exact side: PPJoin pairs at J ≥ [[CalibTPpm]] (prefix-filtered
+    *    — the pairs a threshold dedup must keep; the false-NEGATIVE
+    *    direction, where the estimator under-reads a true dup);
+    *  - estimator side: the 16×4 banded-LSH candidates (the pairs the
+    *    banding actually surfaces; the false-POSITIVE direction, where
+    *    the estimator over-reads a non-dup).
+    * Both generators are the engine's own certified scale-path
+    * operators (q109's PPJoin, q29's banding); pairs in neither frame
+    * are invisible to every decision path and carry no calibration
+    * information a threshold consumer can use.
     */
   def q464_minhash_calibration(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val exact = Dedup.jaccardPairs(d, "doc_id", col("text"), 3)
-      .select(col("id_a"), col("id_b"),
-        expr("inter * 1000000 div (na + nb - inter)").as("exact_ppm"))
+    val shingles = ExtensionQueries9.q109Shingles(s, dir)
+    val exactPairs = graft.ext.SetSimJoin
+      .jaccardJoin(shingles, "doc_id", "sh", CalibTPpm)
+      .select(col("id_a"), col("id_b"))
     val sigs = d.filter(size(split(col("text"), " ")) >= 3)
       .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
       .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
-    val est = exact
+    val lshPairs = Dedup.lshCandidates(sigs, "doc_id", col("sig"), bands = 16)
+    val cand = exactPairs.unionByName(lshPairs).distinct()
+    val sets = shingles.distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("es"), count(lit(1)).as("nsh"))
+    val withExact = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("es").as("ea"),
+        col("nsh").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("es").as("eb"),
+        col("nsh").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ea"), col("eb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        expr("inter * 1000000 div (na + nb - inter)").as("exact_ppm"))
+    val est = withExact
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("exact_ppm"),
@@ -72,40 +109,56 @@ object ExtensionQueries126 extends QueryGroup {
 
   val q464Sql: String = {
     val toks = "string_split(text, ' ')"
-    s"""WITH sh AS (
+    s"""WITH shd AS MATERIALIZED (
        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
-       |    list_transform(range(1, len($toks) - 1),
-       |      sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' ')),
-       |    sh_s -> ${ExtensionQueries.phSql("sh_s")}))) AS sh
+       |    range(1, len($toks) - 1),
+       |    sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' ')))) AS sh
        |  FROM documents WHERE len($toks) >= 3
-       |), sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
-       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
-       |shc AS (SELECT id, sh.sh FROM sh LEFT JOIN hot ON sh.sh = hot.sh WHERE hot.sh IS NULL),
-       |pairs AS (
+       |), sizes AS MATERIALIZED (SELECT id, count(*) AS nsh FROM shd GROUP BY id),
+       |pairs AS MATERIALIZED (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+       |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.id < b.id
        |  GROUP BY 1, 2
-       |), jp AS (
-       |  SELECT id_a, id_b,
-       |    CAST(inter AS BIGINT) * 1000000 // (na.nsh + nb.nsh - inter) AS exact_ppm
-       |  FROM pairs JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+       |), epair AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
+       |  WHERE CAST(inter AS BIGINT) * 1000000 >= $CalibTPpm * (na.nsh + nb.nsh - inter)
        |), hs AS (
        |  SELECT doc_id, list_transform(
        |    list_transform(range(1, len($toks) - 1),
        |      sh_i -> array_to_string(list_slice($toks, sh_i, sh_i + 2), ' ')),
        |    sh_s -> ${ExtensionQueries.phSql("sh_s")}) AS hashes
        |  FROM documents WHERE len($toks) >= 3
-       |), sg AS (
+       |), sg AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range(0, 64), mh_i ->
        |    list_min(list_transform(hashes, mh_h ->
        |      (mh_h * (((2*mh_i + 1) * 2654435761) % 1000000007) + (40503*mh_i + 1)) % 1000000007))) AS sig
        |  FROM hs
+       |), bands AS (SELECT unnest(range(0, 16)) AS band
+       |), banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, band*4 + 1, band*4 + 4)),
+       |      (bk_a, bk_x) -> (bk_a*31 + bk_x) % 1000000007) AS band_key
+       |  FROM sg CROSS JOIN bands
+       |), lcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), allc AS (
+       |  SELECT id_a, id_b FROM epair UNION SELECT id_a, id_b FROM lcand
+       |), ex AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(coalesce(p.inter, 0) AS BIGINT) * 1000000
+       |      // (na.nsh + nb.nsh - coalesce(p.inter, 0)) AS exact_ppm
+       |  FROM allc c
+       |  LEFT JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+       |  JOIN sizes na ON c.id_a = na.id JOIN sizes nb ON c.id_b = nb.id
        |), est AS (
-       |  SELECT jp.exact_ppm,
+       |  SELECT ex.exact_ppm,
        |    CAST(list_sum(list_transform(range(1, 65),
        |      eq_i -> CASE WHEN sa.sig[eq_i] = sb.sig[eq_i] THEN 1 ELSE 0 END))
        |      AS BIGINT) * 1000000 // 64 AS est_ppm
-       |  FROM jp JOIN sg sa ON jp.id_a = sa.doc_id JOIN sg sb ON jp.id_b = sb.doc_id
+       |  FROM ex JOIN sg sa ON ex.id_a = sa.doc_id JOIN sg sb ON ex.id_b = sb.doc_id
        |)
        |SELECT abs(est_ppm - exact_ppm) // 100000 AS err_bucket,
        |  count(*) AS n_pairs,

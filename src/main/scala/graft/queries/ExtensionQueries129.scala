@@ -198,14 +198,24 @@ object ExtensionQueries129 extends QueryGroup {
 
   // -------------------------------------------------------------- q478
 
-  /** q478: pairs with j_ppm ≥ 500000 from q26's capped index; bucket =
+  /** q478: near-dup pairs at J ≥ 0.5; bucket =
     * length(bin(|id_a − id_b|)) = floor(log2 d) + 1 (d ≥ 1 — distinct
     * ids). Per bucket: pairs, min/max distance, share_ppm.
+    *
+    * ROUND-16 REWORK: pair enumeration moved from q26's capped inverted
+    * index (sub-cap pair mass measured ~quadratic at the sf1x rung —
+    * 85× bytes for 10× docs, see PLANS round-16) to the PPJoin
+    * prefix-filtered exact join ([[graft.ext.SetSimJoin.jaccardJoin]],
+    * q109's certified operator): at t = 0.5 only the rarest ~half of
+    * each shingle set is indexed and the positional filter prunes
+    * before verification, so candidate mass tracks the TRUE near-dup
+    * mass instead of the corpus's shared-common-shingle mass. Exact
+    * string-shingle Jaccard (no hash, no cap) — the same pair set, now
+    * from the generator that survives the next rung.
     */
   def q478_dup_locality(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.ext.Dedup.jaccardPairs(
-        Tables.documents(s, dir), "doc_id", col("text"), 3)
-      .filter(expr("inter * 1000000 div (na + nb - inter) >= 500000"))
+    val pairs = graft.ext.SetSimJoin.jaccardJoin(
+        ExtensionQueries9.q109Shingles(s, dir), "doc_id", "sh", 500000L)
       .select((col("id_b") - col("id_a")).as("d"))
       .select(expr("length(bin(d))").cast("long").as("bucket"), col("d"))
     val tot = pairs.agg(count(lit(1)).as("n_pairs_total"))
@@ -218,23 +228,20 @@ object ExtensionQueries129 extends QueryGroup {
   }
 
   val q478Sql: String =
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
-       |    list_transform(range(1, len(string_split(text,' ')) - 1),
-       |      sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')),
-       |    sh_s -> ${ExtensionQueries.phSql("sh_s")}))) AS sh
+       |    range(1, len(string_split(text,' ')) - 1),
+       |    sh_i -> array_to_string(list_slice(string_split(text,' '), sh_i, sh_i + 2), ' ')))) AS sh
        |  FROM documents WHERE len(string_split(text,' ')) >= 3
        |), sizes AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
-       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000),
-       |shc AS (SELECT id, sh.sh FROM sh LEFT JOIN hot ON sh.sh = hot.sh WHERE hot.sh IS NULL),
        |pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
        |  GROUP BY 1, 2
        |), hits AS (
        |  SELECT id_b - id_a AS d
        |  FROM pairs JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id
-       |  WHERE CAST(inter AS BIGINT) * 1000000 // (na.nsh + nb.nsh - inter) >= 500000
+       |  WHERE CAST(inter AS BIGINT) * 1000000 >= 500000 * (na.nsh + nb.nsh - inter)
        |), b AS (
        |  SELECT CAST(length(bin(d)) AS BIGINT) AS bucket, d FROM hits
        |), tot AS (SELECT count(*) AS n_pairs_total FROM hits)
