@@ -71,8 +71,8 @@ object Bench {
   val HistoryWindow = 10
 
   /** All ledger entries as (sf, cpu, io); absent/invalid fields read -1. */
-  def readHistoryAll(): Seq[(String, Double, Double)] = try {
-    val p = java.nio.file.Paths.get(HistoryPath)
+  def readHistoryAll(path: String = HistoryPath): Seq[(String, Double, Double)] = try {
+    val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Seq.empty
     else {
       import org.json4s._
@@ -97,17 +97,26 @@ object Bench {
   } catch { case _: Throwable => Seq.empty }
 
   /** Same-sf (cpu, io) medians, oldest first. */
-  def readHistory(sf: String): Seq[(Double, Double)] =
-    readHistoryAll().collect { case (s, c, i) if s == sf => (c, i) }
+  def readHistory(sf: String, path: String = HistoryPath): Seq[(Double, Double)] =
+    readHistoryAll(path).collect { case (s, c, i) if s == sf => (c, i) }
 
-  def appendHistory(sf: String, cpu: Double, io: Double): Unit = try {
-    val all = (readHistoryAll() :+ ((sf, cpu, io))).takeRight(HistoryKeep)
+  def appendHistory(sf: String, cpu: Double, io: Double,
+      path: String = HistoryPath): Unit = try {
+    val all = (readHistoryAll(path) :+ ((sf, cpu, io))).takeRight(HistoryKeep)
     val body = all.map { case (s, c, i) =>
       f"""{"sf":"$s","cpu":$c%.4f,"io":$i%.4f}"""
     }.mkString("{\"entries\":[", ",", "]}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(HistoryPath),
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   } catch { case _: Throwable => }
+
+  /** cur vs the MIN of the last [[HistoryWindow]] positive entries —
+    * the rolling host factor both canaries report; -1 when either side
+    * is unavailable. */
+  def rollFactor(cur: Double, past: Seq[Double]): Double = {
+    val w = past.filter(_ > 0).takeRight(HistoryWindow)
+    if (cur > 0 && w.nonEmpty) cur / w.min else -1.0
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -365,10 +374,6 @@ object Bench {
     // io_factor the scan+shuffle parquet canary (task #1): a clean-cpu /
     // dirty-io run is now visible in the artifact instead of inferred.
     val history = readHistory(sfDir)
-    def rollFactor(cur: Double, past: Seq[Double]): Double = {
-      val w = past.filter(_ > 0).takeRight(HistoryWindow)
-      if (cur > 0 && w.nonEmpty) cur / w.min else -1.0
-    }
     val cpuFactor = rollFactor(canaryMed, history.map(_._1))
     val ioFactor = rollFactor(iocMed, history.map(_._2))
     appendHistory(sfDir, canaryMed, iocMed)

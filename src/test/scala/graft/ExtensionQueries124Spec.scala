@@ -49,15 +49,22 @@ class ExtensionQueries124Spec extends SparkSpecBase {
   }
 
   test("q457: threshold sweep equals the brute exact-Jaccard model") {
-    val d = docs()
+    // round-16 semantics: exact STRING shingles (the PPJoin generator),
+    // no hash, no hot cap
+    val d = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val ts = r.getString(1).split(" ", -1)
+        (r.getLong(0),
+          if (ts.length < 3) Set.empty[String]
+          else ts.toSeq.sliding(3).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty).toSeq.sortBy(_._1)
     val total = graft.core.Tables.documents(spark, dir).count()
-    // brute pairwise over the small sf0.001 corpus (no hot cap binds here:
-    // every shingle frequency is far below 1000)
     val pairs = for {
       i <- d.indices; j <- (i + 1) until d.length
-      inter = d(i)._3.intersect(d(j)._3).size.toLong
+      inter = d(i)._2.intersect(d(j)._2).size.toLong
       if inter > 0
-    } yield (inter * 1000000L / (d(i)._3.size + d(j)._3.size - inter),
+    } yield (inter * 1000000L / (d(i)._2.size + d(j)._2.size - inter),
       d(i)._1, d(j)._1)
     val expected = (5L to 9L).map(_ * 100000L).map { t =>
       val hit = pairs.filter(_._1 >= t)

@@ -32,31 +32,46 @@ class ExtensionQueries126Spec extends SparkSpecBase {
     }
 
   test("q464: estimator error buckets equal the brute sig-vs-exact model") {
+    // Round-16 semantics: the calibration pair frame is the UNION of the
+    // two decision surfaces — exact string-shingle J >= 0.5 pairs (the
+    // PPJoin side) and 16x4 banded-LSH candidates (the estimator side).
     val docs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => (r.getLong(0), shingleHashes(r.getString(1))))
-      .filter(_._2.nonEmpty).sortBy(_._1)
-    val sets = docs.map(d => (d._1, d._2.toSet)).toMap
-    val sigs = docs.map(d => (d._1, minhash(d._2, 64))).toMap
-    val pairs = for {
-      i <- docs.indices; j <- (i + 1) until docs.length
-      sa = sets(docs(i)._1); sb = sets(docs(j)._1)
-      inter = sa.intersect(sb).size.toLong
-      if inter > 0
-    } yield {
-      val exact = inter * 1000000L / (sa.size + sb.size - inter)
-      val matches = sigs(docs(i)._1).zip(sigs(docs(j)._1)).count(p => p._1 == p._2).toLong
-      (matches * 1000000L / 64 - exact)
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.split(" ", -1).length >= 3).sortBy(_._1)
+    val strSets = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val sigs = docs.map { case (id, t) => id -> minhash(shingleHashes(t), 64) }.toMap
+    def bandKeys(sig: Seq[Long]): Seq[Long] =
+      (0 until 16).map(b => sig.slice(b * 4, b * 4 + 4)
+        .foldLeft(0L)((a, x) => (a * 31 + x) % M))
+    val bands = docs.map { case (id, _) => id -> bandKeys(sigs(id)) }.toMap
+    def exactPpm(a: Long, b: Long): Long = {
+      val (sa, sb) = (strSets(a), strSets(b))
+      val inter = sa.intersect(sb).size.toLong
+      inter * 1000000L / (sa.size + sb.size - inter)
     }
-    val expected = pairs.groupBy(e => math.abs(e) / 100000).toSeq.sortBy(_._1)
-      .map { case (b, errs) =>
-        (b, errs.length.toLong, errs.sum / errs.length)
-      }
+    val cand = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      a = docs(i)._1; b = docs(j)._1
+      if exactPpm(a, b) >= 500000L ||
+        bands(a).zip(bands(b)).exists(p => p._1 == p._2)
+    } yield (a, b)).toSet
+    val errs = cand.toSeq.map { case (a, b) =>
+      val matches = sigs(a).zip(sigs(b)).count(p => p._1 == p._2).toLong
+      matches * 1000000L / 64 - exactPpm(a, b)
+    }
+    val expected = errs.groupBy(e => math.abs(e) / 100000).toSeq.sortBy(_._1)
+      .map { case (bk, es) => (bk, es.length.toLong, es.sum / es.length) }
     val got = ExtensionQueries126.q464_minhash_calibration(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
-    // calibration only means something when some pairs exist
+    // calibration only means something when some pairs exist, and the
+    // union must be strictly richer than either side alone
     assert(expected.map(_._2).sum > 0L)
+    assert(cand.exists { case (a, b) => exactPpm(a, b) < 500000L },
+      "no estimator-side-only pairs — the false-positive direction is untested")
   }
 
   test("q465: max-to-sum ratios equal the brute moment model") {

@@ -80,11 +80,11 @@ class ExtensionQueries129Spec extends SparkSpecBase {
   }
 
   test("q478: locality buckets equal the brute pair-distance model") {
-    def shingles(text: String): Set[Long] = {
+    // round-16 semantics: exact STRING shingles (the PPJoin generator)
+    def shingles(text: String): Set[String] = {
       val ts = text.split(" ", -1)
       if (ts.length < 3) Set.empty
-      else ts.sliding(3).map(_.mkString(" ")
-        .foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)).toSet
+      else ts.toSeq.sliding(3).map(_.mkString(" ")).toSet
     }
     val docs = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
