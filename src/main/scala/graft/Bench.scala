@@ -231,29 +231,39 @@ object Bench {
     // artifact measured it LAST at 105.8 s vs 9.8 s in r4 — session decay,
     // not a plan change; the code path was refactor-only that round).
     val pipeSamples: Seq[PipeSample] = try pipelineBench(spark, timedReleased)
-      catch { case _: Throwable => Seq.empty }
+      catch { case e: Throwable =>
+        // never abort the query sweep for a pipeline failure, but never
+        // swallow it silently either: the r16a artifact lost its whole
+        // canary section (io-canary long overflow) and the run could not
+        // attribute a 1.2× fleet drift because this catch said nothing
+        System.err.println(s"[bench] pipelineBench FAILED: $e")
+        Seq.empty
+      }
     release()
     // Stratified measurement (round-16 verdict task #6): ~500 queries ×
     // n=3 was 38 min of bench wall and rising linearly with the registry —
     // that cost is why contended mid-round artifacts ended up committed.
-    // One n=1 pass over everything, then full spreads only where the
-    // detection power is needed:
-    //  - the 50 slowest by the single sample (the tail carries the total)
+    // One WARM single sample per query (2 runs, first discarded: the
+    // first execution after release() pays codegen/footer/JIT cost that
+    // the old n=3 median never reported — median of [cold, warm, warm]
+    // is warm — so a bare n=1 cold sample read 1.5–2× high fleet-wide
+    // and flagged 420/493 queries as movers on the first stratified
+    // run), then full spreads only where the detection power is needed:
+    //  - the 50 slowest by the warm sample (the tail carries the total)
     //    at n=Iters;
     //  - queries with no previous-round median (new this round — no
     //    reference point, so buy the full spread) at n=Iters;
-    //  - single-sample movers (>1.5× either way vs the previous artifact,
-    //    larger side ≥0.5 s) at n=TopIters with a discarded warmup —
-    //    a 1-sample trigger is noisier than the old 3-sample one, so
-    //    EVERY trigger gets the full treatment and the artifact's
-    //    "movers" map lists only queries still >1.5× AFTER it: a
-    //    reported mover always carries n=TopIters spread evidence;
+    //  - warm-sample movers (>1.5× either way vs the previous artifact,
+    //    larger side ≥0.5 s) at n=Iters — the artifact's "movers" map
+    //    lists only queries still >1.5× AFTER that re-measure, so a
+    //    reported mover always carries n=Iters spread evidence;
     //  - the 10 slowest re-measure at n=TopIters+warmup as before.
     // Every number that can flag a regression is an n≥3 median; only the
     // stable tail (whose sub-half-second ±2× swing was always below the
-    // mover threshold's floor) reports its single sample.
+    // mover threshold's floor) reports its warm single sample.
     val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> runToNoop(name, iters = 1)
+      val r = runToNoop(name, iters = 1, warmup = true)
+      name -> r
     }
     val top50 = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(50).map(_._1).toSet
@@ -265,12 +275,9 @@ object Bench {
     val moverCandidates = firstPass.collect { case (k, v)
         if v._2 >= 0 && prevMedians.get(k).exists(isMove(v._2, _)) => k }.toSet
     val results1 = firstPass.map { case (k, v) =>
-      if (moverCandidates(k)) {
-        val r = runToNoop(k, TopIters, warmup = true)
-        // a crashed re-measure must not erase a valid first-pass result
-        k -> (if (r._2 >= 0) r else v)
-      } else if (top50(k) || newcomers(k)) {
+      if (moverCandidates(k) || top50(k) || newcomers(k)) {
         val r = runToNoop(k, Iters)
+        // a crashed re-measure must not erase a valid first-pass result
         k -> (if (r._2 >= 0) r else v)
       } else k -> v
     }
@@ -279,7 +286,7 @@ object Bench {
     val topNames = results1.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(10).map(_._1).toSet
     val results = results1.map { case (k, v) =>
-      if (topNames(k) && !moverCandidates(k)) {
+      if (topNames(k)) {
         val r = runToNoop(k, TopIters, warmup = true)
         k -> (if (r._2 >= 0) r else v)
       } else k -> v
@@ -376,7 +383,9 @@ object Bench {
     val history = readHistory(sfDir)
     val cpuFactor = rollFactor(canaryMed, history.map(_._1))
     val ioFactor = rollFactor(iocMed, history.map(_._2))
-    appendHistory(sfDir, canaryMed, iocMed)
+    // a failed pipeline bench must not append junk (-1) entries that
+    // consume the ledger's keep-window
+    if (canaryMed > 0 || iocMed > 0) appendHistory(sfDir, canaryMed, iocMed)
     val moversDiscounted =
       (cpuFactor > 0 && cpuFactor >= 1.3) || (ioFactor > 0 && ioFactor >= 1.3) ||
         (cpuFactor < 0 && ioFactor < 0 && hostFactor > 0 &&
@@ -574,7 +583,9 @@ object Bench {
         noop(spark.read.parquet(s"$dir/iocanary")
           .repartition(32, col("h1"))
           .groupBy(pmod(col("h1"), lit(9973)).as("g"))
-          .agg(sum(col("h2")).as("s"), sum(col("x")).as("sx")))
+          // pmod before sum: raw xxhash64 values span the full 64-bit
+          // range, and 8M of them overflow a long under ANSI
+          .agg(sum(pmod(col("h2"), lit(1000000007L))).as("s"), sum(col("x")).as("sx")))
       // one DISCARDED warmup round (codegen/footers/JIT), then PipeIters
       // measured rounds — each round times the phases back-to-back so
       // every full sample carries its own adjacent attribution evidence

@@ -161,7 +161,8 @@ object SparkEntry {
     "extension129" -> ExtensionQueries129,
     "extension130" -> ExtensionQueries130,
     "extension131" -> ExtensionQueries131,
-    "extension132" -> ExtensionQueries132)
+    "extension132" -> ExtensionQueries132,
+    "extension133" -> ExtensionQueries133)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -184,5 +185,5 @@ object SparkEntry {
       "q112_bpe_tokens" - "q54_token_packing" - "q113_ann_filtered") ++
       ExtensionQueries2.oracleFor(dir) ++ ExtensionQueries6.oracleFor(dir) ++
       ExtensionQueries7.oracleFor(dir) ++ ExtensionQueries10.oracleFor(dir) ++ ExtensionQueries64.oracleFor(dir) ++ ExtensionQueries65.oracleFor(dir) ++
-      ExtensionQueries132.oracleFor(dir)
+      ExtensionQueries132.oracleFor(dir) ++ ExtensionQueries133.oracleFor(dir)
 }

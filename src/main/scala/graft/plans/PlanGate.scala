@@ -86,6 +86,9 @@ object PlanGate {
       "join, and Hamming verify above it are declarative"),
     "q489_ahash_band_audit" -> ("band-index health audit over the same " +
       "ext/Multimodal.aHashBands codec stage as q488"),
+    "q493_media_token_budget" -> ("media budget rollup consumes the q32 " +
+      "codec family's decode + frame-sample stages (ext/Multimodal " +
+      "mapPartitions); the per-kind rollup above them is declarative"),
     "q115_lsh_admission" -> ("streaming/LshAdmit batch twin: keyed " +
       "flatMapGroupsWithState admission state — state bounded by bands × index")
   )
