@@ -162,7 +162,8 @@ object SparkEntry {
     "extension130" -> ExtensionQueries130,
     "extension131" -> ExtensionQueries131,
     "extension132" -> ExtensionQueries132,
-    "extension133" -> ExtensionQueries133)
+    "extension133" -> ExtensionQueries133,
+    "extension134" -> ExtensionQueries134)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

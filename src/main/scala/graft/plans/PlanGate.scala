@@ -89,6 +89,11 @@ object PlanGate {
     "q493_media_token_budget" -> ("media budget rollup consumes the q32 " +
       "codec family's decode + frame-sample stages (ext/Multimodal " +
       "mapPartitions); the per-kind rollup above them is declarative"),
+    "q494_ahash_dup_clusters" -> ("cluster stage over q488's verified " +
+      "pair frame — same ext/Multimodal.aHashBands codec stage at the " +
+      "leaves; StarContract and the rollups above it are declarative"),
+    "q495_ahash_dedup_savings" -> ("savings rollup over the q494 cluster " +
+      "graph — same aHashBands codec stage at the leaves"),
     "q115_lsh_admission" -> ("streaming/LshAdmit batch twin: keyed " +
       "flatMapGroupsWithState admission state — state bounded by bands × index")
   )

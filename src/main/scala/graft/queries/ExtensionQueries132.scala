@@ -81,7 +81,12 @@ object ExtensionQueries132 extends QueryGroup {
     * [[HamMax]]. Never all-pairs: work is bounded by Σ capped-bucket²
     * per band (q489 reports the bound's terms). Output: verified pairs.
     */
-  def q488_ahash_band_dedup(s: SparkSession, dir: String): DataFrame = {
+  def q488_ahash_band_dedup(s: SparkSession, dir: String): DataFrame =
+    dupPairs(s, dir).orderBy(col("media_a"), col("media_b"))
+
+  /** The verified near-dup pair frame (media_a < media_b, hamming ≤
+    * [[HamMax]]), unordered — shared with q494/q495's cluster graph. */
+  private[queries] def dupPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = imageBands(s, dir)
     val e = bandIndex(bands)
     val freq = e.groupBy(col("band_idx"), col("band_key"))
@@ -104,7 +109,6 @@ object ExtensionQueries132 extends QueryGroup {
         (ham("fa.b0", "fb.b0") + ham("fa.b1", "fb.b1") +
           ham("fa.b2", "fb.b2") + ham("fa.b3", "fb.b3")).as("hamming"))
       .filter(col("hamming") <= HamMax)
-      .orderBy(col("media_a"), col("media_b"))
   }
 
   /** Shared oracle text: the stub decode → 64-pixel aHash → band keys,
@@ -133,8 +137,11 @@ object ExtensionQueries132 extends QueryGroup {
       |SELECT media_id, 2, b2 FROM bt UNION ALL
       |SELECT media_id, 3, b3 FROM bt""".stripMargin
 
-  val q488Sql: String =
-    s"""WITH bt AS MATERIALIZED ($btSql),
+  /** The shared CTE chain ending in `dup(media_a, media_b, hamming)` —
+    * q488 selects it directly; q494/q495 build the cluster graph on
+    * top. */
+  private[queries] val pairCtes: String =
+    s"""bt AS MATERIALIZED ($btSql),
        |e AS MATERIALIZED ($eSql),
        |ec AS (SELECT band_idx, band_key, count(*) AS c FROM e GROUP BY 1, 2),
        |eu AS (SELECT e.media_id, e.band_idx, e.band_key
@@ -142,16 +149,21 @@ object ExtensionQueries132 extends QueryGroup {
        |cand AS (
        |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
        |  FROM eu x JOIN eu y ON x.band_idx = y.band_idx
-       |    AND x.band_key = y.band_key AND x.media_id < y.media_id)
-       |SELECT media_a, media_b,
-       |  CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1)) +
-       |       bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT)
-       |    AS hamming
-       |FROM cand
-       |JOIN bt fa ON fa.media_id = media_a
-       |JOIN bt fb ON fb.media_id = media_b
-       |WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1)) +
-       |      bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= $HamMax
+       |    AND x.band_key = y.band_key AND x.media_id < y.media_id),
+       |dup AS MATERIALIZED (
+       |  SELECT media_a, media_b,
+       |    CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1)) +
+       |         bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT)
+       |      AS hamming
+       |  FROM cand
+       |  JOIN bt fa ON fa.media_id = media_a
+       |  JOIN bt fb ON fb.media_id = media_b
+       |  WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1)) +
+       |        bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= $HamMax)""".stripMargin
+
+  val q488Sql: String =
+    s"""WITH $pairCtes
+       |SELECT media_a, media_b, hamming FROM dup
        |ORDER BY media_a, media_b""".stripMargin
 
   // -------------------------------------------------------------- q489

@@ -73,7 +73,11 @@ class ContractSpec extends SparkSpecBase {
       Set("q38_ann_ivf", "q70_semdedup", "q93_ann_ivfpq", "q100_pca_project",
         "q112_bpe_tokens", "q54_token_packing", "q113_ann_filtered",
         "q285_ivfpq_persisted", "q286_bpe_persisted", "q287_pca_persisted",
-        "q290_ivf_utilization")),
+        "q290_ivf_utilization",
+        // round-16 generation-drift tier: mirrors embed BOTH trained
+        // generations' literals, so they too resolve only post-training
+        "q490_bpe_generation_drift", "q491_ivf_rebuild_churn",
+        "q492_pq_rebuild_quality")),
       s"unexpected rows-only queries: ${qs.diff(os)}")
     ExtensionQueries2.q38_ann_ivf(spark, "/root/testdata/sf0.001").count()
     ExtensionQueries6.q93_ann_ivfpq(spark, "/root/testdata/sf0.001").count()
@@ -81,6 +85,11 @@ class ContractSpec extends SparkSpecBase {
     ExtensionQueries10.q112_bpe_tokens(spark, "/root/testdata/sf0.001").count()
     // round-trips the persisted models, so the q285-q287 mirrors resolve
     ExtensionQueries64.q285_ivfpq_persisted(spark, "/root/testdata/sf0.001").count()
+    // trains + round-trips the generation-1 models, so the r16 drift
+    // mirrors (two-generation literals) resolve
+    ExtensionQueries132.q490_bpe_generation_drift(spark, "/root/testdata/sf0.001").count()
+    ExtensionQueries132.q491_ivf_rebuild_churn(spark, "/root/testdata/sf0.001").count()
+    ExtensionQueries133.q492_pq_rebuild_quality(spark, "/root/testdata/sf0.001").count()
     assert(SparkEntry.oracleSql.keySet == qs,
       "generated oracles missing after training (Verify would dump an incomplete map)")
     assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.001").keySet == qs)
