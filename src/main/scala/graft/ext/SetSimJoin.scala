@@ -148,8 +148,15 @@ object SetSimJoin {
     // verify against per-set element arrays — intersection CARDINALITY is
     // order-free, so the nondeterministic collect order never shows; this
     // joins the candidate set against one small array row per id instead
-    // of re-shuffling the full element table through a 3-way join
-    val sets = tok.groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
+    // of re-shuffling the full element table through a 3-way join.
+    // Only candidate-TOUCHED sets need an array: the positional filter
+    // typically leaves a small fraction of sets in any candidate pair, so
+    // the semi-join keeps the collect_list (the widest rows in the whole
+    // operator) proportional to candidate mass instead of corpus mass.
+    val touched = cand.select(col("id_a").as("__id"))
+      .union(cand.select(col("id_b").as("__id"))).distinct()
+    val sets = tok.join(touched, Seq("__id"), "left_semi")
+      .groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
     val inter = cand
       .join(sets.select(col("__id").as("id_a"), col("__elems").as("__ea")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__elems").as("__eb")), Seq("id_b"))
