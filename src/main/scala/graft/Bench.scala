@@ -318,7 +318,8 @@ object Bench {
       .mkString("{", ",", "}")
     val moversJson = moverNames.toSeq.sorted
       .map(k => "\"" + k + "\":" + prevMedians(k)).mkString("{", ",", "}")
-    val memoJson = graft.queries.ExtensionQueries2.memoizedQueries
+    val memoJson = (graft.queries.ExtensionQueries2.memoizedQueries ++
+        graft.queries.ExtensionQueries9.ppjoinMemoizedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-sample pipeline attribution (round-11 verdict task #2): each
     // round measured csv → merge → full → canary ADJACENTLY, so every full

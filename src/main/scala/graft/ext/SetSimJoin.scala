@@ -84,10 +84,16 @@ object SetSimJoin {
     val tok = elements.select(col(idCol).as("__id"), col(elemCol).as("tok")).distinct()
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
 
-    val byDoc = Window.partitionBy(col("__id"))
+    // one Window operator for both rn and s: count over the SAME
+    // (partition, order) spec with an unbounded frame collapses into the
+    // row_number pass (Spark groups window functions by partition+order,
+    // frames differ per function) — the bare `byDoc` count used to cost a
+    // second full pass over every sorted partition (round-17 floor trim)
+    val byDocOrd = Window.partitionBy(col("__id")).orderBy(col("cnt"), col("tok"))
     val ranked = tok.join(freq, "tok")
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(byDocOrd))
+      .withColumn("s", count(lit(1)).over(
+        byDocOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // prefix length |x| − ceil(t·|x|) + 1, ceil via exact integer div
     // (a Column `/` would be FLOAT division — a boundary round-up there
     // silently shortens prefixes and loses candidates)
@@ -222,10 +228,12 @@ object SetSimJoin {
     val o = minOverlap.toLong
     val tok = elements.select(col(idCol).as("__id"), col(elemCol).as("tok")).distinct()
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val byDoc = Window.partitionBy(col("__id"))
+    // same single-Window fusion as [[candidateFrames]]
+    val byDocOrd = Window.partitionBy(col("__id")).orderBy(col("cnt"), col("tok"))
     val ranked = tok.join(freq, "tok")
-      .withColumn("rn", row_number().over(byDoc.orderBy(col("cnt"), col("tok"))))
-      .withColumn("s", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(byDocOrd))
+      .withColumn("s", count(lit(1)).over(
+        byDocOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     // prefix length |x| − o + 1: sets smaller than o get a non-positive
     // bound and index nothing (correct — |A∩B| ≤ |A| < o)
     val prefix = ranked.filter(col("rn") <= col("s") - o + 1L)

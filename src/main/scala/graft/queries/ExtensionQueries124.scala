@@ -122,8 +122,10 @@ object ExtensionQueries124 extends QueryGroup {
     */
   def q457_dedup_threshold_sweep(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val pairs = graft.ext.SetSimJoin.jaccardJoin(
-        ExtensionQueries9.q109Shingles(s, dir), "doc_id", "sh", 500000L)
+    // shared staged frame (round-17): q109/q457/q464/q478 consume the
+    // IDENTICAL t = 0.5 PPJoin pair frame; first consumer computes, the
+    // rest replay the staged parquet (Bench lists all four as memoized)
+    val pairs = ExtensionQueries9.ppjoinPairsStaged(s, dir)
       .select(col("id_a"), col("id_b"), col("jacc_ppm").as("j_ppm"))
     val grid = s.range(5, 10).select((col("id") * 100000L).as("t"))
     val hits = pairs.crossJoin(broadcast(grid)).filter(col("j_ppm") >= col("t"))

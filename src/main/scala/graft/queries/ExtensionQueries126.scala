@@ -71,8 +71,8 @@ object ExtensionQueries126 extends QueryGroup {
   def q464_minhash_calibration(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val shingles = ExtensionQueries9.q109Shingles(s, dir)
-    val exactPairs = graft.ext.SetSimJoin
-      .jaccardJoin(shingles, "doc_id", "sh", CalibTPpm)
+    // shared staged frame (round-17, see ExtensionQueries9.ppjoinPairsStaged)
+    val exactPairs = ExtensionQueries9.ppjoinPairsStaged(s, dir, CalibTPpm)
       .select(col("id_a"), col("id_b"))
     val sigs = d.filter(size(split(col("text"), " ")) >= 3)
       .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))

@@ -214,8 +214,8 @@ object ExtensionQueries129 extends QueryGroup {
     * from the generator that survives the next rung.
     */
   def q478_dup_locality(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.ext.SetSimJoin.jaccardJoin(
-        ExtensionQueries9.q109Shingles(s, dir), "doc_id", "sh", 500000L)
+    // shared staged frame (round-17, see ExtensionQueries9.ppjoinPairsStaged)
+    val pairs = ExtensionQueries9.ppjoinPairsStaged(s, dir)
       .select((col("id_b") - col("id_a")).as("d"))
       .select(expr("length(bin(d))").cast("long").as("bucket"), col("d"))
     val tot = pairs.agg(count(lit(1)).as("n_pairs_total"))
