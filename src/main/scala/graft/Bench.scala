@@ -70,7 +70,11 @@ object Bench {
   val HistoryKeep = 40
   val HistoryWindow = 10
 
-  /** All ledger entries as (sf, cpu, io); absent/invalid fields read -1. */
+  /** All ledger entries as (sf, cpu, io); absent/invalid fields read -1.
+    * A ledger that exists but fails to parse logs to stderr (round-16
+    * ADVICE: silent treat-as-empty resets the rolling window with no
+    * signal) and reads as empty.
+    */
   def readHistoryAll(path: String = HistoryPath): Seq[(String, Double, Double)] = try {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) Seq.empty
@@ -94,7 +98,10 @@ object Bench {
         case _ => Seq.empty
       }
     }
-  } catch { case _: Throwable => Seq.empty }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] WARNING: canary ledger $path unreadable ($e) — rolling window resets")
+    Seq.empty
+  }
 
   /** Same-sf (cpu, io) medians, oldest first. */
   def readHistory(sf: String, path: String = HistoryPath): Seq[(Double, Double)] =
@@ -106,16 +113,41 @@ object Bench {
     val body = all.map { case (s, c, i) =>
       f"""{"sf":"$s","cpu":$c%.4f,"io":$i%.4f}"""
     }.mkString("{\"entries\":[", ",", "]}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+    // temp-file + ATOMIC_MOVE (round-16 ADVICE): an in-place overwrite
+    // crashed mid-write corrupts the committed ledger, and readHistoryAll
+    // would then silently reset the rolling window
+    val target = java.nio.file.Paths.get(path)
+    val dir = Option(target.toAbsolutePath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    val tmp = java.nio.file.Files.createTempFile(dir, ".canary_history", ".tmp")
+    java.nio.file.Files.write(tmp,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   } catch { case _: Throwable => }
 
-  /** cur vs the MIN of the last [[HistoryWindow]] positive entries —
-    * the rolling host factor both canaries report; -1 when either side
-    * is unavailable. */
+  /** Robust floor of the ledger window (round-16 ADVICE): the bare MIN
+    * let one spuriously fast entry (a partially cached canary run)
+    * inflate every factor ≥ 1.3 for the next [[HistoryWindow]] runs,
+    * flipping movers_discounted and masking real movers. With ≥ 4
+    * entries the floor is the SECOND-lowest — one outlier can never set
+    * the bar, while two independent clean runs still can; smaller
+    * windows keep the min (not enough mass to call anything an outlier).
+    */
+  def robustFloor(past: Seq[Double]): Double = {
+    val w = past.filter(_ > 0).takeRight(HistoryWindow).sorted
+    if (w.isEmpty) -1.0
+    else if (w.size >= 4) w(1)
+    else w.head
+  }
+
+  /** cur vs the [[robustFloor]] of the last [[HistoryWindow]] positive
+    * entries — the rolling host factor both canaries report; -1 when
+    * either side is unavailable. */
   def rollFactor(cur: Double, past: Seq[Double]): Double = {
-    val w = past.filter(_ > 0).takeRight(HistoryWindow)
-    if (cur > 0 && w.nonEmpty) cur / w.min else -1.0
+    val f = robustFloor(past)
+    if (cur > 0 && f > 0) cur / f else -1.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -227,10 +259,36 @@ object Bench {
       */
     def timedReleased(f: => Unit): Double = { release(); timed(f) }
 
+    // Run-lifetime canary stage (round-16 verdict task #3): the staged
+    // constant files live for the WHOLE run so canary samples can be
+    // interleaved through the sweep — r16 proved a single pipeline-phase
+    // time-point cannot vouch for the other ~50 minutes (q109 ran 1.4×
+    // slower fresh-JVM with the CPU canary reading best-ever).
+    val canaryStage: Option[CanaryStage] =
+      try Some(new CanaryStage(spark, 1000000L))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary staging FAILED: $e"); None }
+    // (label, cpu_sec, io_sec) samples in sweep order — emitted verbatim
+    // as `canary_series`; movers are read against the sample nearest
+    // their own accepted measurement instead of a run-level factor
+    val series = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    def sampleCanaries(label: String): Unit = canaryStage.foreach { st =>
+      try series += ((label, timedReleased(st.runCpu()), timedReleased(st.runIo())))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary sample $label FAILED: $e") }
+    }
+    // index of the latest series sample taken BEFORE each query's
+    // accepted measurement (re-measures overwrite: the accepted stats
+    // are the later ones)
+    val seriesIdxAt = scala.collection.mutable.Map[String, Int]()
+    def markSeries(name: String): Unit =
+      if (series.nonEmpty) seriesIdxAt(name) = series.size - 1
+
     // Fresh-session position for the end-to-end pipeline (round-5 driver
     // artifact measured it LAST at 105.8 s vs 9.8 s in r4 — session decay,
     // not a plan change; the code path was refactor-only that round).
-    val pipeSamples: Seq[PipeSample] = try pipelineBench(spark, timedReleased)
+    val pipeSamples: Seq[PipeSample] = try pipelineBench(spark, timedReleased,
+        stage = canaryStage)
       catch { case e: Throwable =>
         // never abort the query sweep for a pipeline failure, but never
         // swallow it silently either: the r16a artifact lost its whole
@@ -261,10 +319,26 @@ object Bench {
     // Every number that can flag a regression is an n≥3 median; only the
     // stable tail (whose sub-half-second ±2× swing was always below the
     // mover threshold's floor) reports its warm single sample.
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val r = runToNoop(name, iters = 1, warmup = true)
-      name -> r
+    // SMOKE MODE (round-17): SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts
+    // the sweep to the named queries for iterating on the bench machinery
+    // itself. Side-effect-free: a subset run never overwrites
+    // bench_out.json (a partial map would turn the next full run's
+    // missing queries into "newcomers" and n=3 the whole fleet) and never
+    // appends to the canary ledger. The driver sets no env, so round
+    // artifacts always come from full sweeps.
+    val onlySubset: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSet)
+    val sweepNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => onlySubset.forall(_.contains(k)))
+    sampleCanaries("fp:0")
+    val firstPass = sweepNames.zipWithIndex.map {
+      case (name, i) =>
+        if (i > 0 && i % 50 == 0) sampleCanaries(s"fp:$i")
+        val r = runToNoop(name, iters = 1, warmup = true)
+        markSeries(name)
+        name -> r
     }
+    sampleCanaries("fp:end")
     val top50 = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(50).map(_._1).toSet
     val newcomers = firstPass.collect {
@@ -274,28 +348,68 @@ object Bench {
         (cur / prev > 1.5 || prev / cur > 1.5)
     val moverCandidates = firstPass.collect { case (k, v)
         if v._2 >= 0 && prevMedians.get(k).exists(isMove(v._2, _)) => k }.toSet
+    // queries whose REPORTED stats came from a successful n≥3 re-measure
+    // (round-16 ADVICE: counting every query merely SELECTED for
+    // re-measure overstated coverage when a re-measure crashed and fell
+    // back to its n=1 first-pass sample)
+    val fullMeasured = scala.collection.mutable.Set[String]()
+    var reCount = 0
     val results1 = firstPass.map { case (k, v) =>
       if (moverCandidates(k) || top50(k) || newcomers(k)) {
+        if (reCount > 0 && reCount % 25 == 0) sampleCanaries(s"re:$reCount")
+        reCount += 1
         val r = runToNoop(k, Iters)
+        markSeries(k)
+        if (r._2 >= 0) fullMeasured += k
         // a crashed re-measure must not erase a valid first-pass result
         k -> (if (r._2 >= 0) r else v)
       } else k -> v
     }
+    sampleCanaries("re:end")
     // tail stabilization: the 10 slowest re-measure at n=TopIters; their
     // replacement stats supersede the first pass in every artifact field
     val topNames = results1.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(10).map(_._1).toSet
-    val results = results1.map { case (k, v) =>
+    val results2 = results1.map { case (k, v) =>
       if (topNames(k)) {
         val r = runToNoop(k, TopIters, warmup = true)
+        markSeries(k)
+        if (r._2 >= 0) fullMeasured += k
         k -> (if (r._2 >= 0) r else v)
       } else k -> v
     }
-    val resMap = results.toMap
-    // reported movers: only those still >1.5× after the full re-measure
+    sampleCanaries("top:end")
+    val resMap2 = results2.toMap
+    // mover survivors: still >1.5× after the in-run n≥3 re-measure
     val moverNames = moverCandidates.filter { k =>
-      prevMedians.get(k).exists(isMove(resMap(k)._2, _))
+      prevMedians.get(k).exists(isMove(resMap2(k)._2, _))
     }
+    // Fresh-JVM confirmation (round-16 verdict task #1): in-run
+    // re-measures share the aged JVM and the contention window, so they
+    // cannot clear themselves — r16's movers map carried a proven
+    // phantom (q140: 3.78 s tight n=3 in-run; 1.06 s fresh JVM,
+    // identical to r15) that both canaries and the n=3 re-measure waved
+    // through. Every surviving mover re-runs in ONE forked fresh JVM
+    // (slowest-first, capped); a mover whose fresh-JVM median is no
+    // longer a move vs the previous round is reclassified `phantom` and
+    // its REPORTED stats are replaced by the fresh-JVM stats so the
+    // totals aren't polluted either. Both numbers land in the artifact.
+    val confirmList = moverNames.toSeq.sortBy(k => -resMap2(k)._2)
+      .take(MaxMoverConfirm)
+    val freshJvm: Map[String, (Double, Double, Double)] =
+      confirmMoversFreshJvm(confirmList, sfDir, cpus)
+    val moverStatus: Map[String, String] = moverNames.iterator.map { k =>
+      freshJvm.get(k).filter(_._2 >= 0) match {
+        case Some(f) =>
+          k -> (if (prevMedians.get(k).exists(isMove(f._2, _))) "confirmed"
+                else "phantom")
+        case None => k -> "unconfirmed"
+      }
+    }.toMap
+    val results = results2.map { case (k, v) =>
+      if (moverStatus.get(k).contains("phantom")) k -> freshJvm(k) else k -> v
+    }
+    val resMap = results.toMap
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     def fmt(t: (Double, Double, Double)) = s"[${t._1},${t._2},${t._3}]"
@@ -316,8 +430,29 @@ object Bench {
       .mkString("{", ",", "}")
     val slow10Spread = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val moversJson = moverNames.toSeq.sorted
-      .map(k => "\"" + k + "\":" + prevMedians(k)).mkString("{", ",", "}")
+    // Rich mover entries (round-16 verdict tasks #1/#3): prev = previous
+    // round's median, in_run = this sweep's n≥3 re-measure, fresh_jvm =
+    // the forked confirmation median (-1 if unconfirmed), status ∈
+    // {confirmed, phantom, unconfirmed}, canary_cpu/io = the rolling
+    // factors of the series sample nearest the mover's own measurement.
+    val histForSeries = readHistory(sfDir)
+    val moversJson = moverNames.toSeq.sorted.map { k =>
+      val prev = prevMedians(k)
+      val inRun = resMap2(k)._2
+      val fj = freshJvm.get(k).map(_._2).getOrElse(-1.0)
+      val status = moverStatus(k)
+      val si = seriesIdxAt.getOrElse(k, -1)
+      val (cf, iof) =
+        if (si >= 0 && si < series.size)
+          (rollFactor(series(si)._2, histForSeries.map(_._1)),
+            rollFactor(series(si)._3, histForSeries.map(_._2)))
+        else (-1.0, -1.0)
+      f""""$k":{"prev":$prev%.3f,"in_run":$inRun%.3f,"fresh_jvm":$fj%.3f,""" +
+        f""""status":"$status","canary_cpu":$cf%.3f,"canary_io":$iof%.3f}"""
+    }.mkString("{", ",", "}")
+    val seriesJson = series.map { case (l, c, i) =>
+      f"""{"at":"$l","cpu":$c%.3f,"io":$i%.3f}"""
+    }.mkString("[", ",", "]")
     val memoJson = (graft.queries.ExtensionQueries2.memoizedQueries ++
         graft.queries.ExtensionQueries9.ppjoinMemoizedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -386,7 +521,8 @@ object Bench {
     val ioFactor = rollFactor(iocMed, history.map(_._2))
     // a failed pipeline bench must not append junk (-1) entries that
     // consume the ledger's keep-window
-    if (canaryMed > 0 || iocMed > 0) appendHistory(sfDir, canaryMed, iocMed)
+    if (onlySubset.isEmpty && (canaryMed > 0 || iocMed > 0))
+      appendHistory(sfDir, canaryMed, iocMed)
     val moversDiscounted =
       (cpuFactor > 0 && cpuFactor >= 1.3) || (ioFactor > 0 && ioFactor >= 1.3) ||
         (cpuFactor < 0 && ioFactor < 0 && hostFactor > 0 &&
@@ -397,7 +533,8 @@ object Bench {
       f""""cpu_factor":$cpuFactor%.3f,"io_factor":$ioFactor%.3f,""" +
       s""""canary_history_n":${history.size},""" +
       s""""movers_discounted":$moversDiscounted,""" +
-      s""""movers":$moversJson,"memoized":$memoJson,""" +
+      s""""movers":$moversJson,"canary_series":$seriesJson,""" +
+      s""""memoized":$memoJson,""" +
       s""""pipeline_1m_sec":${pFull._2},"pipeline_1m_spread":${fmt(pFull)},""" +
       s""""pipeline_n":$PipeIters,"pipeline_phases":{"csv_scan":${fmt(pstats(_.csv))},""" +
       s""""merge_from_parquet":${fmt(pstats(_.merge))},""" +
@@ -406,11 +543,14 @@ object Bench {
       s""""full":${fmt(pFull)}},"pipeline_samples":$samplesJson,"sf":"$sfDir"}"""
     // n semantics post-stratification: "n" is the full-measure tier
     // (top-50 + newcomers), "n_tail" the single-sample tier, "n_top10"
-    // the top-10/mover tier; "n_full_measured" counts queries whose
-    // reported stats come from an n≥3 re-measure.
-    val nFullMeasured = (top50 ++ newcomers ++ moverCandidates ++ topNames).size
+    // the top-10/mover tier; "n_full_measured" counts ONLY queries whose
+    // reported stats actually came from a successful n≥3 re-measure
+    // (round-16 ADVICE — crashed re-measures that fell back to the n=1
+    // first-pass sample no longer inflate the count).
+    val nFullMeasured = fullMeasured.size
     val tiers = s""""n":$Iters,"n_tail":1,"n_top10":$TopIters,""" +
-      s""""n_full_measured":$nFullMeasured,"movers_checked":${moverCandidates.size},"""
+      s""""n_full_measured":$nFullMeasured,"movers_checked":${moverCandidates.size},""" +
+      s""""movers_confirm_n":${freshJvm.size},"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
@@ -431,17 +571,90 @@ object Bench {
       s""""n":$Iters,"n_tail":1,"n_top10":$TopIters,"queries_total":${results.size},""" +
       s""""host_factor":${r3(hostFactor)},"cpu_factor":${r3(cpuFactor)},""" +
       s""""io_factor":${r3(ioFactor)},"movers_discounted":$moversDiscounted,""" +
-      s""""movers_n":${moverNames.size},"pipeline_1m_sec":${r3(pFull._2)},""" +
+      s""""movers_n":${moverNames.size},""" +
+      s""""movers_phantom_n":${moverStatus.values.count(_ == "phantom")},""" +
+      s""""pipeline_1m_sec":${r3(pFull._2)},""" +
       s""""skew":{"unsalted":${r3(skew._1)},"salted":${r3(skew._2)},"aqe":${r3(skew._3)}},""" +
       s""""queries":$ultraQs,"sf":"$sfDir"}"""
     println(compact)
     println(json)
     println(ultra)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (onlySubset.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (ultra.length > 1800) // keep the tail-capture contract loudly checkable
       System.err.println(s"[bench] WARNING: ultra line ${ultra.length} chars — may exceed driver tail capture")
+    canaryStage.foreach(_.cleanup())
     spark.stop()
+  }
+
+  /** Fresh-JVM confirmation cap: the forked pass costs roughly
+    * JVM+session startup (~20 s) plus warmup+n=3 per mover; 20 slowest
+    * movers ≈ 15 min worst case — bounded, and phantom pollution
+    * concentrates in the slow entries anyway. */
+  val MaxMoverConfirm = 20
+
+  /** Re-measure `names` in ONE forked fresh JVM (same classpath, same
+    * JVM flags, same sf/cpus env) via [[MoverConfirm]]; returns each
+    * query's (min, median, max) from that process, empty on any failure
+    * (spawn, timeout, unparseable output) — confirmation is evidence,
+    * never a reason to abort the sweep. A fresh process escapes both the
+    * aged JVM (JIT/heap/codegen-cache state after ~500 queries) and the
+    * in-run contention window that r16 proved the in-run n=3 re-measure
+    * shares with the sample that flagged the mover.
+    */
+  def confirmMoversFreshJvm(names: Seq[String], sfDir: String,
+      cpus: String): Map[String, (Double, Double, Double)] = {
+    if (names.isEmpty) return Map.empty
+    try {
+      import scala.jdk.CollectionConverters._
+      val outFile = java.nio.file.Files.createTempFile("graft_mover_confirm", ".json")
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      // inherit this process's JVM args verbatim: the --add-opens list
+      // Spark 4 needs on JDK 17 arrives as separate list elements, so
+      // filtering by prefix would break flag/value pairing
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.MoverConfirm", outFile.toString) ++ names
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // child Spark logs are noise here; keep stderr for the parent log,
+      // discard stdout (results travel through the temp file)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val done = proc.waitFor(120L + 90L * names.size,
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println("[bench] mover confirmation TIMED OUT — movers stay unconfirmed")
+        return Map.empty
+      }
+      import org.json4s._
+      val parsed = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(outFile),
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.deleteIfExists(outFile)
+      parsed match {
+        case JObject(fields) => fields.collect {
+          case (k, JArray(xs)) if xs.size == 3 =>
+            def num(j: JValue): Double = j match {
+              case JDouble(v) => v
+              case JInt(v) => v.toDouble
+              case _ => -1.0
+            }
+            k -> ((num(xs(0)), num(xs(1)), num(xs(2))))
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] mover confirmation FAILED: $e")
+      Map.empty
+    }
   }
 
   /** One pipeline measurement ROUND: the four phases timed back-to-back
@@ -469,6 +682,59 @@ object Bench {
       gcSec: Double = -1.0, cachedBytes: Long = -1L, heapMb: Long = -1L,
       ioc: Double = -1.0)
 
+  /** The two constant-code host probes, staged ONCE for a whole bench
+    * run (round-16 verdict task #3): r16's single pipeline-phase canary
+    * time-point could not vouch for the other ~50 minutes of the sweep —
+    * the judge measured q109 running 1.4× slower with the CPU canary
+    * reading best-ever, because the contended dimension varied OVER the
+    * run. Keeping the staged files alive for the run lets Bench
+    * interleave canary samples through the sweep (the `canary_series`
+    * artifact field) so each mover is read against the host state
+    * nearest its own measurement, not a run-level scalar.
+    *
+    *  - cpu: schema-declared scan of a constant ~60 MB CSV — parse-bound;
+    *  - io: constant ~190 MB incompressible parquet (xxhash64 columns
+    *    defeat every encoding) through one fixed full-width shuffle —
+    *    disk/shuffle-bound.
+    */
+  final class CanaryStage(spark: SparkSession, n: Long) {
+    val dir: String =
+      java.nio.file.Files.createTempDirectory("graft_canary_stage").toString
+    locally {
+      spark.range(2 * n).select(
+          concat(lit("row"), col("id"), lit("-"),
+            pmod(col("id") * 2654435761L, lit(1000003L))).as("ca"),
+          pmod(col("id"), lit(9973)).as("cb"),
+          (pmod(col("id"), lit(100000)) / 7.0).as("cc"))
+        .repartition(8).write.mode("overwrite").option("header", "true")
+        .csv(s"$dir/canary")
+      spark.range(8 * n).select(
+          xxhash64(col("id")).as("h1"),
+          xxhash64(col("id"), lit(1L)).as("h2"),
+          (pmod(xxhash64(col("id"), lit(2L)), lit(1000000L)) / lit(10000.0)).as("x"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/iocanary")
+    }
+    private def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def runCpu(): Unit =
+      noop(spark.read.schema("ca STRING, cb BIGINT, cc DOUBLE")
+        .option("header", "true").csv(s"$dir/canary"))
+    def runIo(): Unit =
+      noop(spark.read.parquet(s"$dir/iocanary")
+        .repartition(32, col("h1"))
+        .groupBy(pmod(col("h1"), lit(9973)).as("g"))
+        // pmod before sum: raw xxhash64 values span the full 64-bit
+        // range, and 8M of them overflow a long under ANSI
+        .agg(sum(pmod(col("h2"), lit(1000000007L))).as("s"), sum(col("x")).as("sx")))
+    def cleanup(): Unit = try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
+  }
+
   /** Total JVM GC time (ms) across all collectors — deltas around a timed
     * window attribute in-process interference (round-14 verdict task #5:
     * 3/5 pipeline samples ran "isolated" on a clean host, so the burst is
@@ -491,9 +757,13 @@ object Bench {
     * back-to-back under the caller's uniform discipline.
     */
   def pipelineBench(spark: SparkSession, timedReleased: (=> Unit) => Double,
-      n: Long = 1000000L): Seq[PipeSample] = {
+      n: Long = 1000000L, stage: Option[CanaryStage] = None): Seq[PipeSample] = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pipe_bench").toString
+    // canary data: the caller's run-lifetime stage when provided (Bench
+    // shares one stage between the pipeline phases and the sweep-long
+    // canary_series); self-staged + self-cleaned otherwise
+    val canaries = stage.getOrElse(new CanaryStage(spark, n))
     def url(i: org.apache.spark.sql.Column) =
       concat(lit("https://www.acme-store.com/products/p"), pmod(i, lit(700000L)),
         when(pmod(i, lit(3)) === 0, lit("/?utm_source=feed&sku=1")).otherwise(lit("?sku=1")))
@@ -520,26 +790,6 @@ object Bench {
         (pmod(col("id"), lit(900)) / 10.0).as("Average engagement time"),
         pmod(col("id"), lit(7)).as("Conversions"))
       .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/ga4")
-    // canary: fixed-size, fixed-content, pipeline-code-free CSV (~60 MB)
-    spark.range(2 * n).select(
-        concat(lit("row"), col("id"), lit("-"), pmod(col("id") * 2654435761L, lit(1000003L))).as("ca"),
-        pmod(col("id"), lit(9973)).as("cb"),
-        (pmod(col("id"), lit(100000)) / 7.0).as("cc"))
-      .repartition(8).write.mode("overwrite").option("header", "true").csv(s"$dir/canary")
-    // io canary (round-16 verdict task #1): the CSV canary is parse/CPU-
-    // bound — the r15 common surface drifted 1.14× while that canary read
-    // FASTER, so the artifact could not distinguish host I/O contention
-    // from a fleet regression. This one exercises the contended
-    // dimensions with constant code and data: a fixed ~190 MB
-    // INCOMPRESSIBLE parquet (xxhash64 columns defeat every encoding, so
-    // the scan is disk-bandwidth-bound, not decode-bound) pushed through
-    // one fixed full-width shuffle (repartition moves all bytes through
-    // shuffle write + disk + read) into a small aggregate.
-    spark.range(8 * n).select(
-        xxhash64(col("id")).as("h1"),
-        xxhash64(col("id"), lit(1L)).as("h2"),
-        (pmod(xxhash64(col("id"), lit(2L)), lit(1000000L)) / lit(10000.0)).as("x"))
-      .repartition(8).write.mode("overwrite").parquet(s"$dir/iocanary")
     val cfg = Pipeline.PipelineConfig(
       frogPath = s"$dir/frog", gscPath = s"$dir/gsc", ga4Path = s"$dir/ga4",
       siteBase = "https://www.acme-store.com")
@@ -574,19 +824,12 @@ object Bench {
       // CPU canary: schema-declared scan of the pre-staged constant
       // file — no inference pass, no pipeline code; disk+parse cost
       // (parse-dominated, so in practice a CPU yardstick)
-      def runCanary(): Unit =
-        noop(spark.read.schema("ca STRING, cb BIGINT, cc DOUBLE")
-          .option("header", "true").csv(s"$dir/canary"))
-      // I/O canary: constant parquet scan + one constant full-width
-      // shuffle — the bytes-through-disk dimension the CSV canary is
-      // provably blind to (r15 root-cause analysis)
-      def runIoCanary(): Unit =
-        noop(spark.read.parquet(s"$dir/iocanary")
-          .repartition(32, col("h1"))
-          .groupBy(pmod(col("h1"), lit(9973)).as("g"))
-          // pmod before sum: raw xxhash64 values span the full 64-bit
-          // range, and 8M of them overflow a long under ANSI
-          .agg(sum(pmod(col("h2"), lit(1000000007L))).as("s"), sum(col("x")).as("sx")))
+      def runCanary(): Unit = canaries.runCpu()
+      // I/O canary (round-16 verdict task #1): constant parquet scan +
+      // one constant full-width shuffle — the bytes-through-disk
+      // dimension the CSV canary is provably blind to (the r15 common
+      // surface drifted 1.14× while the CSV canary read FASTER)
+      def runIoCanary(): Unit = canaries.runIo()
       // one DISCARDED warmup round (codegen/footers/JIT), then PipeIters
       // measured rounds — each round times the phases back-to-back so
       // every full sample carries its own adjacent attribution evidence
@@ -620,6 +863,7 @@ object Bench {
       val walk = java.nio.file.Files.walk(root)
       val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      if (stage.isEmpty) canaries.cleanup() // self-staged ⇒ self-cleaned
     }
   }
 
@@ -724,6 +968,54 @@ object PipeForkBench {
         f""""full_over_sum":$ratio%.2f,"gc_sec":${s.gcSec}%.3f,""" +
         f""""cached_bytes":${s.cachedBytes},"heap_mb":${s.heapMb}}""")
     }
+    spark.stop()
+  }
+}
+
+/** Child process of [[Bench.confirmMoversFreshJvm]] (round-16 verdict
+  * task #1): `MoverConfirm <outFile> <queryName>...` measures each named
+  * query in THIS fresh JVM — one discarded cold warmup (codegen/footers/
+  * JIT), then n=3 released samples — and writes one JSON object
+  * {"name":[min,median,max],...} to outFile. A query that crashes
+  * records [-1,-1,-1] (the parent treats it as unconfirmed) without
+  * aborting the rest.
+  */
+object MoverConfirm {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MoverConfirm <outFile> <queryName>...")
+    val outFile = args.head
+    val names = args.tail.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    val results = names.map { n =>
+      val stats = try {
+        def once(): Unit = SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        release(); once() // discarded cold warmup
+        val ts = (1 to 3).map { _ =>
+          release()
+          val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (ts(0), ts(1), ts(2))
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+      n -> stats
+    }
+    val body = results.map { case (k, (a, b, c)) =>
+      f""""$k":[$a%.4f,$b%.4f,$c%.4f]"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -29,13 +29,14 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(Bench.readHistory("sfA", p).last._1 == (Bench.HistoryKeep + 5).toDouble)
   }
 
-  test("rollFactor: vs min of window; contended entries cannot lower the bar") {
-    // a clean history around 0.25 with one contended 0.56 run mixed in —
-    // the r15 shape. The factor must read vs the BEST (0.25), so the
-    // contended entry never makes a slow run look fast.
+  test("rollFactor: vs robust floor; contended entries cannot lower the bar") {
+    // a clean history around 0.22-0.25 with contended 0.56 runs mixed in —
+    // the r15 shape. The factor must read vs the clean floor (0.25: the
+    // 2nd-lowest with >=4 entries), so a contended entry never makes a
+    // slow run look fast.
     val past = Seq(0.56, 0.25, 0.563, 0.558, 0.22)
-    assert(math.abs(Bench.rollFactor(0.22, past) - 1.0) < 1e-9)
-    assert(Bench.rollFactor(0.44, past) == 2.0)
+    assert(math.abs(Bench.robustFloor(past) - 0.25) < 1e-9)
+    assert(math.abs(Bench.rollFactor(0.44, past) - 0.44 / 0.25) < 1e-9)
     // a contended CURRENT run reads >= 1.3 (discount fires)
     assert(Bench.rollFactor(0.56, past) >= 1.3)
     // unavailable sides
@@ -44,8 +45,26 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(Bench.rollFactor(0.5, Seq(-1.0)) == -1.0)
     // window: only the last HistoryWindow entries count — an ancient
     // fast host outside the window must not poison the bar forever
-    val old = Seq(0.01) ++ Seq.fill(Bench.HistoryWindow)(0.5)
+    val old = Seq(0.01, 0.01) ++ Seq.fill(Bench.HistoryWindow)(0.5)
     assert(Bench.rollFactor(0.5, old) == 1.0)
+  }
+
+  test("robustFloor: one spuriously fast entry cannot set the bar") {
+    // round-16 ADVICE: a single partially-cached canary sample (0.05 in a
+    // 0.25 window) inflated every subsequent factor >= 1.3 and flipped
+    // movers_discounted for HistoryWindow runs. With >= 4 entries the
+    // floor is the 2nd-lowest, so the outlier is inert...
+    val spiked = Seq(0.26, 0.05, 0.25, 0.24, 0.27)
+    assert(math.abs(Bench.robustFloor(spiked) - 0.24) < 1e-9)
+    assert(Bench.rollFactor(0.26, spiked) < 1.3)
+    // ...but TWO independent fast runs still lower it (a genuinely
+    // faster host is not an outlier)
+    val faster = Seq(0.26, 0.12, 0.125, 0.25, 0.27)
+    assert(math.abs(Bench.robustFloor(faster) - 0.125) < 1e-9)
+    // small windows keep the min: not enough mass to call anything an
+    // outlier
+    assert(math.abs(Bench.robustFloor(Seq(0.3, 0.1, 0.2)) - 0.1) < 1e-9)
+    assert(Bench.robustFloor(Seq.empty) == -1.0)
   }
 
   test("corrupt ledger reads as empty, never throws") {
