@@ -224,6 +224,22 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
         #  - timeouts not on the --timeout-ok allowlist count toward the
         #    failure exit code, so a newly super-linear oracle cannot
         #    silently drop out of scale-sweep coverage.
+        # Spark result read OUTSIDE the oracle timer (round-16 ADVICE: the
+        # timer used to span this read and fetchall too, so a slow result
+        # read was misreported as "ORACLE_TIMEOUT (> Ns in DuckDB)" even
+        # though the oracle SQL never ran).
+        try:
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            graw = got.fetchall()
+            gcols_raw, gtypes = list(got.columns), list(got.types)
+            gcols, grows = canon(graw, gcols_raw)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            print(f"FAIL {name}: exception reading spark result: {e}")
+            n_fail += 1
+            continue
         timer = None
         timed_out = threading.Event()
         if timeout_s:
@@ -233,12 +249,15 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
             timer = threading.Timer(timeout_s, _fire)
             timer.start()
         try:
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            graw = got.fetchall()
-            gcols, grows = canon(graw, got.columns)
             exp = con.sql(sql)
-            ecols, erows = canon(exp.fetchall(), exp.columns)
+            eraw = exp.fetchall()
+            # capture relation metadata BEFORE any connection replacement
+            # (round-16 ADVICE: in the completion/cancel race path these
+            # accessors were read off a relation bound to the interrupted
+            # old connection, outside any try — an access failure there
+            # aborted the whole sweep)
+            ecols_raw, etypes = list(exp.columns), list(exp.types)
+            ecols, erows = canon(eraw, ecols_raw)
         except KeyboardInterrupt:
             raise
         except Exception as e:
@@ -264,8 +283,9 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
                 timer.cancel()
         if timed_out.is_set():
             # query finished but the interrupt fired anyway (completion/
-            # cancel race) — results in hand are valid; the CONNECTION is
-            # not. Replace it before the next query touches it.
+            # cancel race) — results in hand are valid (metadata captured
+            # above); the CONNECTION is not. Replace it before the next
+            # statement touches it.
             con = connect()
         # the driver's pandas comparator cannot hash/sort array cells
         # (q44 round-1 red row) — reject them here so the local recipe
@@ -273,9 +293,9 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
         # the declared TYPES of both sides (not populated cells), so a
         # zero-row result at this sf cannot mask an array-typed column.
         arr_cols = sorted(
-            {c for c, t in zip(got.columns, got.types)
+            {c for c, t in zip(gcols_raw, gtypes)
              if any(k in str(t).upper() for k in ("LIST", "STRUCT", "MAP", "[]"))} |
-            {c for c, t in zip(exp.columns, exp.types)
+            {c for c, t in zip(ecols_raw, etypes)
              if any(k in str(t).upper() for k in ("LIST", "STRUCT", "MAP", "[]"))})
         if arr_cols:
             print(f"FAIL {name}: array-typed result columns {arr_cols} "
@@ -292,8 +312,8 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
         kind_bad = [
             (c, str(gt), str(et))
             for c, gt, et in ((c,
-                               got.types[got.columns.index(c)],
-                               exp.types[exp.columns.index(c)])
+                               gtypes[gcols_raw.index(c)],
+                               etypes[ecols_raw.index(c)])
                               for c in gcols)
             if pandas_kind(gt) != pandas_kind(et)]
         if kind_bad:
@@ -324,7 +344,7 @@ def main(sf_dir, out_dir, timeout_s=None, timeout_ok=frozenset()):
         # digest cross-check: recompute from the parquet with the shared
         # canonicalization and compare to Verify's sidecar.
         if name in digests:
-            h, n = digest_rows(graw, got.columns)
+            h, n = digest_rows(graw, gcols_raw)
             want = digests[name]
             if h != want.get("sha256") or n != want.get("rows"):
                 print(f"FAIL {name}: digest drift — recomputed "
