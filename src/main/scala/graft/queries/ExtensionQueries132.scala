@@ -85,9 +85,13 @@ object ExtensionQueries132 extends QueryGroup {
     dupPairs(s, dir).orderBy(col("media_a"), col("media_b"))
 
   /** The verified near-dup pair frame (media_a < media_b, hamming ≤
-    * [[HamMax]]), unordered — shared with q494/q495's cluster graph. */
+    * [[HamMax]]), unordered — shared with q494/q495's cluster graph.
+    * `bands` feeds the plan THREE times (the exploded index plus both
+    * verification sides) over a mapPartitions aHash-decode leaf — the
+    * scoped cache makes the decode provably run once per action
+    * (round-16 verdict task #7; the q140 pattern). */
   private[queries] def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = imageBands(s, dir)
+    val bands = graft.core.CacheScope.scoped(imageBands(s, dir))
     val e = bandIndex(bands)
     val freq = e.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("c"))
