@@ -43,7 +43,7 @@ object ExtensionQueries132 extends QueryGroup {
 
   /** Pigeonhole recall bound for 4 bands of 16 bits: two 64-bit hashes
     * within Hamming distance 3 agree on ≥ 1 band. */
-  private val HamMax = 3
+  private[graft] val HamMax = 3
 
   /** Hot-band cap (the q26 hot-shingle discipline): a band key carried
     * by more buckets than this is excluded from candidate GENERATION —
@@ -55,7 +55,7 @@ object ExtensionQueries132 extends QueryGroup {
     * the d ≤ 3 guarantee degrades only for pairs ALL FOUR of whose
     * bands are hot — q489 measures exactly how much mass the cap
     * removes. */
-  private val HotBandCap = 64
+  private[graft] val HotBandCap = 64
 
   /** Per-image aHash band columns (b0..b3, 16 bits each), images only —
     * [[Multimodal.aHashBands]] over the binary payload, media with
