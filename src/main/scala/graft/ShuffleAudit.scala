@@ -63,13 +63,20 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val qs = args.filterNot(_.startsWith("--")).toSeq
     require(qs.nonEmpty,
-      "usage: ShuffleAudit <query ...> [--dirs=d1,d2 | --sf1x-content]")
+      "usage: ShuffleAudit <query ...> [--dirs=d1,d2 | --sf1x-content | --sf1x-full]")
     // --sf1x-content: audit the sf0.1 → 10× rung for CONTENT-table
     // queries by synthesizing the same sf1x corpus QueryScaleBench uses
     // (documents/embeddings only — no relational replication), so the
     // bytes-growth claim for the capped-pair-index family is measured at
     // the rung where bucket caps are supposed to saturate.
-    val sf1x = args.contains("--sf1x-content")
+    // --sf1x-full additionally 10×-replicates the relational tables
+    // (QueryScaleBench's key-shifted replication) and copies the tiny
+    // dimension tables, so the rung also covers the lineitem co-purchase
+    // graph family (q107/q128/q150/q316 — round-16 verdict task #4: the
+    // q464 lesson says their sf0.01→sf0.1 exponents are not sufficient
+    // evidence either).
+    val sf1xFull = args.contains("--sf1x-full")
+    val sf1x = args.contains("--sf1x-content") || sf1xFull
     val dirs = args.find(_.startsWith("--dirs="))
       .map(_.stripPrefix("--dirs=").split(',').toSeq)
       .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
@@ -85,6 +92,14 @@ object ShuffleAudit {
       val tmp = java.nio.file.Files.createTempDirectory("graft_audit_sf1x").toString
       println(s"generating 10x content tables into $tmp ...")
       CorpusGen.writeContent(spark, tmp)
+      if (sf1xFull) {
+        println(s"replicating relational tables 10x into $tmp ...")
+        QueryScaleBench.replicateRelational(spark, "/root/testdata/sf0.1", tmp)
+        Seq("region", "nation").foreach { t =>
+          spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+            .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+        }
+      }
       Seq("/root/testdata/sf0.1", tmp)
     }
     val acc = new MetricsAcc

@@ -163,7 +163,8 @@ object SparkEntry {
     "extension131" -> ExtensionQueries131,
     "extension132" -> ExtensionQueries132,
     "extension133" -> ExtensionQueries133,
-    "extension134" -> ExtensionQueries134)
+    "extension134" -> ExtensionQueries134,
+    "extension135" -> ExtensionQueries135)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
