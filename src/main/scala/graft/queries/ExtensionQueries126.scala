@@ -74,14 +74,20 @@ object ExtensionQueries126 extends QueryGroup {
     // shared staged frame (round-17, see ExtensionQueries9.ppjoinPairsStaged)
     val exactPairs = ExtensionQueries9.ppjoinPairsStaged(s, dir, CalibTPpm)
       .select(col("id_a"), col("id_b"))
-    val sigs = d.filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
-      .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig"))
+    // sigs feeds the plan three times (banding + both estimator joins)
+    // and the 64-component minhash over every doc is the frame's whole
+    // cost — scoped cache makes it compute once per action (q140 pattern)
+    val sigs = graft.core.CacheScope.scoped(
+      d.filter(size(split(col("text"), " ")) >= 3)
+        .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+        .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), 64).as("sig")))
     val lshPairs = Dedup.lshCandidates(sigs, "doc_id", col("sig"), bands = 16)
     val cand = exactPairs.unionByName(lshPairs).distinct()
-    val sets = shingles.distinct()
+    // same single-computation contract for the per-set element arrays
+    // (consumed by both sides of the exact-Jaccard verification)
+    val sets = graft.core.CacheScope.scoped(shingles.distinct()
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("es"), count(lit(1)).as("nsh"))
+      .agg(collect_list(col("sh")).as("es"), count(lit(1)).as("nsh")))
     val withExact = cand
       .join(sets.select(col("doc_id").as("id_a"), col("es").as("ea"),
         col("nsh").as("na")), Seq("id_a"))
