@@ -454,7 +454,8 @@ object Bench {
       f"""{"at":"$l","cpu":$c%.3f,"io":$i%.3f}"""
     }.mkString("[", ",", "]")
     val memoJson = (graft.queries.ExtensionQueries2.memoizedQueries ++
-        graft.queries.ExtensionQueries9.ppjoinMemoizedQueries)
+        graft.queries.ExtensionQueries9.ppjoinMemoizedQueries ++
+        graft.queries.ExtensionQueries134.memoizedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-sample pipeline attribution (round-11 verdict task #2): each
     // round measured csv → merge → full → canary ADJACENTLY, so every full

@@ -39,15 +39,28 @@ object ExtensionQueries134 extends QueryGroup {
     * so an insufficient budget reds the row rather than lying. */
   private val CcRounds = 3
 
-  private def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ExtensionQueries132.dupPairs(s, dir)
-    val nodes = pairs.select(col("media_a").as("id"))
-      .unionByName(pairs.select(col("media_b").as("id"))).distinct()
-    graft.ops.StarContract.run(
-        pairs.select(col("media_a").as("src"), col("media_b").as("dst")),
-        nodes, CcRounds)
-      .select(col("id"), col("comp"), col("converged"))
-  }
+  /** q494 and q495 audit the SAME contraction, and StarContract's
+    * checkpointed-round floor (~4 s at sf0.1, kc ≈ 0 — a fixed-cost
+    * regime, not data growth) was paid twice per bench run. Staged via
+    * [[graft.core.StagedMemo]] (cluster labels are data-proportional —
+    * disk-backed, never collected); Bench lists both consumers under
+    * `memoized`. Mirrors re-derive the exact closure independently.
+    */
+  private def clusters(s: SparkSession, dir: String): DataFrame =
+    graft.core.StagedMemo.stage(s, "ahashcc", dir, "documents.parquet") {
+      val pairs = ExtensionQueries132.dupPairs(s, dir)
+      val nodes = pairs.select(col("media_a").as("id"))
+        .unionByName(pairs.select(col("media_b").as("id"))).distinct()
+      graft.ops.StarContract.run(
+          pairs.select(col("media_a").as("src"), col("media_b").as("dst")),
+          nodes, CcRounds)
+        .select(col("id"), col("comp"), col("converged"))
+    }
+
+  /** Registered names replaying [[clusters]]' staged frame after the
+    * first consumer computes (Bench `memoized` convention). */
+  val memoizedQueries: Seq[String] = Seq(
+    "q494_ahash_dup_clusters", "q495_ahash_dedup_savings")
 
   // -------------------------------------------------------------- q494
 

@@ -159,57 +159,27 @@ object ExtensionQueries9 extends QueryGroup {
     "q109_prefix_jaccard", "q457_dedup_threshold_sweep",
     "q464_minhash_calibration", "q478_dup_locality")
 
-  /** (dir, documents mtime, tPpm) → staged parquet path. Unlike the q42
-    * cluster memo (≤90 rows by construction, safe to collect), the PPJoin
-    * pair frame is DATA-PROPORTIONAL — true near-dup mass grows with the
-    * corpus — so the memo is a disk-backed materialized intermediate
-    * (write-once parquet in a JVM temp dir), never a driver collect: the
-    * exact pattern a 1000-executor job would use (materialize the shared
-    * frame to distributed storage, fan consumers off the files). Keyed on
-    * the documents mtime so a rewrite under a reused path misses the
-    * stale entry; [[invalidatePpjoinMemo]] is the in-place-rewrite hook.
-    * Immune to Bench's release() (cache/RDD sweeps don't touch files).
-    */
-  private val ppjoinMemo =
-    scala.collection.concurrent.TrieMap[(String, Long, Long), String]()
-
-  private lazy val ppjoinTmpRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ppjoin_memo")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try {
-        val walk = java.nio.file.Files.walk(p)
-        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-        paths.foreach(q => java.nio.file.Files.deleteIfExists(q))
-      } catch { case _: Throwable => }
-    }))
-    p
-  }
-
   /** The round-16 rework pointed q457/q464/q478 at the SAME
     * `jaccardJoin(q109Shingles, t=0.5)` frame q109 filters, and each
     * recomputed it from scratch — ~25–30 s of every sf0.1 bench run spent
     * re-running one generator (round-16 verdict task #3). First consumer
-    * computes and stages; the rest (and repeat runs) scan the staged
-    * parquet. Oracle mirrors still re-derive the full CTE chain, so all
-    * four queries stay independently hash-checked.
+    * computes and stages via [[graft.core.StagedMemo]] (the pair frame is
+    * DATA-PROPORTIONAL, so it is a disk-backed materialized intermediate,
+    * never a driver collect — see StagedMemo's header for the two memo
+    * disciplines); the rest (and repeat runs) scan the staged parquet.
+    * Oracle mirrors still re-derive the full CTE chain, so every consumer
+    * stays independently hash-checked.
     */
   private[queries] def ppjoinPairsStaged(s: SparkSession, dir: String,
-      tPpm: Long = MemoTPpm): DataFrame = {
-    val mtime = new java.io.File(dir, "documents.parquet").lastModified()
-    val path = ppjoinMemo.getOrElseUpdate((dir, mtime, tPpm), {
-      val p = java.nio.file.Files.createTempDirectory(ppjoinTmpRoot, "t" + tPpm)
-        .resolve("pairs").toString
+      tPpm: Long = MemoTPpm): DataFrame =
+    graft.core.StagedMemo.stage(s, "ppjoin", dir, "documents.parquet",
+      variant = "t" + tPpm) {
       SetSimJoin.jaccardJoin(q109Shingles(s, dir), "doc_id", "sh", tPpm)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
-  /** Drop every staged pair frame (all dirs/thresholds) — for callers
-    * that rewrite `documents.parquet` in place without an mtime tick. */
-  def invalidatePpjoinMemo(): Unit = ppjoinMemo.clear()
+  /** Drop every staged frame — for callers that rewrite
+    * `documents.parquet` in place without an mtime tick. */
+  def invalidatePpjoinMemo(): Unit = graft.core.StagedMemo.invalidate()
 
   /** q109's (doc_id, 3-shingle) element frame — shared with
     * [[graft.SetSimAudit]] so the candidate-growth audit counts the
