@@ -164,7 +164,8 @@ object SparkEntry {
     "extension132" -> ExtensionQueries132,
     "extension133" -> ExtensionQueries133,
     "extension134" -> ExtensionQueries134,
-    "extension135" -> ExtensionQueries135)
+    "extension135" -> ExtensionQueries135,
+    "extension136" -> ExtensionQueries136)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -222,10 +222,11 @@ object SetSimJoin {
     * o=80: sublinear) here; screen low-floor overlap with the capped
     * inverted index (q26) or MinHash-LSH (q29) instead.
     */
-  def overlapJoin(elements: DataFrame, idCol: String, elemCol: String,
-      minOverlap: Int): DataFrame = {
-    require(minOverlap >= 1, s"minOverlap >= 1, got $minOverlap")
-    val o = minOverlap.toLong
+  /** Shared front of [[overlapJoin]] / [[overlapJoinHybrid]]: the
+    * deduplicated (__id, tok) table and the frequency-ranked rows
+    * carrying (tok, cnt, rn, s). */
+  private def overlapRanked(elements: DataFrame, idCol: String,
+      elemCol: String): (DataFrame, DataFrame) = {
     val tok = elements.select(col(idCol).as("__id"), col(elemCol).as("tok")).distinct()
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // same single-Window fusion as [[candidateFrames]]
@@ -234,6 +235,35 @@ object SetSimJoin {
       .withColumn("rn", row_number().over(byDocOrd))
       .withColumn("s", count(lit(1)).over(
         byDocOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    (tok, ranked)
+  }
+
+  /** Exact intersection verification + containment output shared by the
+    * exact and hybrid overlap joins: array rows built ONLY for
+    * candidate-touched sets (the [[jaccardJoin]] semi-join discipline —
+    * collect_list rows proportional to candidate mass, not corpus mass).
+    */
+  private def overlapVerify(tok: DataFrame, cand: DataFrame, o: Long): DataFrame = {
+    val touched = cand.select(col("id_a").as("__id"))
+      .union(cand.select(col("id_b").as("__id"))).distinct()
+    val sets = tok.join(touched, Seq("__id"), "left_semi")
+      .groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__elems").as("__ea")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__elems").as("__eb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"),
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long").as("inter"))
+      .filter(col("inter") >= o)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
+        expr("inter * 1000000L div sa").as("cont_a_ppm"),
+        expr("inter * 1000000L div sb").as("cont_b_ppm"))
+  }
+
+  def overlapJoin(elements: DataFrame, idCol: String, elemCol: String,
+      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap >= 1, got $minOverlap")
+    val o = minOverlap.toLong
+    val (tok, ranked) = overlapRanked(elements, idCol, elemCol)
     // prefix length |x| − o + 1: sets smaller than o get a non-positive
     // bound and index nothing (correct — |A∩B| ≤ |A| < o)
     val prefix = ranked.filter(col("rn") <= col("s") - o + 1L)
@@ -251,15 +281,115 @@ object SetSimJoin {
       .agg(count(lit(1)).as("m"), max(col("ra")).as("pa"), max(col("rb")).as("pb"))
       .filter(col("m") + least(col("sa") - col("pa"), col("sb") - col("pb")) >= o)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
-    val sets = tok.groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
-    cand
-      .join(sets.select(col("__id").as("id_a"), col("__elems").as("__ea")), Seq("id_a"))
-      .join(sets.select(col("__id").as("id_b"), col("__elems").as("__eb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("sa"), col("sb"),
-        size(array_intersect(col("__ea"), col("__eb"))).cast("long").as("inter"))
-      .filter(col("inter") >= o)
-      .select(col("id_a"), col("id_b"), col("inter"), col("sa"), col("sb"),
-        expr("inter * 1000000L div sa").as("cont_a_ppm"),
-        expr("inter * 1000000L div sb").as("cont_b_ppm"))
+    overlapVerify(tok, cand, o)
+  }
+
+  /** [[overlapJoin]]'s certified hot-token HYBRID (round-17 verdict
+    * task #1) — the scale-safe form of the exact small-floor overlap
+    * join, whose candidate stage the sf1x rung proved quadratic
+    * IN-STAGE (28.5 GB spill, 88× task time at 10× data, with shuffle
+    * bytes reading linear: the Σc² prefix-collision stream is absorbed
+    * by partial aggregation before any shuffle write).
+    *
+    * Token split at posting-list length `hotCap`: candidate generation
+    * uses ONLY prefix entries whose element posts to ≤ hotCap sets, so
+    * any element's candidate contribution is ≤ hotCap²/2 and the whole
+    * candidate stream is ≤ (hotCap/2)·Σc — LINEAR in corpus size for a
+    * fixed cap, where the exact form pays Σc² on a saturated
+    * vocabulary. Verification stays exact over the FULL element sets
+    * (hot elements count toward `inter` — only candidate GENERATION is
+    * capped).
+    *
+    * RECALL CONTRACT (the pigeonhole argument, provable and measured by
+    * [[overlapHybridAudit]]): under the global (frequency asc, element)
+    * order, a qualifying pair's EARLIEST shared element sits in both
+    * prefixes (the [[overlapJoin]] theorem). If that element is cold
+    * (freq ≤ hotCap) the pair is generated; since the order is
+    * frequency-ascending, a pair is MISSED only when its earliest —
+    * i.e. RAREST — shared element is hot, which forces every shared
+    * element hot and hence both sets to carry ≥ o hot elements each.
+    * So: `n_docs_at_risk` (sets with ≥ o hot elements) < 2 in the audit
+    * CERTIFIES hybrid ≡ exact on that corpus, and
+    * `n_docs_at_risk·(n_docs_at_risk−1)/2` bounds the missed pairs
+    * otherwise. OverlapHybridAdversarialSpec plants a pair whose entire
+    * intersection is hot and pins that the exact join finds it, the
+    * hybrid misses it, and the audit reports exactly that risk mass;
+    * for hot-mass corpora where the missed containment pairs matter,
+    * screen the hot side with q26's capped index or q29's banded LSH.
+    *
+    * No positional filter here: its bound needs `m` to count EVERY
+    * shared element up to the last prefix match, and hot entries are
+    * invisible to the cold-only join — a hot shared element below the
+    * last cold match would undercount the bound and prune true pairs.
+    * The cap already bounds the candidate stream the positional filter
+    * existed to thin; verification is exact either way.
+    *
+    * Output schema and semantics otherwise identical to [[overlapJoin]]
+    * (id_a < id_b, inter ≥ minOverlap, exact containment ppm).
+    */
+  def overlapJoinHybrid(elements: DataFrame, idCol: String, elemCol: String,
+      minOverlap: Int, hotCap: Long): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap >= 1, got $minOverlap")
+    require(hotCap >= 1, s"hotCap >= 1, got $hotCap")
+    val o = minOverlap.toLong
+    val (tok, ranked) = overlapRanked(elements, idCol, elemCol)
+    // prefix under the FULL ordered set (rn, s count hot elements too —
+    // the theorem's prefix bound is about positions in the whole set),
+    // then the cold cut: only short posting lists enter the join
+    val coldPrefix = ranked
+      .filter(col("rn") <= col("s") - o + 1L && col("cnt") <= hotCap)
+      .select(col("tok"), col("__id"), col("s"))
+    val cand = coldPrefix.as("a").join(coldPrefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+    overlapVerify(tok, cand, o)
+  }
+
+  /** The measured certificate for [[overlapJoinHybrid]] (the q489
+    * band-audit shape): one row quantifying exactly what the hot cap
+    * excluded and the recall exposure that remains —
+    *  - n_tokens / n_hot_tokens, posting_rows / hot_posting_rows: the
+    *    vocabulary and index mass on each side of the cap;
+    *  - pair_mass = Σ c(c−1)/2 over ALL tokens (what an uncapped
+    *    inverted index would enumerate), hot_pair_mass = the same sum
+    *    over hot tokens (the mass the cap refuses to pay),
+    *    cand_pair_mass = Σ cp(cp−1)/2 over cold PREFIX posting lists
+    *    (the stream the hybrid actually joins — the number whose sf1x
+    *    growth must read linear);
+    *  - n_docs_at_risk = sets carrying ≥ minOverlap hot elements — by
+    *    the recall contract a missed pair needs BOTH endpoints here, so
+    *    max_missed_pairs = at_risk·(at_risk−1)/2 and at_risk < 2
+    *    certifies hybrid ≡ exact on this corpus.
+    */
+  def overlapHybridAudit(elements: DataFrame, idCol: String, elemCol: String,
+      minOverlap: Int, hotCap: Long): DataFrame = {
+    require(minOverlap >= 1 && hotCap >= 1)
+    val o = minOverlap.toLong
+    val (_, ranked) = overlapRanked(elements, idCol, elemCol)
+    // per-token stats from the ranked rows: cnt repeats on each posting,
+    // so aggregate per token first
+    val freq = ranked.groupBy(col("tok")).agg(first(col("cnt")).as("c"))
+    val tokStats = freq.agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("c") > hotCap, 1L).otherwise(0L)).as("n_hot_tokens"),
+      sum(col("c")).as("posting_rows"),
+      sum(when(col("c") > hotCap, col("c")).otherwise(0L)).as("hot_posting_rows"),
+      sum(expr("(c * (c - 1)) div 2")).as("pair_mass"),
+      sum(when(col("c") > hotCap, expr("(c * (c - 1)) div 2"))
+        .otherwise(0L)).as("hot_pair_mass"))
+    val candMass = ranked
+      .filter(col("rn") <= col("s") - o + 1L && col("cnt") <= hotCap)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cp"))
+      .agg(coalesce(sum(expr("(cp * (cp - 1)) div 2")), lit(0L))
+        .as("cand_pair_mass"))
+    val atRisk = ranked.filter(col("cnt") > hotCap)
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_hot"))
+      .filter(col("n_hot") >= o)
+      .agg(count(lit(1)).as("n_docs_at_risk"))
+    tokStats.crossJoin(candMass).crossJoin(atRisk) // 1-row frames
+      .withColumn("max_missed_pairs",
+        expr("(n_docs_at_risk * (n_docs_at_risk - 1)) div 2"))
   }
 }
