@@ -107,25 +107,81 @@ object Bench {
   def readHistory(sf: String, path: String = HistoryPath): Seq[(Double, Double)] =
     readHistoryAll(path).collect { case (s, c, i) if s == sf => (c, i) }
 
+  /** Per-sf all-time canary floor (round-17 verdict task #3): the
+    * stickiest (cpu, io) minima ever appended, kept beside the rolling
+    * window so a long degraded streak cannot quietly reset the bar —
+    * after 10 contended runs the window's 2nd-lowest floor inherits the
+    * degradation, the all-time floor does not. Ledgers written before
+    * round 18 carry no `alltime` object; the floor then seeds from the
+    * surviving entries on the next append. */
+  def readAlltime(path: String = HistoryPath): Map[String, (Double, Double)] = try {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      val parsed = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+      parsed \ "alltime" match {
+        case JObject(fields) => fields.flatMap { case (sf, o) =>
+          def num(f: String): Double = o \ f match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case _ => -1.0
+          }
+          Some(sf -> ((num("cpu"), num("io"))))
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def appendHistory(sf: String, cpu: Double, io: Double,
-      path: String = HistoryPath): Unit = try {
-    val all = (readHistoryAll(path) :+ ((sf, cpu, io))).takeRight(HistoryKeep)
-    val body = all.map { case (s, c, i) =>
-      f"""{"sf":"$s","cpu":$c%.4f,"io":$i%.4f}"""
-    }.mkString("{\"entries\":[", ",", "]}\n")
-    // temp-file + ATOMIC_MOVE (round-16 ADVICE): an in-place overwrite
-    // crashed mid-write corrupts the committed ledger, and readHistoryAll
-    // would then silently reset the rolling window
-    val target = java.nio.file.Paths.get(path)
-    val dir = Option(target.toAbsolutePath.getParent)
-      .getOrElse(java.nio.file.Paths.get("."))
-    val tmp = java.nio.file.Files.createTempFile(dir, ".canary_history", ".tmp")
-    java.nio.file.Files.write(tmp,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  } catch { case _: Throwable => }
+      path: String = HistoryPath): Unit = {
+    var tmp: java.nio.file.Path = null
+    try {
+      val all = (readHistoryAll(path) :+ ((sf, cpu, io))).takeRight(HistoryKeep)
+      // sticky floor: fold the previous alltime with every surviving
+      // entry, per sf — min over positives, -1 when none
+      val prevAll = readAlltime(path)
+      def mn(vals: Seq[Double]): Double = {
+        val p = vals.filter(_ > 0); if (p.isEmpty) -1.0 else p.min
+      }
+      val alltime = (all.map(_._1) ++ prevAll.keys).distinct.sorted.map { s =>
+        val ofSf = all.filter(_._1 == s)
+        s -> ((mn(ofSf.map(_._2) ++ prevAll.get(s).map(_._1).toSeq),
+               mn(ofSf.map(_._3) ++ prevAll.get(s).map(_._2).toSeq)))
+      }
+      val entriesBody = all.map { case (s, c, i) =>
+        f"""{"sf":"$s","cpu":$c%.4f,"io":$i%.4f}"""
+      }.mkString("[", ",", "]")
+      val alltimeBody = alltime.map { case (s, (c, i)) =>
+        f""""$s":{"cpu":$c%.4f,"io":$i%.4f}"""
+      }.mkString("{", ",", "}")
+      val body = s"""{"entries":$entriesBody,"alltime":$alltimeBody}\n"""
+      // temp-file + ATOMIC_MOVE (round-16 ADVICE): an in-place overwrite
+      // crashed mid-write corrupts the committed ledger, and readHistoryAll
+      // would then silently reset the rolling window
+      val target = java.nio.file.Paths.get(path)
+      val dir = Option(target.toAbsolutePath.getParent)
+        .getOrElse(java.nio.file.Paths.get("."))
+      tmp = java.nio.file.Files.createTempFile(dir, ".canary_history", ".tmp")
+      java.nio.file.Files.write(tmp,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // non-atomic fallback beats losing the append on exotic filesystems
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: Throwable => }
+    // round-17 ADVICE: a throw between createTempFile and the move used
+    // to leak a .canary_history*.tmp in the repo root on every run
+    finally if (tmp != null)
+      try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => }
+  }
 
   /** Robust floor of the ledger window (round-16 ADVICE): the bare MIN
     * let one spuriously fast entry (a partially cached canary run)
@@ -151,6 +207,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime() // whole-sweep wall clock (verdict task #2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -277,6 +334,52 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] canary sample $label FAILED: $e") }
     }
+    // Pre-flight host gate (round-17 verdict task #3): both r17 full
+    // runs were taken on a 2.6–3.4× contended host and the round's story
+    // survived only because the improvement was big enough to show
+    // through. Measure the host BEFORE committing ~50 minutes of sweep
+    // to it: best-of-2 per canary (the floor is what a clean host can
+    // do; the min strips one-off scheduler blips), factors against BOTH
+    // the rolling robust floor and the sticky all-time ledger floor (the
+    // conservative max of the two — a long degraded streak inflates the
+    // window floor but never the all-time one). Factor > threshold ⇒
+    // back off and retry, up to PreflightMax attempts; still degraded ⇒
+    // the artifact ships stamped degraded_host:true so round-over-round
+    // tooling weights it instead of trusting it.
+    val histPre = readHistory(sfDir)
+    val alltimePre = readAlltime().get(sfDir)
+    def preflightFactor(cur: Double, hist: Seq[Double],
+        alltime: Option[Double]): Double = {
+      val wf = rollFactor(cur, hist)
+      val af = alltime.filter(_ > 0) match {
+        case Some(f) if cur > 0 => cur / f
+        case _ => -1.0
+      }
+      math.max(wf, af)
+    }
+    var preAttempts = 0
+    var (preCpu, preIo, preF) = (-1.0, -1.0, -1.0)
+    var preOk = false
+    while (!preOk && preAttempts < PreflightMax) {
+      preAttempts += 1
+      canaryStage.foreach { st =>
+        preCpu = (1 to 2).map(_ => timedReleased(st.runCpu())).min
+        preIo = (1 to 2).map(_ => timedReleased(st.runIo())).min
+      }
+      preF = math.max(
+        preflightFactor(preCpu, histPre.map(_._1), alltimePre.map(_._1)),
+        preflightFactor(preIo, histPre.map(_._2), alltimePre.map(_._2)))
+      if (preF > PreflightThreshold) {
+        System.err.println(f"[bench] preflight $preAttempts/$PreflightMax: host " +
+          f"factor $preF%.2f > $PreflightThreshold (cpu $preCpu%.2fs io $preIo%.2fs) — backing off")
+        if (preAttempts < PreflightMax) Thread.sleep(PreflightBackoffMs * preAttempts)
+      } else preOk = true
+    }
+    // a factor of -1 (empty ledger) can never stamp the run degraded
+    val degradedHost = preF > PreflightThreshold
+    if (degradedHost)
+      System.err.println(f"[bench] preflight EXHAUSTED at factor $preF%.2f — artifact stamped degraded_host")
+
     // index of the latest series sample taken BEFORE each query's
     // accepted measurement (re-measures overwrite: the accepted stats
     // are the later ones)
@@ -396,8 +499,28 @@ object Bench {
     // totals aren't polluted either. Both numbers land in the artifact.
     val confirmList = moverNames.toSeq.sortBy(k => -resMap2(k)._2)
       .take(MaxMoverConfirm)
+    // Sub-threshold band sample (round-17 verdict task #4): queries
+    // drifting 1.25–1.5× either way (larger side ≥ 0.5 s) sit below the
+    // mover cutoff, so none of them ever earned fresh-JVM evidence —
+    // r17's ~40-query 1.3–1.48× band was attributed to host contention
+    // by inference alone. Sample BandSampleN of them (deterministic
+    // seed from the previous artifact's medians: stable within a round,
+    // different across rounds) into the same fork; their reported stats
+    // are replaced by the fresh-JVM numbers whenever the fork succeeds,
+    // so the common-surface total reads clean-host evidence either way.
+    def bandRatio(cur: Double, prev: Double): Double =
+      if (prev > 0 && cur > 0) math.max(cur / prev, prev / cur) else -1.0
+    val bandCandidates = results2.collect { case (k, v)
+        if v._2 >= 0 && !moverNames(k) && prevMedians.get(k).exists { p =>
+          val r = bandRatio(v._2, p)
+          r >= 1.25 && r < 1.5 && math.max(p, v._2) >= 0.5
+        } => k }
+    val bandSeed = prevMedians.toSeq.sortBy(_._1).hashCode
+    val bandSample = new scala.util.Random(bandSeed)
+      .shuffle(bandCandidates.sorted).take(BandSampleN)
+    val bandSet = bandSample.toSet
     val freshJvm: Map[String, (Double, Double, Double)] =
-      confirmMoversFreshJvm(confirmList, sfDir, cpus)
+      confirmMoversFreshJvm(confirmList ++ bandSample, sfDir, cpus)
     val moverStatus: Map[String, String] = moverNames.iterator.map { k =>
       freshJvm.get(k).filter(_._2 >= 0) match {
         case Some(f) =>
@@ -407,7 +530,9 @@ object Bench {
       }
     }.toMap
     val results = results2.map { case (k, v) =>
-      if (moverStatus.get(k).contains("phantom")) k -> freshJvm(k) else k -> v
+      if (moverStatus.get(k).contains("phantom")) k -> freshJvm(k)
+      else if (bandSet(k) && freshJvm.get(k).exists(_._2 >= 0)) k -> freshJvm(k)
+      else k -> v
     }
     val resMap = results.toMap
     val skew = try skewBench(spark, sfDir, medianOf)
@@ -436,17 +561,34 @@ object Bench {
     // {confirmed, phantom, unconfirmed}, canary_cpu/io = the rolling
     // factors of the series sample nearest the mover's own measurement.
     val histForSeries = readHistory(sfDir)
+    def seriesFactors(k: String): (Double, Double) = {
+      val si = seriesIdxAt.getOrElse(k, -1)
+      if (si >= 0 && si < series.size)
+        (rollFactor(series(si)._2, histForSeries.map(_._1)),
+          rollFactor(series(si)._3, histForSeries.map(_._2)))
+      else (-1.0, -1.0)
+    }
     val moversJson = moverNames.toSeq.sorted.map { k =>
       val prev = prevMedians(k)
       val inRun = resMap2(k)._2
       val fj = freshJvm.get(k).map(_._2).getOrElse(-1.0)
       val status = moverStatus(k)
-      val si = seriesIdxAt.getOrElse(k, -1)
-      val (cf, iof) =
-        if (si >= 0 && si < series.size)
-          (rollFactor(series(si)._2, histForSeries.map(_._1)),
-            rollFactor(series(si)._3, histForSeries.map(_._2)))
-        else (-1.0, -1.0)
+      val (cf, iof) = seriesFactors(k)
+      f""""$k":{"prev":$prev%.3f,"in_run":$inRun%.3f,"fresh_jvm":$fj%.3f,""" +
+        f""""status":"$status","canary_cpu":$cf%.3f,"canary_io":$iof%.3f}"""
+    }.mkString("{", ",", "}")
+    // band entries carry the same four fields; status reads "confirmed"
+    // when the fresh JVM still shows ≥ 1.25× drift vs the previous
+    // round, "host" when the drift evaporates in a clean process
+    val bandJson = bandSample.sorted.map { k =>
+      val prev = prevMedians(k)
+      val inRun = resMap2(k)._2
+      val fj = freshJvm.get(k).map(_._2).getOrElse(-1.0)
+      val status =
+        if (fj < 0) "unconfirmed"
+        else if (bandRatio(fj, prev) >= 1.25) "confirmed"
+        else "host"
+      val (cf, iof) = seriesFactors(k)
       f""""$k":{"prev":$prev%.3f,"in_run":$inRun%.3f,"fresh_jvm":$fj%.3f,""" +
         f""""status":"$status","canary_cpu":$cf%.3f,"canary_io":$iof%.3f}"""
     }.mkString("{", ",", "}")
@@ -528,20 +670,32 @@ object Bench {
       (cpuFactor > 0 && cpuFactor >= 1.3) || (ioFactor > 0 && ioFactor >= 1.3) ||
         (cpuFactor < 0 && ioFactor < 0 && hostFactor > 0 &&
           (hostFactor >= 1.3 || hostFactor <= 1.0 / 1.3))
+    // staged-memo accounting (round-17 verdict task #2): the generator
+    // cost the memo amortizes, as a reported figure — sum-of-medians vs
+    // wall_sec now reconciles without forensics
+    val stagingJson = graft.core.StagedMemo.stagingSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val alltimeFloor = readAlltime().get(sfDir)
     val suffix =
       s""""skew":{"unsalted":${skew._1},"salted":${skew._2},"aqe":${skew._3}},""" +
       f""""host_factor":$hostFactor%.3f,"prev_canary_median":$prevCanary%.3f,""" +
       f""""cpu_factor":$cpuFactor%.3f,"io_factor":$ioFactor%.3f,""" +
       s""""canary_history_n":${history.size},""" +
+      f""""preflight":{"cpu":$preCpu%.3f,"io":$preIo%.3f,"factor":$preF%.3f,""" +
+      s""""attempts":$preAttempts},"degraded_host":$degradedHost,""" +
+      f""""alltime_floor":{"cpu":${alltimeFloor.map(_._1).getOrElse(-1.0)}%.3f,""" +
+      f""""io":${alltimeFloor.map(_._2).getOrElse(-1.0)}%.3f},""" +
       s""""movers_discounted":$moversDiscounted,""" +
-      s""""movers":$moversJson,"canary_series":$seriesJson,""" +
-      s""""memoized":$memoJson,""" +
+      s""""movers":$moversJson,"band_sample":$bandJson,""" +
+      s""""canary_series":$seriesJson,""" +
+      s""""memoized":$memoJson,"staging_sec":$stagingJson,""" +
       s""""pipeline_1m_sec":${pFull._2},"pipeline_1m_spread":${fmt(pFull)},""" +
       s""""pipeline_n":$PipeIters,"pipeline_phases":{"csv_scan":${fmt(pstats(_.csv))},""" +
       s""""merge_from_parquet":${fmt(pstats(_.merge))},""" +
       s""""canary":${fmt(pstats(_.canary))},""" +
       s""""io_canary":${fmt(pstats(_.ioc))},""" +
-      s""""full":${fmt(pFull)}},"pipeline_samples":$samplesJson,"sf":"$sfDir"}"""
+      s""""full":${fmt(pFull)}},"pipeline_samples":$samplesJson,""" +
+      f""""wall_sec":${(System.nanoTime() - wallT0) / 1e9}%.1f,"sf":"$sfDir"}"""
     // n semantics post-stratification: "n" is the full-measure tier
     // (top-50 + newcomers), "n_tail" the single-sample tier, "n_top10"
     // the top-10/mover tier; "n_full_measured" counts ONLY queries whose
@@ -551,7 +705,8 @@ object Bench {
     val nFullMeasured = fullMeasured.size
     val tiers = s""""n":$Iters,"n_tail":1,"n_top10":$TopIters,""" +
       s""""n_full_measured":$nFullMeasured,"movers_checked":${moverCandidates.size},""" +
-      s""""movers_confirm_n":${freshJvm.size},"""
+      s""""movers_confirm_n":${confirmList.count(freshJvm.contains)},""" +
+      s""""band_sample_n":${bandSample.size},"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
       s""""queries_total":${results.size},"queries":$slow10,"spread":$slow10Spread,""" + suffix
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" + tiers +
@@ -574,6 +729,8 @@ object Bench {
       s""""io_factor":${r3(ioFactor)},"movers_discounted":$moversDiscounted,""" +
       s""""movers_n":${moverNames.size},""" +
       s""""movers_phantom_n":${moverStatus.values.count(_ == "phantom")},""" +
+      s""""degraded_host":$degradedHost,""" +
+      f""""wall_sec":${(System.nanoTime() - wallT0) / 1e9}%.0f,""" +
       s""""pipeline_1m_sec":${r3(pFull._2)},""" +
       s""""skew":{"unsalted":${r3(skew._1)},"salted":${r3(skew._2)},"aqe":${r3(skew._3)}},""" +
       s""""queries":$ultraQs,"sf":"$sfDir"}"""
@@ -595,6 +752,18 @@ object Bench {
     * concentrates in the slow entries anyway. */
   val MaxMoverConfirm = 20
 
+  /** Sub-threshold band sample size (round-17 verdict task #4): the
+    * 1.25–1.5× drift band is exactly where host noise and real creep
+    * are indistinguishable, and it was the last part of the total
+    * resting on inference — ~8 members ride the same fresh-JVM fork as
+    * the movers each run. */
+  val BandSampleN = 8
+
+  /** Pre-flight host gate (round-17 verdict task #3). */
+  val PreflightMax = 3
+  val PreflightThreshold = 1.5
+  val PreflightBackoffMs = 30000L
+
   /** Re-measure `names` in ONE forked fresh JVM (same classpath, same
     * JVM flags, same sf/cpus env) via [[MoverConfirm]]; returns each
     * query's (min, median, max) from that process, empty on any failure
@@ -607,9 +776,22 @@ object Bench {
   def confirmMoversFreshJvm(names: Seq[String], sfDir: String,
       cpus: String): Map[String, (Double, Double, Double)] = {
     if (names.isEmpty) return Map.empty
+    var errFile: java.nio.file.Path = null
+    // round-17 ADVICE: both child streams used to be discarded, so a
+    // crashed fork left "unconfirmed" movers with zero diagnostics —
+    // stderr now lands in a temp log whose tail is printed on ANY
+    // failure path (timeout, unparseable output, spawn error)
+    def errTail(): String =
+      if (errFile == null) "<no stderr captured>"
+      else try {
+        val s = new String(java.nio.file.Files.readAllBytes(errFile),
+          java.nio.charset.StandardCharsets.UTF_8)
+        s.substring(math.max(0, s.length - 2000))
+      } catch { case _: Throwable => "<stderr unreadable>" }
     try {
       import scala.jdk.CollectionConverters._
       val outFile = java.nio.file.Files.createTempFile("graft_mover_confirm", ".json")
+      errFile = java.nio.file.Files.createTempFile("graft_mover_confirm", ".err")
       val javaBin = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
       // inherit this process's JVM args verbatim: the --add-opens list
@@ -623,18 +805,20 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      // child Spark logs are noise here; keep stderr for the parent log,
-      // discard stdout (results travel through the temp file)
+      // discard stdout (results travel through the temp file); stderr →
+      // temp log, surfaced only when the confirmation fails
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(errFile.toFile)
       val proc = pb.start()
       val done = proc.waitFor(120L + 90L * names.size,
         java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         proc.destroyForcibly()
-        System.err.println("[bench] mover confirmation TIMED OUT — movers stay unconfirmed")
+        System.err.println("[bench] mover confirmation TIMED OUT — movers stay unconfirmed; child stderr tail:\n" + errTail())
         return Map.empty
       }
+      if (proc.exitValue() != 0)
+        System.err.println(s"[bench] mover confirmation child exited ${proc.exitValue()}; stderr tail:\n" + errTail())
       import org.json4s._
       val parsed = jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(outFile),
@@ -650,12 +834,15 @@ object Bench {
             }
             k -> ((num(xs(0)), num(xs(1)), num(xs(2))))
         }.toMap
-        case _ => Map.empty
+        case _ =>
+          System.err.println("[bench] mover confirmation output unparseable; child stderr tail:\n" + errTail())
+          Map.empty
       }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] mover confirmation FAILED: $e")
+      System.err.println(s"[bench] mover confirmation FAILED: $e; child stderr tail:\n" + errTail())
       Map.empty
-    }
+    } finally if (errFile != null)
+      try java.nio.file.Files.deleteIfExists(errFile) catch { case _: Throwable => }
   }
 
   /** One pipeline measurement ROUND: the four phases timed back-to-back

@@ -165,7 +165,8 @@ object SparkEntry {
     "extension133" -> ExtensionQueries133,
     "extension134" -> ExtensionQueries134,
     "extension135" -> ExtensionQueries135,
-    "extension136" -> ExtensionQueries136)
+    "extension136" -> ExtensionQueries136,
+    "extension137" -> ExtensionQueries137)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

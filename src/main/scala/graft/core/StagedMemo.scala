@@ -16,17 +16,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    use for a frame shared by several downstream jobs — and consumers
   *    scan the files.
   *
-  * Keys carry the mtime of the corpus file the frame derives from, so a
-  * rewrite under a reused path misses the stale entry; [[invalidate]] is
-  * the hook for in-place rewrites without an mtime tick. Entries are
-  * immune to cache/persisted-RDD sweeps (Bench's release() never touches
-  * files); the temp root deletes itself on JVM exit.
+  * Staleness (round-18, verdict task #8 / round-17 ADVICE): keys carry a
+  * CONTENT FINGERPRINT of the corpus path — the sorted (relative name,
+  * size, mtime-millis) list of every file under it, hashed — not the
+  * bare directory mtime. A Spark overwrite rewrites part files under
+  * fresh random names, so an in-place corpus rewrite misses the memo
+  * even when the directory entry's second-granularity mtime never ticks
+  * (StagedMemoSpec pins exactly that scenario with mtimes frozen). The
+  * fingerprint deliberately stops short of hashing file BYTES: a rewrite
+  * that reproduces identical names, sizes, and mtimes is
+  * indistinguishable from no rewrite at file-metadata level, and
+  * [[invalidate]] remains the hook for that pathological case. Entries
+  * are immune to cache/persisted-RDD sweeps (Bench's release() never
+  * touches files); the temp root deletes itself on JVM exit.
+  *
+  * Accounting (round-18, verdict task #2): [[stage]] times each build's
+  * write and accumulates it per family — Bench emits the map as
+  * `staging_sec` so the generator cost the memo amortizes is a reported
+  * figure, not a residue hidden in somebody's discarded cold sample.
   */
 object StagedMemo {
 
-  /** (family, dir, mtime, variant) → staged parquet path */
+  /** (family, dir, fingerprint, variant) → staged parquet path */
   private val memo =
-    scala.collection.concurrent.TrieMap[(String, String, Long, String), String]()
+    scala.collection.concurrent.TrieMap[(String, String, String, String), String]()
+
+  /** family → cumulative seconds spent building+writing staged frames
+    * in this JVM (0 for a family that only ever replayed). */
+  private val stagingSec =
+    scala.collection.concurrent.TrieMap[String, Double]()
+
+  /** Cumulative per-family staging cost, for the bench artifact. */
+  def stagingSeconds: Map[String, Double] = stagingSec.toMap
+
+  /** Content fingerprint of a corpus file or directory: sorted
+    * (relative-path, size, mtime-ms) triples, hashed. Missing path
+    * fingerprints to a constant (the memo then keys on path identity
+    * alone — same behavior as the old missing-file mtime 0). */
+  private[core] def fingerprint(root: java.io.File): String = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName)
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length()}:${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    walk(root, "").foreach { line =>
+      md.update(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update('\n'.toByte)
+    }
+    md.digest().take(12).map(b => f"$b%02x").mkString
+  }
 
   private lazy val root: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_staged_memo")
@@ -43,15 +83,22 @@ object StagedMemo {
 
   /** First caller per key computes `build` and stages it; everyone else
     * (and every repeat run) scans the staged parquet. `mtimeFile` is the
-    * corpus file (relative to `dir`) whose mtime keys staleness.
+    * corpus file (relative to `dir`) whose content fingerprint keys
+    * staleness.
     */
   def stage(s: SparkSession, family: String, dir: String, mtimeFile: String,
       variant: String = "")(build: => DataFrame): DataFrame = {
-    val mtime = new java.io.File(dir, mtimeFile).lastModified()
-    val path = memo.getOrElseUpdate((family, dir, mtime, variant), {
+    val fp = fingerprint(new java.io.File(dir, mtimeFile))
+    val path = memo.getOrElseUpdate((family, dir, fp, variant), {
       val p = java.nio.file.Files.createTempDirectory(root, family)
         .resolve("data").toString
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p)
+      val sec = (System.nanoTime() - t0) / 1e9
+      stagingSec.updateWith(family) {
+        case Some(prev) => Some(prev + sec)
+        case None => Some(sec)
+      }
       p
     })
     s.read.parquet(path)

@@ -67,6 +67,36 @@ class BenchHistorySpec extends AnyFunSuite {
     assert(Bench.robustFloor(Seq.empty) == -1.0)
   }
 
+  test("alltime floor is sticky: entry eviction and degraded streaks cannot reset it") {
+    val p = tmpPath()
+    assert(Bench.readAlltime(p).isEmpty)
+    Bench.appendHistory("sfA", 0.2, 0.8, p)
+    Bench.appendHistory("sfA", 0.5, 0.4, p)
+    // per-dimension minima, not per-entry
+    assert(Bench.readAlltime(p)("sfA") == ((0.2, 0.4)))
+    // a degraded streak long enough to evict the fast entries from the
+    // rolling window must NOT move the all-time floor (verdict task #3:
+    // the 2nd-lowest-of-window floor inherits the degradation after 10
+    // bad runs; this floor is the backstop)
+    (1 to Bench.HistoryKeep + 5).foreach(_ => Bench.appendHistory("sfA", 0.9, 0.9, p))
+    assert(Bench.readHistoryAll(p).forall(_._2 == 0.9), "fast entries evicted")
+    assert(Bench.readAlltime(p)("sfA") == ((0.2, 0.4)), "floor survives eviction")
+    // negative (unavailable) samples never become the floor
+    Bench.appendHistory("sfB", -1.0, -1.0, p)
+    assert(Bench.readAlltime(p)("sfB") == ((-1.0, -1.0)))
+    Bench.appendHistory("sfB", 0.3, 0.6, p)
+    assert(Bench.readAlltime(p)("sfB") == ((0.3, 0.6)))
+    // pre-round-18 ledger without an alltime object: floor seeds from
+    // the surviving entries on the next append
+    val legacy = tmpPath()
+    java.nio.file.Files.write(java.nio.file.Paths.get(legacy),
+      """{"entries":[{"sf":"sfA","cpu":0.15,"io":0.45}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bench.readAlltime(legacy).isEmpty)
+    Bench.appendHistory("sfA", 0.3, 0.3, legacy)
+    assert(Bench.readAlltime(legacy)("sfA") == ((0.15, 0.3)))
+  }
+
   test("corrupt ledger reads as empty, never throws") {
     val p = tmpPath()
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
