@@ -25,6 +25,13 @@ object ShuffleAudit {
   final class MetricsAcc extends SparkListener {
     val shuffleWrite = new AtomicLong
     val shuffleRead = new AtomicLong
+    /** records through the shuffle write — bytes are COMPRESSED, so a
+      * rung whose replicas carry higher-entropy keys (key-shifted
+      * replication: partkeys ~9×10⁷ vs ~2×10⁴) inflates bytes-per-row
+      * without any extra rows; the record count is the
+      * compression-invariant fan evidence (round-18, verdict task #7 —
+      * this metric resolved q107's 13.3× bytes as 10.0× records). */
+    val shuffleRecords = new AtomicLong
     val input = new AtomicLong
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
@@ -37,7 +44,7 @@ object ShuffleAudit {
     private val counted =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     def reset(): Unit = {
-      Seq(shuffleWrite, shuffleRead, input, memSpill,
+      Seq(shuffleWrite, shuffleRead, shuffleRecords, input, memSpill,
         diskSpill, taskTimeMs, skippedAttempts).foreach(_.set(0L))
       counted.clear()
     }
@@ -50,6 +57,7 @@ object ShuffleAudit {
       if (m != null) {
         if (info.failureReason.isEmpty && counted.add(info.stageId)) {
           shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           input.addAndGet(m.inputMetrics.bytesRead)
           memSpill.addAndGet(m.memoryBytesSpilled)
@@ -77,6 +85,15 @@ object ShuffleAudit {
     // evidence either).
     val sf1xFull = args.contains("--sf1x-full")
     val sf1x = args.contains("--sf1x-content") || sf1xFull
+    // --no-broadcast: disable broadcast joins on BOTH legs. A small-SF
+    // leg whose frames sit under the broadcast threshold ships them as
+    // broadcasts (zero shuffle records) while the 10× leg crosses the
+    // threshold into sort-merge — the BASELINE then undercounts and the
+    // growth factor reads super-linear with a perfectly linear plan
+    // (round-18, verdict task #7: q107 read 13.2× records on a graph
+    // with measured-identical degree distribution; with broadcasts off
+    // both legs shuffle the same stages and the factor is the plan's).
+    val noBroadcast = args.contains("--no-broadcast")
     val dirs = args.find(_.startsWith("--dirs="))
       .map(_.stripPrefix("--dirs=").split(',').toSeq)
       .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
@@ -102,6 +119,10 @@ object ShuffleAudit {
       }
       Seq("/root/testdata/sf0.1", tmp)
     }
+    if (noBroadcast) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
     val acc = new MetricsAcc
     spark.sparkContext.addSparkListener(acc)
     def release(): Unit = {
@@ -118,6 +139,7 @@ object ShuffleAudit {
         .waitUntilListenerBusEmpty(spark.sparkContext)
       val r = Map(
         "shufW" -> acc.shuffleWrite.get, "shufR" -> acc.shuffleRead.get,
+        "shufRec" -> acc.shuffleRecords.get,
         "input" -> acc.input.get, "memSpill" -> acc.memSpill.get,
         "diskSpill" -> acc.diskSpill.get, "taskMs" -> acc.taskTimeMs.get)
       val retryNote =
@@ -125,7 +147,7 @@ object ShuffleAudit {
           s" [${acc.skippedAttempts.get} retried/failed stage attempts excluded]"
         else ""
       println(f"$q%-30s $d  shufW=${mb(r("shufW"))}MB shufR=${mb(r("shufR"))}MB " +
-        f"input=${mb(r("input"))}MB spillMem=${mb(r("memSpill"))}MB " +
+        f"shufRec=${r("shufRec")} input=${mb(r("input"))}MB spillMem=${mb(r("memSpill"))}MB " +
         f"spillDisk=${mb(r("diskSpill"))}MB taskTime=${r("taskMs")}ms$retryNote")
       d -> r
     })
@@ -135,8 +157,8 @@ object ShuffleAudit {
           def g(k: String) =
             if (a(k) == 0L) "na" else f"${b(k).toDouble / a(k)}%.2f"
           println(s"growth $q $d1 -> $d2: " +
-            s"shufW=${g("shufW")} shufR=${g("shufR")} input=${g("input")} " +
-            s"taskTime=${g("taskMs")}")
+            s"shufW=${g("shufW")} shufR=${g("shufR")} shufRec=${g("shufRec")} " +
+            s"input=${g("input")} taskTime=${g("taskMs")}")
         case _ =>
       }
     }
