@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * degree-aggregate shuffle plus two anti-joins on node keys — no
   * priority queue, no sequential dependence inside a round, and the
   * result is independent of any tie-breaking, so an unrolled ANSI-SQL
-  * mirror replays it bit-exactly. Rounds are FIXED (no data-dependent
-  * driver control flow — nothing is collected); the emitted `converged`
-  * flag certifies that the last round peeled nothing, i.e. the fixpoint
-  * was reached within the round budget. Nodes that lose their LAST edge
-  * are peeled through the surviving-node frame (a degree aggregate
-  * derived from edges alone would silently never see them).
+  * mirror replays it bit-exactly. The round budget is FIXED; the loop
+  * exits early at the first round that peels nothing (the fixpoint —
+  * every later round is provably a no-op, so the output is identical to
+  * running the full budget; the probe is a bounded limit-1 `isEmpty`,
+  * the [[Bfs]] discipline, never a data collect). The emitted
+  * `converged` flag certifies that the last round peeled nothing, i.e.
+  * the fixpoint was reached within the round budget. Nodes that lose
+  * their LAST edge are peeled through the surviving-node frame (a degree
+  * aggregate derived from edges alone would silently never see them).
   *
   * Every round's surviving node and edge frames are EAGERLY
   * `localCheckpoint`ed: each is consumed twice (the next round's degree
@@ -39,6 +42,19 @@ object KCore {
     * converged) — peel_round 0 for core members, core_deg the node's
     * degree within the final core (0 for peeled nodes), `converged`
     * TRUE iff the final round peeled nothing.
+    *
+    * Round economics (round-18 optimization, measured at sf0.1): each
+    * round's peel frame feeds THREE consumers (the node anti-join, the
+    * two edge anti-joins, and the final peeled union), so it is eagerly
+    * `localCheckpoint`ed — one degree pass per round instead of one per
+    * consumer. An empty peel is the fixpoint: degrees can never change
+    * again, every later round provably peels nothing, so the loop exits
+    * early with the identical output (`converged` still certifies the
+    * budget — an empty peel at round r < rounds IS "the last round
+    * peeled nothing"). The exit test is a limit-1 `isEmpty` against the
+    * just-materialized blocks, the [[Bfs]] discipline. At sf0.1 the q107
+    * graph reaches its fixpoint in round 3 of a 12-round budget: rounds
+    * 4-12 were 18 no-op checkpoint jobs this removes.
     */
   def decompose(edges: DataFrame, aCol: String, bCol: String, k: Int,
       rounds: Int): DataFrame = {
@@ -59,21 +75,33 @@ object KCore {
     var curNodes = deg0.select(col("node"))
     var peeled: DataFrame = null
     var lastPeelCount: DataFrame = null
-    for (r <- 1 to rounds) {
+    var r = 1
+    var fixpoint = false
+    while (r <= rounds && !fixpoint) {
       // degree WITHIN the surviving subgraph, 0 for survivors that lost
       // every edge (they must still be peelable — hence the node frame)
       val deg = curNodes.join(degrees(curEdges), Seq("node"), "left")
         .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       val peel = deg.filter(col("deg") < k).select(col("node"))
         .withColumn("peel_round", lit(r))
+        .localCheckpoint() // 3 consumers + the early-exit probe
       peeled = if (peeled == null) peel else peeled.unionAll(peel)
-      curNodes = curNodes.join(peel, Seq("node"), "left_anti").localCheckpoint()
-      curEdges = curEdges
-        .join(peel.select(col("node").as("u")), Seq("u"), "left_anti")
-        .join(peel.select(col("node").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      if (r == rounds) lastPeelCount = peel.agg(count(lit(1)).as("__last_peeled"))
+      fixpoint = peel.isEmpty
+      if (fixpoint) {
+        // nothing peeled: node/edge frames are already final, and the
+        // "last round" (this one, and every hypothetical one after it)
+        // peeled zero — the converged certificate holds by construction
+        lastPeelCount = peel.agg(count(lit(1)).as("__last_peeled"))
+      } else {
+        curNodes = curNodes.join(peel, Seq("node"), "left_anti").localCheckpoint()
+        curEdges = curEdges
+          .join(peel.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(peel.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        if (r == rounds) lastPeelCount = peel.agg(count(lit(1)).as("__last_peeled"))
+      }
+      r += 1
     }
 
     val coreDeg = degrees(curEdges)

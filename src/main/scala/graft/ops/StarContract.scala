@@ -53,25 +53,32 @@ object StarContract {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
+    // Per-half-round shape (round-18 optimization): the neighborhood
+    // minimum rides a node-partitioned window over the symmetric edge
+    // frame instead of a groupBy + join-back — the min is attached to
+    // every (u, v) row in the SAME exchange that grouped it, removing
+    // the aggregate exchange and both join exchanges per half-round
+    // (measured at sf0.1: 14 exchanges → 8 per round pair). The window
+    // is always partitioned by `u` (never partition-less), and the
+    // small-star's per-u self edge (u, m) collapses through the closing
+    // `canon().distinct()` exactly as the old per-group row did.
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     var e = canon(edges.select(col("src").cast("long").as("u"),
       col("dst").cast("long").as("v"))).localCheckpoint(true)
     var prev: DataFrame = null
     for (_ <- 1 to rounds) {
       prev = e
       // large-star over the full (symmetric) neighborhood
-      val s = sym(e)
-      val mLarge = s.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val s = sym(e).withColumn("m", least(col("u"), min(col("v")).over(wU)))
       val large = canon(
-        s.join(mLarge, "u").filter(col("v") > col("u"))
+        s.filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")))
       // small-star over the strictly-smaller neighborhood (+ self)
       val down = sym(large).filter(col("v") < col("u"))
-      val mSmall = down.groupBy("u").agg(min(col("v")).as("m"))
+        .withColumn("m", min(col("v")).over(wU))
       val small = canon(
-        down.join(mSmall, "u")
-          .select(col("v").as("u"), col("m").as("v"))
-          .union(mSmall.select(col("u"), col("m").as("v"))))
+        down.select(col("v").as("u"), col("m").as("v"))
+          .union(down.select(col("u"), col("m").as("v"))))
       e = small.localCheckpoint(true)
     }
     // after contraction E is a star forest: every edge is (member, root)

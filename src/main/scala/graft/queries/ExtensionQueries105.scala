@@ -37,12 +37,22 @@ object ExtensionQueries105 extends QueryGroup {
     val nBaskets = lp.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemN = lp.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val pairs = lp.as("a").join(lp.as("b"),
+    // round-18: canonical (a < b) half + flip — co-occurrence counts
+    // are symmetric (and the support filter commutes with the flip), so
+    // the directed rule frame is identical while the wedge stream and
+    // pair aggregate halve. Eager checkpoint before the flip:
+    // ReuseExchange cannot dedupe the flipped branch (the projection
+    // swap folds into the aggregate), so the un-pinned form ran the
+    // wedge join twice.
+    val halfP = lp.as("a").join(lp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
+          col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("ante"), col("b.l_partkey").as("cons"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 3)
+      .localCheckpoint(true)
+    val pairs = halfP.union(halfP.select(col("cons").as("ante"),
+      col("ante").as("cons"), col("co")))
     val scored = pairs
       .join(broadcast(itemN.select(col("l_partkey").as("ante"), col("n_item").as("n_a"))), "ante")
       .join(broadcast(itemN.select(col("l_partkey").as("cons"), col("n_item").as("n_b"))), "cons")

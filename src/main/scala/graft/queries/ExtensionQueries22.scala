@@ -165,11 +165,20 @@ object ExtensionQueries22 extends QueryGroup {
   def q164_weighted_pagerank(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val weighted = lp.as("a").join(lp.as("b"),
+    // round-18: canonical (a < b) half + flip — co-occurrence counts are
+    // symmetric by construction, so the directed (src, dst, w) frame is
+    // identical while the wedge stream and the pair aggregate halve.
+    // Eager checkpoint before the flip: the projection swap folds into
+    // the aggregate, so ReuseExchange cannot dedupe the branches and the
+    // un-pinned form ran the wedge join twice (measured, q74's twin).
+    val halfW = lp.as("a").join(lp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
+          col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val weighted = halfW.union(
+      halfW.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
     PageRank.runWeighted(weighted, nodes, WprIters, WprInitMass, WprTeleportMass)
       .select(col("id").as("part_key"), col("wtot"), col("mass").as("wpr_mass"))

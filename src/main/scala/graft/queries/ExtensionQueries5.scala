@@ -46,11 +46,20 @@ object ExtensionQueries5 extends QueryGroup {
   def q74_pagerank(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = lp.as("a").join(lp.as("b"),
+    // round-18: canonical (a < b) half + flip after the distinct — the
+    // wedge stream and distinct input halve and the directed edge SET is
+    // identical. The half is eagerly checkpointed before the flip:
+    // ReuseExchange does NOT cover the flipped branch (the projection
+    // swap folds into the aggregate, so the two subtrees canonicalize
+    // differently — measured as the wedge join running twice), and the
+    // checkpoint pins one materialization both branches scan.
+    val half = lp.as("a").join(lp.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
+          col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+      .localCheckpoint(true)
+    val pairs = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
     graft.ops.PageRank.run(pairs, nodes, PrIters, PrInitMass, PrTeleportMass)
       .select(col("id").as("part_key"), col("outdeg"), col("mass").as("pr_mass"))

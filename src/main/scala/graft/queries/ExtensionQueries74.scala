@@ -150,11 +150,21 @@ object ExtensionQueries74 extends QueryGroup {
     import org.apache.spark.sql.functions.col
     val lp = s.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey").distinct()
-    val edges = lp.as("a")
+    // round-18: build the canonical (a < b) half first and symmetrize
+    // after the distinct — the wedge stream and the distinct's input
+    // halve; the edge SET is identical to the previous a ≠ b spelling.
+    // The half is eagerly checkpointed before the flip (ReuseExchange
+    // cannot dedupe the flipped branch — the projection swap folds into
+    // the aggregate, measured as the wedge join running twice), and the
+    // union is then pinned as before for the recursion levels.
+    val half = lp.as("a")
       .join(lp.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
+        col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+      .localCheckpoint()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // pin the loop-invariant edge list; levels replay this, not the join
     edges.createOrReplaceTempView("q316_edges")
     s.sql(

@@ -78,16 +78,25 @@ object ExtensionQueries94 extends QueryGroup {
     * daily rollup is map-combined; the pair frame is calendar-bounded
     * (days², not rows²) with the small side broadcast; the median
     * rides [[PrefixScan]] prefix sums over the grouped slope values.
+    *
+    * The daily rollup feeds three consumers (both pair-join sides and
+    * the n_days scalar) and the slope stream two (the grouped counts and
+    * the n_pairs scalar) — both ride [[CacheScope.scopedN]] so the
+    * orders scan and the C(n_days,2) pair fan-out each run ONCE per
+    * consuming action instead of once per consumer (round-18: the
+    * un-scoped plan re-derived the orders aggregate 3× and the pair join
+    * 2×). N=2 because each frame flows through two completed actions:
+    * [[PrefixScan]]'s internal boundary checkpoint and the final sink.
     */
   def q374_theil_sen(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(s, dir)
+    val daily = graft.core.CacheScope.scopedN(Tables.orders(s, dir)
       .groupBy(datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long").as("day"))
-      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c"))
-    val slopes = daily.as("a")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_c")), 2)
+    val slopes = graft.core.CacheScope.scopedN(daily.as("a")
       .join(broadcast(daily.as("b")), col("a.day") < col("b.day"))
       .select(expr("(b.rev_c - a.rev_c) * 1000000 div (b.day - a.day)")
-        .as("slope_micro"))
+        .as("slope_micro")), 2)
     val counts = slopes.groupBy(col("slope_micro")).agg(count(lit(1)).as("c"))
     val cum = PrefixScan.prefixSumsInclusive(counts, 16,
       Seq(col("slope_micro")), Seq((col("c"), "cc")))
