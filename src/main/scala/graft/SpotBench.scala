@@ -16,6 +16,14 @@ object SpotBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A/B knob for the round-18 join-strategy experiment: let AQE
+      // rewrite sort-merge to shuffled-hash when every post-shuffle
+      // partition of the build side is under the threshold ("0" = off,
+      // Spark's default). Scale-adaptive by construction: the decision
+      // reads the ACTUAL runtime partition sizes, so a 100 TB build side
+      // never converts while a few-MB one skips both sorts.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same release discipline as Bench: localCheckpoint blocks from

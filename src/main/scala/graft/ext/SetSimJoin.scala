@@ -150,7 +150,7 @@ object SetSimJoin {
     */
   def jaccardJoin(elements: DataFrame, idCol: String, elemCol: String,
       tPpm: Long): DataFrame = {
-    val (tok, cand) = candidates(elements, idCol, elemCol, tPpm)
+    val (tok, candLazy) = candidates(elements, idCol, elemCol, tPpm)
     // verify against per-set element arrays — intersection CARDINALITY is
     // order-free, so the nondeterministic collect order never shows; this
     // joins the candidate set against one small array row per id instead
@@ -159,8 +159,12 @@ object SetSimJoin {
     // typically leaves a small fraction of sets in any candidate pair, so
     // the semi-join keeps the collect_list (the widest rows in the whole
     // operator) proportional to candidate mass instead of corpus mass.
-    val touched = cand.select(col("id_a").as("__id"))
-      .union(cand.select(col("id_b").as("__id"))).distinct()
+    // touched reads cand ONCE via explode (round-18, the overlapVerify
+    // rationale): the two-branch union made three candidate-pipeline
+    // consumers; this form has two.
+    val cand = candLazy
+    val touched = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
     val sets = tok.join(touched, Seq("__id"), "left_semi")
       .groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
     val inter = cand
@@ -243,9 +247,18 @@ object SetSimJoin {
     * candidate-touched sets (the [[jaccardJoin]] semi-join discipline —
     * collect_list rows proportional to candidate mass, not corpus mass).
     */
-  private def overlapVerify(tok: DataFrame, cand: DataFrame, o: Long): DataFrame = {
-    val touched = cand.select(col("id_a").as("__id"))
-      .union(cand.select(col("id_b").as("__id"))).distinct()
+  private def overlapVerify(tok: DataFrame, candLazy: DataFrame, o: Long): DataFrame = {
+    // touched reads cand ONCE via explode (round-18): the two-branch
+    // union spelling referenced cand twice, and with the verification
+    // join that made THREE consumers re-reading the prefix-collision
+    // stream through the positional/dedup aggregate (ReuseExchange only
+    // dedupes the exchange underneath it) — measured on q116/q125 as
+    // +33% shuffle read. Explicit pins measured worse: an eager
+    // localCheckpoint serialized the pipeline (+5 s wall), a scoped
+    // cache raced concurrent consumer stages into duplicate builds.
+    val cand = candLazy
+    val touched = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
     val sets = tok.join(touched, Seq("__id"), "left_semi")
       .groupBy(col("__id")).agg(collect_list(col("tok")).as("__elems"))
     cand

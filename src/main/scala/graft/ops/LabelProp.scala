@@ -45,9 +45,16 @@ object LabelProp {
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // loop-invariant adjacency, hash-partitioned ON THE JOIN KEY (the
+    // PageRank edge discipline, round-18): every round joins on `nb`, so
+    // materializing nb-partitioned blocks once means the per-round join
+    // shuffles only the |V|-row label frame — the un-partitioned form
+    // re-shuffled the full |2E|-row adjacency every one of the `rounds`
+    // iterations
     val adj = canon.select(col("u").as("node"), col("v").as("nb"))
       .unionAll(canon.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint() // loop-invariant; every round consumes it
+      .repartition(col("nb"))
+      .localCheckpoint()
 
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -56,7 +63,10 @@ object LabelProp {
     for (_ <- 1 to rounds) {
       prev = labels
       labels = adj
-        .join(labels.select(col("node").as("nb"), col("label")), "nb")
+        // shuffle_hash: build the |V|-row label side, stream the
+        // adjacency — a sort-merge plan would re-sort the checkpointed
+        // adjacency blocks every round (PageRank.step's hint, same reason)
+        .join(labels.select(col("node").as("nb"), col("label")).hint("shuffle_hash"), "nb")
         .select(col("node"), col("label"))
         .unionAll(labels) // the self-vote (oscillation damper)
         .groupBy(col("node"), col("label"))

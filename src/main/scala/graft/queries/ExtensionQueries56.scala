@@ -149,14 +149,25 @@ object ExtensionQueries56 extends QueryGroup {
         col("cents"))
       .groupBy(col("l_partkey"), col("first_half"))
       .agg(sum(col("cents")).as("cents"))
-    def rank(half: Boolean, out: String): DataFrame =
-      DenseIds.withDenseId(
-        rev.filter(col("first_half") === half)
-          .select(col("l_partkey"), col("cents")),
-        out, 16, col("cents").desc, col("l_partkey"))
-        .select(col("l_partkey"), (col(out) + 1).as(out))
-    rank(half = true, "rank_a").join(rank(half = false, "rank_b"),
-        "l_partkey")
+    // ONE two-phase rank pass for both halves (round-18): the global
+    // order (first_half desc, cents desc, part) sorts every first-half
+    // row before every second-half row with the per-half tie order
+    // intact, so rank-within-half = global id (+1), minus the first
+    // half's row count for the second half — exactly the two separate
+    // DenseIds passes' output, at half the rank machinery and without
+    // re-deriving the orders⋈lineitem rollup once per half (DenseIds'
+    // internal actions cannot share work across invocations).
+    val ranked = DenseIds.withDenseId(
+      rev.select(col("l_partkey"), col("first_half"), col("cents")),
+      "g", 16, col("first_half").desc, col("cents").desc, col("l_partkey"))
+    val nFirst = ranked.filter(col("first_half"))
+      .agg(count(lit(1)).as("n_first"))
+    val ra = ranked.filter(col("first_half"))
+      .select(col("l_partkey"), (col("g") + 1).as("rank_a"))
+    val rb = ranked.filter(!col("first_half"))
+      .crossJoin(broadcast(nFirst)) // 1-row offset fan-out
+      .select(col("l_partkey"), (col("g") + 1 - col("n_first")).as("rank_b"))
+    ra.join(rb, "l_partkey")
       .select(col("l_partkey"), col("rank_a"), col("rank_b"),
         (col("rank_a") - col("rank_b")).as("rank_change"),
         abs(col("rank_a") - col("rank_b")).as("abs_change"))
