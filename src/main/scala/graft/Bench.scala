@@ -55,8 +55,11 @@ object Bench {
   val Iters = 3
   val TopIters = 5
   /** Pipeline phases sample count — same n + discarded-warmup pattern as
-    * the top-10 queries (round-10 verdict task #1). */
-  val PipeIters = 5
+    * the top-10 queries (round-10 verdict task #1). 5→3 in round 19
+    * (verdict task #1: the instrument outgrew the driver budget; 3 samples
+    * still give a median with spread, and the pipeline number has been
+    * stable since r14). */
+  val PipeIters = 3
 
   /** Rolling canary ledger (round-16 verdict tasks #1/#4): one committed
     * JSON file of per-run canary medians — cpu = the constant-CSV parse
@@ -210,6 +213,12 @@ object Bench {
     val wallT0 = System.nanoTime() // whole-sweep wall clock (verdict task #2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Phase wall accounting (round-19 verdict task #1): the instrument lost
+    // the r18 32-core artifact to a wall timeout, so every phase now stamps
+    // its cumulative wall to stderr — the budget breakdown is measured, not
+    // inferred, and the next regression in bench wall is attributable.
+    def wallMark(label: String): Unit =
+      System.err.println(f"[bench-wall] $label t=${(System.nanoTime() - wallT0) / 1e9}%.1f s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -250,19 +259,45 @@ object Bench {
 
     def medianOf(f: => Unit): Double = statsOf(f)._2
 
-    def runToNoop(name: String, iters: Int = Iters,
-        warmup: Boolean = false): (Double, Double, Double) =
+    def statsFrom(xs: Seq[Double]): (Double, Double, Double) = {
+      val s = xs.sorted
+      (s.head, s(s.size / 2), s.last)
+    }
+
+    /** Raw released+timed samples of one query; empty on any failure.
+      * `gc` gates the per-query System.gc() (round-19 verdict task #1:
+      * full-GC hygiene across 501 queries was ~0.3 s × fleet of pure
+      * wall; for the stable sub-half-second tail the pause exceeds any
+      * garbage-induced noise it prevents, so the first pass skips it
+      * when the comparable previous median sits under the mover
+      * threshold's 0.5 s floor — re-measure tiers always collect). */
+    def runSamples(name: String, iters: Int, warmup: Boolean = false,
+        gc: Boolean = true): Seq[Double] =
       try {
-        System.gc() // benchmark hygiene: don't charge query N with query N-1's garbage
+        if (gc) System.gc() // don't charge query N with query N-1's garbage
         def once(): Unit =
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-        // top-10 re-measure: a DISCARDED warmup first — by re-measure time
+        // re-measure tiers: a DISCARDED warmup first — by re-measure time
         // ~280 other queries have evicted this query's footer/JIT state, and
         // that one cold run otherwise lands in the max and reads as spread
-        if (warmup) { release(); once() }
-        statsOfN(iters)(once())
-      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+        if (warmup) {
+          release()
+          val wT = timed(once())
+          val ss = (1 to iters).map { _ => release(); timed(once()) }
+          // warm-vs-cold evidence for the stratification design (round-19):
+          // how much the discarded warmup actually buys, per query
+          if (iters == 1)
+            System.err.println(f"[bench-wq] $name cold=$wT%.3f warm=${ss.head}%.3f")
+          ss
+        } else (1 to iters).map { _ => release(); timed(once()) }
+      } catch { case _: Throwable => Seq.empty }
+
+    def runToNoop(name: String, iters: Int = Iters,
+        warmup: Boolean = false): (Double, Double, Double) = {
+      val ss = runSamples(name, iters, warmup)
+      if (ss.isEmpty) (-1.0, -1.0, -1.0) else statsFrom(ss)
+    }
 
     // Warmup: exercise codegen, shuffle machinery, and every table's footer.
     try {
@@ -272,31 +307,50 @@ object Bench {
       }
       spark.catalog.clearCache()
     } catch { case _: Throwable => }
+    wallMark("warmup")
 
     // Previous round's full artifact, read BEFORE this run overwrites it —
     // the reference point for delta-triggered re-measure, plus the prior
     // canary median (the session-level contention yardstick; sf-invariant
     // by construction, so it reads regardless of the sf gate below).
-    val (prevMedians, prevCanary): (Map[String, Double], Double) = try {
+    // Round-19 (verdict task #1): medians are delta-COMPARABLE only when
+    // the prior artifact ran the same sf AND the same core count — the
+    // committed r18 artifact is the driver's local[8] run, and reading its
+    // medians from a local[32] sweep flags half the fleet as movers, which
+    // costs n=3 re-measures plus a ~20-query fresh-JVM fork of pure wall.
+    // The NAME set stays readable regardless (a query present in any prior
+    // artifact is not "new this round"), so an incomparable artifact can
+    // never push all 501 queries into the n=3 newcomer tier either.
+    val (prevMedians, prevNames, prevCanary): (Map[String, Double], Set[String], Double) = try {
       val p = java.nio.file.Paths.get("bench_out.json")
       if (java.nio.file.Files.exists(p)) {
         import org.json4s._
         val parsed = jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8))
-        // only comparable when the prior artifact ran the SAME sf dir —
-        // a cross-sf "delta" would flag the whole fleet as movers
         val sameSf = parsed \ "sf" match {
           case JString(s) => s == sfDir
           case _ => false
         }
-        val medians = if (!sameSf) Map.empty[String, Double]
-        else parsed \ "queries" match {
+        // artifacts written before round 19 carry no "cpus" field; they
+        // predate the gate and are treated as incomparable (the one in the
+        // tree at the time of this change is a known local[8] run)
+        val sameCpus = parsed \ "cpus" match {
+          case JString(s) => s == cpus
+          case _ => false
+        }
+        val allMedians = parsed \ "queries" match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
           }.toMap
           case _ => Map.empty[String, Double]
+        }
+        val medians = if (sameSf && sameCpus) allMedians
+        else {
+          if (allMedians.nonEmpty)
+            System.err.println(s"[bench] prev artifact incomparable (sameSf=$sameSf sameCpus=$sameCpus) — name set kept, medians ignored")
+          Map.empty[String, Double]
         }
         val canary = parsed \ "pipeline_phases" \ "canary" match {
           case JArray(xs) if xs.size == 3 => xs(1) match {
@@ -306,9 +360,9 @@ object Bench {
           }
           case _ => -1.0
         }
-        (medians, canary)
-      } else (Map.empty, -1.0)
-    } catch { case _: Throwable => (Map.empty, -1.0) }
+        (medians, allMedians.keySet, canary)
+      } else (Map.empty, Set.empty, -1.0)
+    } catch { case _: Throwable => (Map.empty, Set.empty, -1.0) }
 
     /** One released+timed execution — the per-phase building block the
       * pipeline rounds use (round-11 verdict task #2: attribution must be
@@ -379,6 +433,7 @@ object Bench {
     val degradedHost = preF > PreflightThreshold
     if (degradedHost)
       System.err.println(f"[bench] preflight EXHAUSTED at factor $preF%.2f — artifact stamped degraded_host")
+    wallMark("preflight")
 
     // index of the latest series sample taken BEFORE each query's
     // accepted measurement (re-measures overwrite: the accepted stats
@@ -401,6 +456,7 @@ object Bench {
         Seq.empty
       }
     release()
+    wallMark("pipeline")
     // Stratified measurement (round-16 verdict task #6): ~500 queries ×
     // n=3 was 38 min of bench wall and rising linearly with the registry —
     // that cost is why contended mid-round artifacts ended up committed.
@@ -437,15 +493,19 @@ object Bench {
     val firstPass = sweepNames.zipWithIndex.map {
       case (name, i) =>
         if (i > 0 && i % 50 == 0) sampleCanaries(s"fp:$i")
-        val r = runToNoop(name, iters = 1, warmup = true)
+        // gc gating (see runSamples): only when the comparable previous
+        // median clears the 0.5 s mover floor, or no comparison exists
+        val gc = prevMedians.get(name).forall(_ >= 0.5)
+        val ss = runSamples(name, iters = 1, warmup = true, gc = gc)
         markSeries(name)
-        name -> r
+        name -> (if (ss.isEmpty) (-1.0, -1.0, -1.0) else statsFrom(ss))
     }
     sampleCanaries("fp:end")
+    wallMark("first_pass")
     val top50 = firstPass.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(50).map(_._1).toSet
     val newcomers = firstPass.collect {
-      case (k, v) if v._2 >= 0 && !prevMedians.contains(k) => k }.toSet
+      case (k, v) if v._2 >= 0 && !prevNames.contains(k) => k }.toSet
     def isMove(cur: Double, prev: Double): Boolean =
       prev > 0 && math.max(prev, cur) >= 0.5 &&
         (cur / prev > 1.5 || prev / cur > 1.5)
@@ -456,32 +516,54 @@ object Bench {
     // re-measure overstated coverage when a re-measure crashed and fell
     // back to its n=1 first-pass sample)
     val fullMeasured = scala.collection.mutable.Set[String]()
+    // raw samples pooled per query across tiers (round-19 verdict task
+    // #1): the first-pass warm sample IS a released warm sample of the
+    // same query in the same session, so the n=Iters tier takes Iters−1
+    // fresh runs and pools it, and the n=TopIters tier takes 2 fresh
+    // runs (plus its own discarded warmup) on top of the n=3 tier's
+    // pool — medians are still over n≥3 / n≥5 warm samples, and ~50+10
+    // executions of the slowest queries leave the sweep. Spread now
+    // spans tier boundaries, which is strictly more session-phase
+    // evidence, not less.
+    val pooled = scala.collection.mutable.Map[String, Seq[Double]]()
     var reCount = 0
     val results1 = firstPass.map { case (k, v) =>
       if (moverCandidates(k) || top50(k) || newcomers(k)) {
         if (reCount > 0 && reCount % 25 == 0) sampleCanaries(s"re:$reCount")
         reCount += 1
-        val r = runToNoop(k, Iters)
+        val fresh = runSamples(k, Iters - 1)
         markSeries(k)
-        if (r._2 >= 0) fullMeasured += k
         // a crashed re-measure must not erase a valid first-pass result
-        k -> (if (r._2 >= 0) r else v)
+        if (fresh.isEmpty) k -> v
+        else {
+          val pool = fresh :+ v._2
+          pooled(k) = pool
+          fullMeasured += k
+          k -> statsFrom(pool)
+        }
       } else k -> v
     }
     sampleCanaries("re:end")
-    // tail stabilization: the 10 slowest re-measure at n=TopIters; their
-    // replacement stats supersede the first pass in every artifact field
+    wallMark("re_measure")
+    // tail stabilization: the 10 slowest re-measure to an n=TopIters
+    // pool; the pooled stats supersede the first pass in every artifact
+    // field
     val topNames = results1.filter(_._2._2 >= 0).sortBy(-_._2._2)
       .take(10).map(_._1).toSet
     val results2 = results1.map { case (k, v) =>
       if (topNames(k)) {
-        val r = runToNoop(k, TopIters, warmup = true)
+        val prior = pooled.getOrElse(k, Seq.empty)
+        val fresh = runSamples(k, TopIters - prior.size, warmup = true)
         markSeries(k)
-        if (r._2 >= 0) fullMeasured += k
-        k -> (if (r._2 >= 0) r else v)
+        if (fresh.isEmpty) k -> v
+        else {
+          fullMeasured += k
+          k -> statsFrom(fresh ++ prior)
+        }
       } else k -> v
     }
     sampleCanaries("top:end")
+    wallMark("top10")
     val resMap2 = results2.toMap
     // mover survivors: still >1.5× after the in-run n≥3 re-measure
     val moverNames = moverCandidates.filter { k =>
@@ -521,6 +603,7 @@ object Bench {
     val bandSet = bandSample.toSet
     val freshJvm: Map[String, (Double, Double, Double)] =
       confirmMoversFreshJvm(confirmList ++ bandSample, sfDir, cpus)
+    wallMark("fresh_jvm_fork")
     val moverStatus: Map[String, String] = moverNames.iterator.map { k =>
       freshJvm.get(k).filter(_._2 >= 0) match {
         case Some(f) =>
@@ -537,6 +620,7 @@ object Bench {
     val resMap = results.toMap
     val skew = try skewBench(spark, sfDir, medianOf)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    wallMark("skew")
     def fmt(t: (Double, Double, Double)) = s"[${t._1},${t._2},${t._3}]"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
@@ -695,7 +779,8 @@ object Bench {
       s""""canary":${fmt(pstats(_.canary))},""" +
       s""""io_canary":${fmt(pstats(_.ioc))},""" +
       s""""full":${fmt(pFull)}},"pipeline_samples":$samplesJson,""" +
-      f""""wall_sec":${(System.nanoTime() - wallT0) / 1e9}%.1f,"sf":"$sfDir"}"""
+      f""""wall_sec":${(System.nanoTime() - wallT0) / 1e9}%.1f,""" +
+      s""""cpus":"$cpus","sf":"$sfDir"}"""
     // n semantics post-stratification: "n" is the full-measure tier
     // (top-50 + newcomers), "n_tail" the single-sample tier, "n_top10"
     // the top-10/mover tier; "n_full_measured" counts ONLY queries whose
@@ -759,10 +844,20 @@ object Bench {
     * the movers each run. */
   val BandSampleN = 8
 
-  /** Pre-flight host gate (round-17 verdict task #3). */
+  /** Pre-flight host gate (round-17 verdict task #3). Backoff 30 s → 20 s
+    * in round 19 (verdict task #1: cap total preflight sleep+probe at
+    * ~90 s — sleeps now sum to 60 s worst case, probes ~6 s/attempt). */
   val PreflightMax = 3
   val PreflightThreshold = 1.5
-  val PreflightBackoffMs = 30000L
+  val PreflightBackoffMs = 20000L
+
+  /** Hard wall cap on the fresh-JVM confirmation fork (round-19 verdict
+    * task #1): the per-query budget formula alone reaches 42 min at the
+    * 20-mover + 8-band worst case, which is most of the driver's whole
+    * bench budget. 15 min bounds the damage; a fork that cannot finish
+    * inside it leaves its movers "unconfirmed", which the artifact
+    * already represents honestly. */
+  val FreshJvmWallCapSec = 900L
 
   /** Re-measure `names` in ONE forked fresh JVM (same classpath, same
     * JVM flags, same sf/cpus env) via [[MoverConfirm]]; returns each
@@ -810,7 +905,7 @@ object Bench {
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(errFile.toFile)
       val proc = pb.start()
-      val done = proc.waitFor(120L + 90L * names.size,
+      val done = proc.waitFor(math.min(120L + 90L * names.size, FreshJvmWallCapSec),
         java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         proc.destroyForcibly()

@@ -263,7 +263,7 @@ object Pipeline {
     * streaming visibility loop does exactly that with its drop state).
     */
   private def stagedRaw(spark: SparkSession, path: String): DataFrame =
-    Sources.loadTable(spark, path).localCheckpoint(true)
+    Sources.loadTable(spark, path).transform(graft.core.Ckpt.eager)
 
   /** [[merged]] over already-loaded source frames — the reuse point for the
     * streaming visibility loop, which substitutes its accumulated GSC drop

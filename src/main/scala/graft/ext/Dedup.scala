@@ -84,12 +84,24 @@ object Dedup {
     * the pair count exactly as in [[lshCandidates]].
     */
   def incrementalMinhash(corpusSigs: DataFrame, deltaSigs: DataFrame,
-      idCol: String, bands: Int, minEstJ: Double): DataFrame = {
-    val all = corpusSigs
+      idCol: String, bands: Int, minEstJ: Double): DataFrame =
+    incrementalMinhashTagged(corpusSigs
       .select(col(idCol).cast("long").as("id"), col("sig"), lit(0).as("src"))
       .unionByName(deltaSigs
-        .select(col(idCol).cast("long").as("id"), col("sig"), lit(1).as("src")))
-      .transform(graft.core.CacheScope.scoped)
+        .select(col(idCol).cast("long").as("id"), col("sig"), lit(1).as("src"))),
+      bands, minEstJ)
+
+  /** [[incrementalMinhash]] over a pre-tagged signature frame
+    * (id LONG, sig, src 0=corpus/1=delta). Callers that derive BOTH
+    * sides from one text pipeline (q499's admission chain) pass the
+    * tagged union directly so the shingle-hash + n-min signature stage
+    * appears ONCE in the plan instead of once per side (round-19
+    * verdict task #5); `incrementalMinhash` above is now a shim that
+    * builds the same tagged frame, so both entry points share one body
+    * and one semantics. */
+  def incrementalMinhashTagged(taggedSigs: DataFrame, bands: Int,
+      minEstJ: Double): DataFrame = {
+    val all = taggedSigs.transform(graft.core.CacheScope.scoped)
     val banded = all.select(col("id"), col("src"),
         posexplode(graft.functions.BandKeys.bandKeys(col("sig"), bands)))
       .select(col("id"), col("src"), col("pos").as("band"), col("col").as("bk"))
@@ -105,7 +117,7 @@ object Dedup {
       .join(all.select(col("id").as("id_d"), col("sig").as("sig_d")), Seq("id_d"))
       .filter(estJaccard(col("sig_d"), col("sig_p")) >= minEstJ)
     val firstDup = verified.groupBy(col("id_d")).agg(min(col("id_p")).as("dup_of"))
-    deltaSigs.select(col(idCol).cast("long").as("id"))
+    all.filter(col("src") === 1).select(col("id"))
       .join(firstDup.withColumnRenamed("id_d", "id"), Seq("id"), "left")
       .select(col("id"), col("dup_of").isNull.as("keep"), col("dup_of"))
   }
@@ -291,7 +303,7 @@ object Dedup {
       // with its materialized blocks; intermediate rounds persist as before.
       // (DedupSpec pins bounded plan depth on a diameter-12 chain.)
       val next =
-        if (iter % 3 == 2) nextRaw.localCheckpoint(true)
+        if (iter % 3 == 2) nextRaw.transform(graft.core.Ckpt.eager)
         else nextRaw.persist()
       val cur = fingerprint(next)
       labels.unpersist()

@@ -38,9 +38,9 @@ object Bfs {
     // probe key, so every round's join reuses the same shuffle output.
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     var visited = seeds.select(col("id"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.core.Ckpt.eager)
     var frontier = visited.select(col("id"))
     var d = 0
     var exhausted = frontier.isEmpty
@@ -50,8 +50,8 @@ object Bfs {
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("dist"))
-        .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+        .transform(graft.core.Ckpt.eager)
+      visited = visited.union(next).transform(graft.core.Ckpt.eager)
       frontier = next.select(col("id"))
       // Early exit: one cheap limit-1 job against a checkpointed frame.
       exhausted = next.isEmpty

@@ -44,7 +44,7 @@ object DenseIds {
     val sorted = df.repartitionByRange(nPartitions, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val offsets = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }

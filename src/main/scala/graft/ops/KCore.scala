@@ -63,7 +63,7 @@ object KCore {
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // 2 consumers (deg0 + round 1); edge build runs once
+      .transform(graft.core.Ckpt.eager) // 2 consumers (deg0 + round 1); edge build runs once
 
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
@@ -84,7 +84,7 @@ object KCore {
         .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       val peel = deg.filter(col("deg") < k).select(col("node"))
         .withColumn("peel_round", lit(r))
-        .localCheckpoint() // 3 consumers + the early-exit probe
+        .transform(graft.core.Ckpt.eager) // 3 consumers + the early-exit probe
       peeled = if (peeled == null) peel else peeled.unionAll(peel)
       fixpoint = peel.isEmpty
       if (fixpoint) {
@@ -93,12 +93,12 @@ object KCore {
         // peeled zero — the converged certificate holds by construction
         lastPeelCount = peel.agg(count(lit(1)).as("__last_peeled"))
       } else {
-        curNodes = curNodes.join(peel, Seq("node"), "left_anti").localCheckpoint()
+        curNodes = curNodes.join(peel, Seq("node"), "left_anti").transform(graft.core.Ckpt.eager)
         curEdges = curEdges
           .join(peel.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(peel.select(col("node").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
-          .localCheckpoint()
+          .transform(graft.core.Ckpt.eager)
         if (r == rounds) lastPeelCount = peel.agg(count(lit(1)).as("__last_peeled"))
       }
       r += 1

@@ -54,11 +54,11 @@ object LabelProp {
     val adj = canon.select(col("u").as("node"), col("v").as("nb"))
       .unionAll(canon.select(col("v").as("node"), col("u").as("nb")))
       .repartition(col("nb"))
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
 
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     var prev: DataFrame = null
     for (_ <- 1 to rounds) {
       prev = labels
@@ -76,7 +76,7 @@ object LabelProp {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
         .select(col("node"), (-col("top.nl")).as("label"))
-        .localCheckpoint()
+        .transform(graft.core.Ckpt.eager)
     }
     val changed = labels.join(prev.withColumnRenamed("label", "__pl"), "node")
       .filter(col("label") =!= col("__pl"))

@@ -87,15 +87,15 @@ object PageRank {
     require(iters >= 1)
     val pairs = weighted.select(col("src"), col("dst"), col("w")).persist()
     val wt = pairs.groupBy(col("src")).agg(sum(col("w")).as("wtot"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val edges = pairs.join(wt, Seq("src"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(graft.core.Ckpt.eager)
     pairs.unpersist()
     val nodeSet = nodes.select(col("id")).repartition(col("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     var mass = nodeSet.select(col("id"), lit(initMass).as("mass"))
     for (_ <- 1 to iters)
-      mass = stepWeighted(edges, nodeSet, mass, teleportMass).localCheckpoint(true)
+      mass = stepWeighted(edges, nodeSet, mass, teleportMass).transform(graft.core.Ckpt.eager)
     mass.join(wt.hint("shuffle_hash"), col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("wtot"), lit(0L)).as("wtot"),
         col("mass"))
@@ -116,15 +116,15 @@ object PageRank {
     // from it (two consumers), then release it
     val pairs = rawEdges.select(col("src"), col("dst")).persist()
     val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val edges = pairs.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")).transform(graft.core.Ckpt.eager)
     pairs.unpersist()
     val nodeSet = nodes.select(col("id")).repartition(col("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     var mass = nodeSet.select(col("id"), lit(initMass).as("mass"))
     for (_ <- 1 to iters)
-      mass = step(edges, nodeSet, mass, teleportMass).localCheckpoint(true)
+      mass = step(edges, nodeSet, mass, teleportMass).transform(graft.core.Ckpt.eager)
     mass.join(deg.hint("shuffle_hash"), col("id") === col("src"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         col("mass"))

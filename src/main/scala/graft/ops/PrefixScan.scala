@@ -38,7 +38,7 @@ object PrefixScan {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", value)
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val partMax = sorted.groupBy(col("__pid")).agg(max(col("__v")).as("__mx"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // exclusive prefix max across partitions, aligned pid -> max of all
@@ -82,7 +82,7 @@ object PrefixScan {
           .withColumn("__pid", spark_partition_id())) {
         case (acc, ((v, _), i)) => acc.withColumn(s"__v$i", v)
       }
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val totals = sorted.groupBy(col("__pid"))
       .agg(names.indices.map(i => sum(col(s"__v$i")).as(s"__t$i")).head,
         names.indices.drop(1).map(i => sum(col(s"__v$i")).as(s"__t$i")): _*)

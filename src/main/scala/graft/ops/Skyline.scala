@@ -52,7 +52,7 @@ object Skyline {
       .repartitionByRange(nPartitions, col("__x"))
       .sortWithinPartitions(col("__x"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val maxima = sorted.groupBy(col("__pid")).agg(max(col("__y")).as("m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // prefix max over strictly-earlier partitions (range partitioning

@@ -53,33 +53,54 @@ object StarContract {
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
-    // Per-half-round shape (round-18 optimization): the neighborhood
-    // minimum rides a node-partitioned window over the symmetric edge
-    // frame instead of a groupBy + join-back — the min is attached to
-    // every (u, v) row in the SAME exchange that grouped it, removing
-    // the aggregate exchange and both join exchanges per half-round
-    // (measured at sf0.1: 14 exchanges → 8 per round pair). The window
-    // is always partitioned by `u` (never partition-less), and the
-    // small-star's per-u self edge (u, m) collapses through the closing
-    // `canon().distinct()` exactly as the old per-group row did.
-    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    // Per-half-round shape (round-19, verdict task #2): the r18 form
+    // attached the neighborhood minimum with a `Window.partitionBy(u)`
+    // over the symmetric edge frame — fewest exchanges, but it ships
+    // EVERY (u, v) row of the hottest node into one task and sorts it,
+    // and AQE's skew handling cannot split windows (guide §2.5). On a
+    // power-law graph at the 100 TB posture the max-degree node is a
+    // straggler by construction, and large-star visits full
+    // neighborhoods. So the min now comes from a groupBy aggregate —
+    // partial map-side combine means each map task ships ≤ 1 row per
+    // node, no skew possible in the aggregate — and is attached back
+    // with a co-partitioned `shuffle_hash` equi-join on u (the
+    // PageRank/LabelProp discipline): the build side is the |V|-row min
+    // frame (already hash(u)-partitioned by its own aggregate, no extra
+    // exchange), the probe side streams without sorting, and a skewed
+    // probe partition is exactly the shape AQE's skew-join splitter
+    // handles at runtime. Exchange count stays well below the r17
+    // groupBy+join-back form (6 vs 14 per round pair — the join reuses
+    // the aggregate's partitioning) and shuffle records return to the
+    // map-combined level (the window shipped whole neighborhoods).
+    // `large` feeds two consumers (the small-star min and its join), so
+    // it is eagerly checkpointed once per round — the KCore economics.
+    def nbrMin(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    def attach(s: DataFrame, mins: DataFrame): DataFrame =
+      s.join(mins.hint("shuffle_hash"), Seq("u"))
     var e = canon(edges.select(col("src").cast("long").as("u"),
-      col("dst").cast("long").as("v"))).localCheckpoint(true)
+      col("dst").cast("long").as("v"))).transform(graft.core.Ckpt.eager)
     var prev: DataFrame = null
     for (_ <- 1 to rounds) {
       prev = e
       // large-star over the full (symmetric) neighborhood
-      val s = sym(e).withColumn("m", least(col("u"), min(col("v")).over(wU)))
+      val se = sym(e)
+      val s = attach(se, nbrMin(se)).withColumn("m", least(col("u"), col("mn")))
       val large = canon(
         s.filter(col("v") > col("u"))
           .select(col("v").as("u"), col("m").as("v")))
-      // small-star over the strictly-smaller neighborhood (+ self)
+        .transform(graft.core.Ckpt.eager)
+      // small-star over the strictly-smaller neighborhood (+ self);
+      // the old per-row (u, m) self-edge branch collapses to the
+      // aggregate's one row per u — identical after canon().distinct(),
+      // and the union's mins subtree is the join's build side, so its
+      // exchange is reused, not recomputed
       val down = sym(large).filter(col("v") < col("u"))
-        .withColumn("m", min(col("v")).over(wU))
+      val mins2 = nbrMin(down)
       val small = canon(
-        down.select(col("v").as("u"), col("m").as("v"))
-          .union(down.select(col("u"), col("m").as("v"))))
-      e = small.localCheckpoint(true)
+        attach(down, mins2).select(col("v").as("u"), col("mn").as("v"))
+          .union(mins2.select(col("u"), col("mn").as("v"))))
+      e = small.transform(graft.core.Ckpt.eager)
     }
     // after contraction E is a star forest: every edge is (member, root)
     val assign = assignment(nodes, e)

@@ -50,7 +50,7 @@ object ExtensionQueries105 extends QueryGroup {
       .groupBy(col("a.l_partkey").as("ante"), col("b.l_partkey").as("cons"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= 3)
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val pairs = halfP.union(halfP.select(col("cons").as("ante"),
       col("ante").as("cons"), col("co")))
     val scored = pairs

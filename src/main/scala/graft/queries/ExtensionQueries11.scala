@@ -133,18 +133,32 @@ object ExtensionQueries11 extends QueryGroup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    // candidate-scoped verification (the jaccardJoinViaJoin shape: no
-    // whole-set array rows; shuffle bounded by candidates × set size)
-    val tok = shingles3(s, dir)
-      .select(col("doc_id").as("__id"), col("sh").as("tok")).distinct()
-    val sz = tok.groupBy(col("__id")).agg(count(lit(1)).as("s"))
+    // candidate-scoped verification (round-19, verdict task #4). The old
+    // shape streamed candidates through a token-level equi-join — cand ⋈
+    // tok(id_a) explodes each pair by |set(id_a)|, re-shuffles that w·n ×
+    // |set| probe stream by (id_b, tok), and pair-aggregates it
+    // (attribution numbers in OPTIMIZATION_r19.md).
+    // SNM candidates are LINEAR in the corpus (w·n exactly, vs the
+    // data-dependent collision streams of the prefix family), so the
+    // per-doc shingle sets fit one array row each and the intersection
+    // is computable pair-locally: build each doc's distinct-shingle
+    // array once, attach both arrays to each candidate pair (two hash
+    // joins on id — AQE-handleable, no token fan-out), and count with
+    // array_intersect. inter/sa/sb are identical by construction (both
+    // arrays are distinct, array_intersect returns the common distinct
+    // elements); only counts leave the pair row, so result bits match
+    // the old shape and the oracle exactly. Shuffle records drop from
+    // Σ_pairs |set| to w·n.
+    val docArr = shingles3(s, dir)
+      .groupBy(col("doc_id").as("__id"))
+      .agg(array_distinct(collect_list(col("sh"))).as("arr"))
     cand
-      .join(sz.select(col("__id").as("id_a"), col("s").as("sa")), Seq("id_a"))
-      .join(sz.select(col("__id").as("id_b"), col("s").as("sb")), Seq("id_b"))
-      .join(tok.select(col("__id").as("id_a"), col("tok")), Seq("id_a"))
-      .join(tok.select(col("__id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docArr.select(col("__id").as("id_a"), col("arr").as("arr_a")), Seq("id_a"))
+      .join(docArr.select(col("__id").as("id_b"), col("arr").as("arr_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("inter"),
+        size(col("arr_a")).cast("long").as("sa"),
+        size(col("arr_b")).cast("long").as("sb"))
       .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
       .filter(col("inter") * 1000000L >= lit(JaccPpm) * col("union_sz"))
       .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),

@@ -56,7 +56,7 @@ object ExtensionQueries19 extends QueryGroup {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
     val parts = Tables.part(s, dir).select(col("p_partkey").as("id"))

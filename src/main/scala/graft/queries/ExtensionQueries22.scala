@@ -176,7 +176,7 @@ object ExtensionQueries22 extends QueryGroup {
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val weighted = halfW.union(
       halfW.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))

@@ -150,7 +150,7 @@ object ExtensionQueries24 extends QueryGroup {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val buckets = deg

@@ -110,7 +110,7 @@ object ExtensionQueries28 extends QueryGroup {
       .groupBy(col("user_id"))
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     def quintile(df: DataFrame, rid: String, q: String,
         order: org.apache.spark.sql.Column): DataFrame = {
       val ranked = DenseIds.withDenseId(df, rid, 16, order, col("user_id"))

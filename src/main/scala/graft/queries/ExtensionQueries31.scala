@@ -118,7 +118,7 @@ object ExtensionQueries31 extends QueryGroup {
       .groupBy(col("a.l_partkey").as("part"),
         col("b.l_partkey").as("also"))
       .agg(count(lit(1)).as("n_orders_together"))
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val cofreq = halfCo.union(halfCo.select(col("also").as("part"),
       col("part").as("also"), col("n_orders_together")))
     val w = Window.partitionBy(col("part"))

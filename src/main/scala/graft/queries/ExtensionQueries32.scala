@@ -59,7 +59,7 @@ object ExtensionQueries32 extends QueryGroup {
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
     // the previously-materialized state: old ⋈ old, pinned so the
     // refresh below can NEVER silently recompute it from raw
-    val stored = viewAgg(aOld, bOld).localCheckpoint()
+    val stored = viewAgg(aOld, bOld).transform(graft.core.Ckpt.eager)
     val refreshed = stored
       .unionByName(viewAgg(aNew, bOld))
       .unionByName(viewAgg(aOld, bNew))
@@ -105,7 +105,7 @@ object ExtensionQueries32 extends QueryGroup {
           .as("mask"))
       .groupBy(col("event_type"), col("day"), col("word"))
       .agg(expr("bit_or(mask)").as("bits"))
-      .localCheckpoint() // the stored daily pre-aggregate
+      .transform(graft.core.Ckpt.eager) // the stored daily pre-aggregate
     daily
       .groupBy(col("event_type"), expr("day div 7").as("week"), col("word"))
       .agg(expr("bit_or(bits)").as("bits"))

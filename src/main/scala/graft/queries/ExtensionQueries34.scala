@@ -171,7 +171,7 @@ object ExtensionQueries34 extends QueryGroup {
         .as("clicks"),
         sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val rx = DenseIds.withDenseId(users, "rx", 16, col("clicks"), col("user_id"))
     val rxy = DenseIds.withDenseId(rx, "ry", 16, col("cents"), col("user_id"))
     rxy.select(((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))

@@ -98,7 +98,7 @@ object ExtensionQueries47 extends QueryGroup {
         .select(col("c_custkey").as("o_custkey"),
           round(col("c_acctbal") * 100).cast("long").as("bal")),
         "o_custkey")
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val rx = DenseIds.withDenseId(cust, "rb", 16, col("bal"), col("o_custkey"))
     val rxy = DenseIds.withDenseId(rx, "rs", 16, col("spend"), col("o_custkey"))
     val n = rxy.agg(count(lit(1)).as("n"))

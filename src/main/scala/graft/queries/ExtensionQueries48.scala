@@ -151,7 +151,7 @@ object ExtensionQueries48 extends QueryGroup {
       .pivot("event_type")
       .agg(when(count(lit(1)) > 0, 1L).otherwise(0L))
       .na.fill(0L)
-      .localCheckpoint() // all |types|² pair tables read THIS frame, not events
+      .transform(graft.core.Ckpt.eager) // all |types|² pair tables read THIS frame, not events
     val types = flags.columns.filter(_ != "user_id").sorted
     val pairs = for {
       i <- types.indices; j <- types.indices if i < j

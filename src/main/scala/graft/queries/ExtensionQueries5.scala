@@ -58,7 +58,7 @@ object ExtensionQueries5 extends QueryGroup {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Ckpt.eager)
     val pairs = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
     graft.ops.PageRank.run(pairs, nodes, PrIters, PrInitMass, PrTeleportMass)

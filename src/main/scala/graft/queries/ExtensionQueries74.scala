@@ -162,10 +162,10 @@ object ExtensionQueries74 extends QueryGroup {
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.core.Ckpt.eager)
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // pin the loop-invariant edge list; levels replay this, not the join
+      .transform(graft.core.Ckpt.eager) // pin the loop-invariant edge list; levels replay this, not the join
     edges.createOrReplaceTempView("q316_edges")
     s.sql(
       s"""WITH RECURSIVE walk(id, dist) AS (

@@ -51,10 +51,6 @@ object CurationChain {
 
   private def toks: Column = TextAnalysis.tokens(col("text"))
 
-  private def sigs(df: DataFrame, n: Int): DataFrame = df
-    .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
-    .select(col("doc_id"), Dedup.minhashFromHashes(col("hashes"), n).as("sig"))
-
   /** Per-delta-doc admission verdicts against a stored corpus:
     * (doc_id, verdict, dup_of) with verdict ∈ {decontam, exact_dup,
     * near_dup, quality, admitted} and dup_of the smallest qualifying
@@ -65,10 +61,15 @@ object CurationChain {
     val d = delta.select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val corpus = corpusDocs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
 
-    // stage 1 — decontam (q496 stage-1 rule, integer cross-multiplied)
-    val contaminated = Contamination.overlap(d, evalDocs, "doc_id", col("text"), 3)
-      .filter(col("n_shared") * 2 >= col("n_shingles"))
-      .select(col("id").as("doc_id"), lit(true).as("is_contaminated"))
+    // stage 1 — decontam (q496 stage-1 rule, integer cross-multiplied).
+    // Scoped (round-19): consumed by the stage-2 anti-join (×2 — s1m
+    // executes twice, see below) and the final verdict join, and each
+    // recompute re-hashes every delta shingle; the consumers join on
+    // different keys, so ReuseExchange cannot dedupe them.
+    val contaminated = graft.core.CacheScope.scoped(
+      Contamination.overlap(d, evalDocs, "doc_id", col("text"), 3)
+        .filter(col("n_shared") * 2 >= col("n_shingles"))
+        .select(col("id").as("doc_id"), lit(true).as("is_contaminated")))
     val s1 = d.join(contaminated, Seq("doc_id"), "left_anti")
 
     // stage 2 — exact dedup vs stored texts ∪ earlier-id passers: the
@@ -77,19 +78,31 @@ object CurationChain {
     val corpusFirst = corpus.groupBy(col("text"))
       .agg(min(col("doc_id")).as("corpus_min"))
     val byText = Window.partitionBy(col("text"))
-    val s1m = s1.join(corpusFirst, Seq("text"), "left")
+    // Scoped (round-19): s1m feeds the stage-3 signature pipeline (via
+    // s2) AND the final verdict join — without the pin the whole
+    // stage-1+2 pipeline (contamination anti-join, corpusFirst join,
+    // text window) executes once per consumer.
+    val s1m = graft.core.CacheScope.scoped(s1.join(corpusFirst, Seq("text"), "left")
       .withColumn("delta_min", min(col("doc_id")).over(byText))
       .withColumn("exact_dup_of",
         when(col("corpus_min").isNotNull && col("delta_min") < col("doc_id"),
           least(col("corpus_min"), col("delta_min")))
           .when(col("corpus_min").isNotNull, col("corpus_min"))
-          .when(col("delta_min") < col("doc_id"), col("delta_min")))
+          .when(col("delta_min") < col("doc_id"), col("delta_min"))))
     val s2 = s1m.filter(col("exact_dup_of").isNull).select(col("doc_id"), col("text"))
 
     // stage 3 — near-dup admission against the stored signature index ∪
-    // earlier-id stage-2 passers
-    val adm = Dedup.incrementalMinhash(sigs(corpus, nSig), sigs(s2, nSig),
-        "doc_id", bands, minEstJ)
+    // earlier-id stage-2 passers. ONE signature pipeline over the tagged
+    // corpus ∪ passers union (round-19 verdict task #5): both sides'
+    // signatures come from the same shingle-hash + n-min stage, so the
+    // plan carries that stage once instead of once per side.
+    val tagged = corpus.select(col("doc_id"), col("text"), lit(0).as("src"))
+      .unionByName(s2.select(col("doc_id"), col("text"), lit(1).as("src")))
+    val allSigs = tagged
+      .withColumn("hashes", Dedup.shingleHashes(col("text"), 3))
+      .select(col("doc_id").cast("long").as("id"),
+        Dedup.minhashFromHashes(col("hashes"), nSig).as("sig"), col("src"))
+    val adm = Dedup.incrementalMinhashTagged(allSigs, bands, minEstJ)
       .select(col("id").as("doc_id"), col("keep"), col("dup_of").as("near_dup_of"))
 
     // stage 4 — quality floor (q496 stage 4, integer-exact)
