@@ -23,8 +23,27 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * instant cast below uses the session zone).
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Per-path inferred-schema cache (round-19 verdict task #3). The
+    * FixedCostProbe measured a bare `spark.read.parquet(path)` at ~98 ms
+    * per call at sf0.1 — almost entirely parquet footer reads for schema
+    * inference — and the bench re-builds every query's frame per sample,
+    * so each of the ~1,100 executions of a sweep paid it per table. The
+    * schema of an immutable input never changes within a process, so it
+    * is inferred once per path and passed explicitly afterwards
+    * (`.schema(cached)` skips inference; the cached object IS the
+    * inferred schema, so plans are bit-identical). This is metadata
+    * caching in the same class as Spark's session FileStatusCache —
+    * every query still computes from the parquet inputs. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   /** Fold any supported event-time encoding of column `c` to canonical
     * LONG nanos-since-epoch, preserving column order. LONG passes through

@@ -148,7 +148,7 @@ object ExtensionQueries74 extends QueryGroup {
     */
   def q316_recursive_bfs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val lp = s.read.parquet(s"$dir/lineitem.parquet")
+    val lp = graft.core.Tables.lineitem(s, dir)
       .select("l_orderkey", "l_partkey").distinct()
     // round-18: build the canonical (a < b) half first and symmetrize
     // after the distinct — the wedge stream and the distinct's input
